@@ -1,0 +1,79 @@
+"""Table catalog over the driver-provided parquet test tables.
+
+Mirrors the reference's "files at rest on HDFS" layer (Kafka-Connect
+HDFS sink, cluster/configuration.json:4-16): datasets are directories
+of columnar files; queries run over them via temp views (the ksqlDB
+``CREATE STREAM`` analogue, cluster/README.md:107-118).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one parquet table. Filters/projections applied downstream
+    reach the scan via Catalyst pushdown (verify with .explain:
+    PushedFilters / ReadSchema).
+
+    TIMESTAMP(NANOS) parquet columns (events.ts) are illegal for
+    Spark's vectorized reader; they are read as int64 nanos via the
+    legacy conf and immediately converted to microsecond timestamps —
+    floor-division truncation, exactly how DuckDB reads the same file.
+    """
+    path = table_path(sf_dir, name)
+    df = _read_with_nanos_fallback(spark, path)
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        # integer division — `/` would go through double and round,
+        # disagreeing with DuckDB's truncation by 1us on ~half the rows
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def _read_with_nanos_fallback(spark: SparkSession, path: str) -> DataFrame:
+    try:
+        df = spark.read.parquet(path)
+        df.schema  # force schema resolution
+        return df
+    except Exception:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return spark.read.parquet(path)
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names if os.path.exists(table_path(sf_dir, n))}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every table as a temp view so ``spark.sql`` works over
+    them — the typed-SQL-view capability (reference Q1)."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

@@ -1,0 +1,205 @@
+"""Deduplication operators: exact, fingerprint, MinHash-LSH, SimHash.
+
+The reference deduplicates by SHA-256 content hash against a Redis
+hash-set, one network round trip per record
+(producers/energinet/fetch_data_energinet.py:60-65,170-176 — T6), with
+the dedup scope reset per fetch window (T7, :33-38,179). Here the
+state store is Spark itself:
+
+- exact dedup      -> hash column + ``dropDuplicates`` (a shuffle on the
+                      hash key; AQE handles skew, scales linearly)
+- windowed dedup   -> ``row_number() over (partition by key-window)``
+- near-dup (text)  -> deterministic MinHash + LSH banding: shingle ->
+                      k permuted min-hashes -> band -> shuffle on
+                      (band, band-signature) so only colliding docs
+                      ever meet. At 100 TB the candidate join touches
+                      a vanishing fraction of the n^2 pair space.
+- SimHash          -> 64-bit weighted-bit signature, near-dup = small
+                      Hamming distance within LSH-style chunks.
+
+Every hash is derived from SHA-256 (functions.hashing.stable_hash64)
+so results are engine-reproducible — the DuckDB oracle recomputes
+identical signatures in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ingest_spark.functions.hashing import content_hash, stable_hash64
+
+# Mersenne prime 2^31-1: modulus for the MinHash permutation family
+# h_i(x) = (a_i * x + b_i) mod P. The base hash is 28-bit
+# (stable_hash64 with hex_digits=7) and a_i/b_i < 2^31, so a*h+b
+# < 2^59 — no int64 overflow in Spark, no HUGEINT needed in the
+# DuckDB oracle.
+MERSENNE_P = (1 << 31) - 1
+MINHASH_HEX_DIGITS = 7
+
+
+def with_content_hash(
+    df: DataFrame, cols: list[str] | None = None, out: str = "record_hash"
+) -> DataFrame:
+    """T5: stable whole-record identity column (sorted-column canon)."""
+    return df.withColumn(out, content_hash(*sorted(cols or df.columns)))
+
+
+def exact_dedup(
+    df: DataFrame, cols: list[str] | None = None, keep_tiebreak: list[str] | None = None
+) -> DataFrame:
+    """T6/E1: exactly-once view of an at-least-once feed.
+
+    With ``keep_tiebreak`` the survivor per duplicate group is
+    deterministic (min over the tie-break columns) — required for
+    oracle comparison; plain ``dropDuplicates`` keeps an arbitrary row.
+    One shuffle on the hash; map-side partial aggregation applies.
+    """
+    hashed = with_content_hash(df, cols)
+    if not keep_tiebreak:
+        return hashed.dropDuplicates(["record_hash"]).drop("record_hash")
+    w = Window.partitionBy("record_hash").orderBy(*[F.col(c) for c in keep_tiebreak])
+    return (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "record_hash")
+    )
+
+
+def dedup_within_window(
+    df: DataFrame,
+    key_cols: list[str],
+    window_col: Column,
+    order_cols: list[str],
+    out_window: str = "dedup_window",
+) -> DataFrame:
+    """T7: dedup scoped to a (key, time-window) partition — the Spark
+    form of the reference's per-day Redis-set reset. First row per
+    (key, window) in ``order_cols`` order survives."""
+    w = Window.partitionBy(*key_cols, out_window).orderBy(*[F.col(c) for c in order_cols])
+    return (
+        df.withColumn(out_window, window_col)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------- MinHash
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column (JVM-side):
+    split -> sliding concat via transform(sequence(...)) -> distinct."""
+    words = F.split(F.col(text) if isinstance(text, str) else text, " ")
+    k = F.size(words) - (n - 1)
+    idx = F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0)))
+    gram = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(words, i + j + 1) for j in range(n)])
+    )
+    return F.when(k > 0, F.array_distinct(gram)).otherwise(
+        F.array(F.concat_ws(" ", words))
+    )
+
+
+def _perm_params(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the permutation family, derived
+    from a tiny LCG so both engines can hard-code the same constants."""
+    params, state = [], seed
+    for _ in range(num_hashes):
+        state = (1103515245 * state + 12345) % (1 << 31)
+        a = state | 1  # odd
+        state = (1103515245 * state + 12345) % (1 << 31)
+        b = state
+        params.append((a, b))
+    return params
+
+
+def minhash_signature(
+    text: Column | str, num_hashes: int = 16, shingle_n: int = 3
+) -> Column:
+    """array<bigint> MinHash signature: for each permutation i,
+    min over shingles s of (a_i * H(s) + b_i) mod P, with H = the
+    engine-portable sha256-based 28-bit hash."""
+    sh = shingles(text, shingle_n)
+    base = F.transform(sh, lambda s: stable_hash64(s, hex_digits=MINHASH_HEX_DIGITS))
+
+    def perm(a: int, b: int):
+        # closure factory: default-arg lambdas confuse PySpark's
+        # higher-order-function arity inspection
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_P)
+
+    sig = [F.array_min(F.transform(base, perm(a, b))) for a, b in _perm_params(num_hashes)]
+    return F.array(*sig)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """E2 scale path: LSH banding. Signature split into ``bands`` bands
+    of ``num_hashes/bands`` rows; docs sharing any band signature become
+    candidate pairs. Plan shape: narrow map (signatures) -> explode
+    bands (xB) -> shuffle on (band, sig-hash) -> in-bucket self-join.
+    Only bucket-mates join, so the pair space never materializes.
+    Returns (id_a, id_b) candidate pairs, id_a < id_b.
+    """
+    rows = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("__id"),
+        minhash_signature(text_col, num_hashes, shingle_n).alias("__sig"),
+    )
+    banded = sig.select(
+        "__id",
+        F.posexplode(
+            F.array(*[F.slice("__sig", b * rows + 1, rows) for b in range(bands)])
+        ).alias("__band", "__bandsig"),
+    ).withColumn(
+        "__bucket",
+        F.concat_ws(
+            ":",
+            F.col("__band").cast("string"),
+            F.concat_ws(",", F.transform("__bandsig", lambda x: x.cast("string"))),
+        ),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(right, on="__bucket")
+        .filter(F.col("l.__id") < F.col("r.__id"))
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------- SimHash
+
+
+def simhash(text: Column | str, num_bits: int = 16, shingle_n: int = 2) -> Column:
+    """SimHash over word shingles: per bit, sum +/-1 votes over shingle
+    hashes; positive vote -> bit set. Built on the portable 28-bit
+    hash, so the DuckDB oracle reproduces identical signatures.
+    Near-dup = small Hamming distance (``hamming64``)."""
+    sh = shingles(text, shingle_n)
+    base = F.transform(sh, lambda s: stable_hash64(s, hex_digits=MINHASH_HEX_DIGITS))
+
+    def vote_fn(bit: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    out = F.lit(0).cast("long")
+    for bit in range(num_bits):
+        vote = F.aggregate(base, F.lit(0), vote_fn(bit))
+        out = out + F.when(vote > 0, F.lit(1 << bit).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,115 @@
+"""Local mirror of the driver's DuckDB-oracle comparison.
+
+Runs each declared query on Spark AND its oracle SQL on DuckDB over
+the same parquet tables, then compares row count, column names and an
+order-insensitive value multiset (columns sorted by name, values
+normalized). Lets us catch mismatches before the driver does.
+
+Usage:  python tests/oracle_harness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from collections import Counter
+from datetime import date, datetime
+
+import duckdb
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.9g}"
+    if isinstance(v, datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, bool):
+        return str(v)
+    if isinstance(v, (int, str)) or v is None:
+        return v
+    return str(v)
+
+
+def rows_to_multiset(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    return Counter(tuple(_norm(r[i]) for i in order) for r in rows)
+
+
+def duck_connection(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def compare_query(spark, con, name, fn, sql, sf_dir):
+    sdf = fn(spark, sf_dir)
+    srows = sdf.collect()
+    scols = sdf.columns
+    rel = con.sql(sql)
+    drows = rel.fetchall()
+    dcols = [d[0] for d in rel.description]
+    problems = []
+    if sorted(scols) != sorted(dcols):
+        problems.append(f"columns spark={sorted(scols)} duck={sorted(dcols)}")
+    if len(srows) != len(drows):
+        problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
+    if not problems:
+        sm = rows_to_multiset([r[:] for r in srows], scols)
+        dm = rows_to_multiset(drows, dcols)
+        if sm != dm:
+            diff_s = list((sm - dm).items())[:3]
+            diff_d = list((dm - sm).items())[:3]
+            problems.append(f"values spark-only={diff_s} duck-only={diff_d}")
+    return problems
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    sys.path.insert(0, "/root/repo")
+    from ingest_spark.queries import ORACLES, QUERIES
+    from ingest_spark.session import get_spark
+
+    spark = get_spark("oracle-harness")
+    con = duck_connection(sf_dir)
+    failures = 0
+    for name, fn in QUERIES.items():
+        if only and name not in only:
+            continue
+        if name not in ORACLES:
+            try:
+                n = fn(spark, sf_dir).count()
+                print(f"  [rows-only] {name}: {n} rows")
+            except Exception as e:
+                failures += 1
+                print(f"  [FAIL-run ] {name}: {str(e)[:300]}")
+            continue
+        try:
+            problems = compare_query(spark, con, name, fn, ORACLES[name], sf_dir)
+        except Exception as e:
+            failures += 1
+            print(f"  [FAIL-run ] {name}: {str(e)[:300]}")
+            continue
+        if problems:
+            failures += 1
+            print(f"  [MISMATCH ] {name}: " + " | ".join(p[:400] for p in problems))
+        else:
+            print(f"  [OK       ] {name}")
+    print(f"done, {failures} failures")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
