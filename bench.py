@@ -1,0 +1,78 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is total wall time across the headline set (lower is better).
+Each query is collected to the driver (row counts only retained) so the
+measurement includes full plan execution, not lazy declaration.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: one per operator family, weighted toward the shapes that
+# matter at 100 TB (shuffle-heavy agg, broadcast star join, windowed
+# rank, LSH near-dup, vector top-k, as-of join).
+HEADLINE = [
+    "flagship_event_rollup",
+    "tpch_q1_pricing",
+    "tpch_q3_shipping",
+    "tpch_q5_local_supplier",
+    "window_topn_per_group",
+    "t6_exact_dedup",
+    "asof_join_events",
+    "text_stats",
+    "minhash_lsh_neardup",
+    "knn_bruteforce",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from ingest_spark.queries import QUERIES
+    from ingest_spark.session import get_spark
+
+    spark = get_spark("ingest-spark-bench")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = None
+
+    # warm the JVM + parquet footers so per-query numbers measure the
+    # plans, not first-touch JIT
+    QUERIES["s2_bounds_discovery"](spark, sf_dir).collect()
+
+    per_query: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        out = QUERIES[name](spark, sf_dir).collect()
+        per_query[name] = round(time.perf_counter() - t0, 3)
+        rows[name] = len(out)
+
+    total = round(sum(per_query.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "rows": rows,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -717,12 +717,10 @@ def _sql_minhash_sig() -> tuple[str, list[tuple[int, int]]]:
 @q("minhash_signatures", _sql_minhash_sig()[0])
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 4-permutation MinHash signature, engine-portable
-    (sha256-based base hash) — the oracle PROVES signature parity."""
+    (sha256-based base hash) — the oracle PROVES signature parity.
+    Uses the scale path (explode + codegen'd hash aggregate)."""
     docs = load_table(spark, sf_dir, "documents")
-    sig = dedup.minhash_signature("text", num_hashes=4, shingle_n=3)
-    return docs.select(
-        "doc_id", *[F.element_at(sig, i + 1).alias(f"m{i}") for i in range(4)]
-    )
+    return dedup.minhash_signatures_df(docs, "doc_id", "text", num_hashes=4, shingle_n=3)
 
 
 @q(
@@ -765,9 +763,7 @@ def _sql_simhash(num_bits: int = 16) -> str:
 @q("simhash_signatures", _sql_simhash(16))
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", dedup.simhash("text", num_bits=16, shingle_n=2).alias("simhash16")
-    )
+    return dedup.simhash_df(docs, "doc_id", "text", num_bits=16, shingle_n=2)
 
 
 # ============================================================ E3 similarity
