@@ -1,0 +1,155 @@
+"""Avro schema (.avsc) <-> Spark StructType conversion.
+
+The reference governs every topic with an external Avro contract
+fetched from a schema registry (subject ``<topic>-value``, latest
+version, cached — producers/energinet/fetch_data_energinet.py:216-238)
+and refuses to run when the contract is missing (:220-224). The
+rebuilt engine keeps contracts external and explicit — never inferred
+on the hot path — but the "registry" is a plain loader: an .avsc
+document (file or dict) becomes a StructType, with write-time
+enforcement via ``apply_contract``.
+
+Normalization handles the reference's contract quirks (SURVEY §1.4):
+- ``["null", T]`` unions with ``default: null`` -> nullable field;
+- a non-nullable field declaring ``"default": null`` (invalid Avro,
+  Bil54.avsc:70-74) -> normalized to nullable;
+- ``logicalType: timestamp-millis`` declared on a *string* field
+  (informational only, Bil54.avsc:58-62) -> stays StringType, the
+  logical type is recorded in field metadata.
+"""
+
+from __future__ import annotations
+
+import json
+from functools import lru_cache
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_PRIMITIVES: dict[str, T.DataType] = {
+    "string": T.StringType(),
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "boolean": T.BooleanType(),
+    "bytes": T.BinaryType(),
+    "null": T.NullType(),
+}
+
+_REVERSE: dict[str, str] = {
+    "StringType()": "string",
+    "IntegerType()": "int",
+    "LongType()": "long",
+    "FloatType()": "float",
+    "DoubleType()": "double",
+    "BooleanType()": "boolean",
+    "BinaryType()": "bytes",
+}
+
+
+def normalize_avsc(schema: dict) -> dict:
+    """Return a copy with the reference's contract quirks repaired:
+    any field whose default is null but whose type is not a
+    null-union becomes ``["null", T]`` (the §1.4 Bil54 fix)."""
+    out = json.loads(json.dumps(schema))
+    for field in out.get("fields", []):
+        t = field.get("type")
+        has_null_default = "default" in field and field["default"] is None
+        if has_null_default and not (isinstance(t, list) and "null" in t):
+            field["type"] = ["null", t]
+    return out
+
+
+def _avro_type_to_spark(t: Any) -> tuple[T.DataType, bool]:
+    """-> (spark_type, nullable)."""
+    if isinstance(t, str):
+        if t not in _PRIMITIVES:
+            raise ValueError(f"unsupported avro type: {t!r}")
+        return _PRIMITIVES[t], False
+    if isinstance(t, list):  # union
+        non_null = [x for x in t if x != "null"]
+        if len(non_null) != 1:
+            raise ValueError(f"only [null, T] unions supported, got {t!r}")
+        inner, _ = _avro_type_to_spark(non_null[0])
+        return inner, "null" in t
+    if isinstance(t, dict):
+        kind = t.get("type")
+        if kind == "array":
+            item, item_null = _avro_type_to_spark(t["items"])
+            return T.ArrayType(item, containsNull=item_null), False
+        if kind == "map":
+            val, val_null = _avro_type_to_spark(t["values"])
+            return T.MapType(T.StringType(), val, valueContainsNull=val_null), False
+        if kind == "record":
+            return _record_to_struct(t), False
+        if kind in _PRIMITIVES:
+            # primitive with annotations (logicalType etc.) — the
+            # declared physical type wins (see module docstring)
+            return _PRIMITIVES[kind], False
+    raise ValueError(f"unsupported avro type: {t!r}")
+
+
+def _record_to_struct(schema: dict) -> T.StructType:
+    fields = []
+    for f in schema["fields"]:
+        dtype, nullable = _avro_type_to_spark(f["type"])
+        meta = {}
+        t = f["type"]
+        if isinstance(t, dict) and "logicalType" in t:
+            meta["avro.logicalType"] = t["logicalType"]
+        if "doc" in f:
+            meta["avro.doc"] = f["doc"]
+        fields.append(T.StructField(f["name"], dtype, nullable=nullable, metadata=meta))
+    return T.StructType(fields)
+
+
+def avsc_to_struct(schema: dict | str) -> T.StructType:
+    """Parse an .avsc record schema (dict, JSON string, or file path
+    ending in .avsc) into a StructType, normalizing §1.4 quirks."""
+    if isinstance(schema, str):
+        if schema.lstrip().startswith("{"):
+            schema = json.loads(schema)
+        else:
+            schema = _load_avsc_file(schema)
+    if schema.get("type") != "record":
+        raise ValueError("top-level avro schema must be a record")
+    return _record_to_struct(normalize_avsc(schema))
+
+
+@lru_cache(maxsize=128)
+def _load_avsc_file(path: str) -> dict:
+    """Memoized file load — the engine-local analogue of the
+    reference's per-subject registry cache (CACHE_SCHEMA,
+    fetch_data_energinet.py:202,227-238)."""
+    with open(path, encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+def struct_to_avsc(struct: T.StructType, name: str, namespace: str = "ingest_spark") -> dict:
+    """StructType -> .avsc record (nullable -> [null, T] with null
+    default), for publishing contracts outward."""
+    fields = []
+    for f in struct.fields:
+        base = _REVERSE.get(repr(f.dataType))
+        if base is None:
+            raise ValueError(f"unsupported spark type for avsc export: {f.dataType}")
+        if f.nullable:
+            fields.append({"name": f.name, "type": ["null", base], "default": None})
+        else:
+            fields.append({"name": f.name, "type": base})
+    return {"type": "record", "name": name, "namespace": namespace, "fields": fields}
+
+
+def apply_contract(df: DataFrame, struct: T.StructType) -> DataFrame:
+    """Write-schema enforcement (the registry pre-flight O2 analogue):
+    select exactly the contract's columns, cast to contract types,
+    fail fast on any missing column."""
+    missing = [f.name for f in struct.fields if f.name not in df.columns]
+    if missing:
+        raise ValueError(f"contract violation, missing columns: {missing}")
+    return df.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in struct.fields]
+    )

@@ -1,0 +1,144 @@
+"""Structured Streaming ingest pipeline (reference S5/S6, T5-T10, K1-K3).
+
+The reference's runtime loop — poll source, clean, content-hash,
+dedup-against-Redis, serialize, publish to Kafka, Connect sinks to
+HDFS, supervised by an infinite retry loop
+(fetch_data_energinet.py:139-186,283-295; cluster/configuration.json)
+— collapses into one streaming plan:
+
+    readStream (file or kafka source)
+      -> clean/contract transforms     (same functions as batch)
+      -> content hash (T5)
+      -> withWatermark + dropDuplicatesWithinWatermark (T6, bounded state)
+      -> ingested_at enrichment (T9)
+      -> writeStream parquet/avro, partitionBy(date), checkpointed (T8/K2)
+
+Spark's checkpoint directory replaces BOTH Redis hash-sets (dedup
+state + processed offsets); the watermark bounds dedup state growth —
+the 100 TB answer to the reference's per-day state reset (T7).
+Restart-on-failure (O1) is the StreamingQuery restart semantics:
+rerunning the same query against the same checkpoint resumes
+exactly where it stopped.
+
+No Kafka connector jar ships in this container, so sources here are
+file-based (the semantics under test are identical: schema-applied
+micro-batches); ``readStream.format("kafka")`` drops in unchanged on a
+cluster with the package loaded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from ingest_spark.functions.hashing import content_hash
+
+
+def read_file_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    fmt: str = "json",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Schema-applied file stream (S5-shaped source). The explicit
+    schema is mandatory — streaming never infers.
+    ``maxFilesPerTrigger`` is the backpressure knob (the reference's
+    Flume channel capacity / rate-limit sleeps, T10)."""
+    reader = spark.readStream.schema(schema).format(fmt)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(path)
+
+
+def ingest_transform(
+    df: DataFrame,
+    hash_cols: list[str],
+    event_time_col: str,
+    watermark: str = "1 day",
+) -> DataFrame:
+    """The shared clean->hash->dedup->enrich core (T5/T6/T9), usable on
+    batch and streaming frames alike. State for the dedup is bounded by
+    the watermark: duplicates arriving later than ``watermark`` after
+    the original are not caught here — they are caught by the
+    idempotent sink dedup in ``foreach_batch_upsert``."""
+    hashed = df.withColumn("record_hash", content_hash(*sorted(hash_cols)))
+    if df.isStreaming:
+        deduped = hashed.withWatermark(event_time_col, watermark).dropDuplicatesWithinWatermark(
+            ["record_hash"]
+        )
+    else:
+        deduped = hashed.dropDuplicates(["record_hash"])
+    return deduped.withColumn("ingested_at", F.current_timestamp())
+
+
+def write_stream_parquet(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_date_col: str | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """K2: checkpointed columnar sink. ``partitionBy(ingest_date)``
+    replaces the Connect DefaultPartitioner with date partitioning
+    (partition-pruned reads); file sizes are governed by trigger
+    cadence, not the reference's flush.size=3 small-file anti-pattern.
+    ``available_now`` processes the backlog then stops — the batch-like
+    trigger used by tests and backfills."""
+    out = df
+    if partition_date_col is not None:
+        out = out.withColumn("ingest_date", F.to_date(F.col(partition_date_col)))
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if partition_date_col is not None:
+        writer = writer.partitionBy("ingest_date")
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def foreach_batch_upsert(sink_path: str, key_col: str = "record_hash"):
+    """Idempotent sink for at-least-once upstreams: per micro-batch,
+    anti-join the batch against keys already in the sink, append the
+    remainder. The exactly-once-by-content-hash guarantee the
+    reference gets from Redis hexists (T6), without the per-record
+    round trip. (On a cluster with a table format, this is Delta/Iceberg
+    ``MERGE WHEN NOT MATCHED`` instead of the read-back.)"""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fresh = batch_df.dropDuplicates([key_col])
+        try:
+            existing = spark.read.parquet(sink_path).select(key_col)
+            fresh = fresh.join(existing, on=key_col, how="left_anti")
+        except Exception:
+            pass  # first batch: sink does not exist yet
+        fresh.write.mode("append").parquet(sink_path)
+
+    return apply
+
+
+def run_ingest_pipeline(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    sink_path: str,
+    checkpoint: str,
+    hash_cols: list[str],
+    event_time_col: str,
+    watermark: str = "1 day",
+    fmt: str = "json",
+) -> StreamingQuery:
+    """End-to-end S5->T5->T6->T9->K2 pipeline with availableNow
+    semantics (drain the backlog, then stop)."""
+    stream = read_file_stream(spark, source_dir, schema, fmt=fmt)
+    cleaned = ingest_transform(stream, hash_cols, event_time_col, watermark)
+    return write_stream_parquet(
+        cleaned, sink_path, checkpoint, partition_date_col=event_time_col
+    )

@@ -1,0 +1,52 @@
+"""Driver-contract tests: entry/queries/oracle_sql + a fast sample of
+the DuckDB-oracle comparison (the full sweep runs via
+``python tests/oracle_harness.py``)."""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entry_mod
+from tests.conftest import SF_DIR
+from tests.oracle_harness import compare_query, duck_connection
+
+SAMPLE = [
+    "flagship_event_rollup",
+    "t5_content_hash",
+    "tpch_q1_pricing",
+    "minhash_signatures",
+    "knn_bruteforce",
+    "asof_join_events",
+]
+
+
+def test_entry_returns_rows(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert set(df.columns) == {"hour", "event_type", "n_events", "sum_value", "avg_value"}
+
+
+def test_oracle_keys_subset_of_queries():
+    qs, os_ = entry_mod.queries(), entry_mod.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert len(qs) >= 35
+    # only genuinely non-SQL-expressible ops may omit an oracle
+    assert set(qs) - set(os_) == {"ann_lsh_topk"}
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duck_connection(SF_DIR)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", SAMPLE)
+def test_query_matches_oracle(spark, duck, name):
+    qs, os_ = entry_mod.queries(), entry_mod.oracle_sql()
+    problems = compare_query(spark, duck, name, qs[name], os_[name], SF_DIR)
+    assert not problems, problems

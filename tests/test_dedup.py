@@ -1,0 +1,99 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ingest_spark.operators import dedup
+
+
+def _feed(spark):
+    """ConsumptionIndustry-shaped feed with ~injected duplicates and a
+    fully replayed day (FIXTURES.md §1 hints / SURVEY §5.3 e2e)."""
+    day1 = [(f"2024-01-01T{h:02d}:00:00", "101", "Erhverv", float(h)) for h in range(24)]
+    day2 = [(f"2024-01-02T{h:02d}:00:00", "101", "Erhverv", float(h)) for h in range(24)]
+    dupes = day1[:5]          # partial in-window duplicates
+    replayed = list(day1)     # a whole replayed day (at-least-once)
+    rows = day1 + dupes + day2 + replayed
+    return spark.createDataFrame(
+        rows, "HourUTC string, MunicipalityNo string, Branche string, ConsumptionkWh double"
+    )
+
+
+def test_exact_dedup_exactly_once(spark):
+    df = _feed(spark)
+    assert df.count() == 77
+    out = dedup.exact_dedup(df)
+    assert out.count() == 48  # 24 + 24 unique records survive
+    assert out.columns == df.columns
+
+
+def test_exact_dedup_deterministic_survivor(spark):
+    df = spark.createDataFrame(
+        [("k", 3), ("k", 1), ("k", 2)], "key string, seq int"
+    )
+    out = dedup.exact_dedup(df, cols=["key"], keep_tiebreak=["seq"])
+    assert out.collect() == [("k", 1)]
+
+
+def test_dedup_within_window_scopes_by_day(spark):
+    df = spark.createDataFrame(
+        [
+            ("u1", "2024-01-01 08:00:00", 1),
+            ("u1", "2024-01-01 09:00:00", 2),   # same user+day -> dropped
+            ("u1", "2024-01-02 08:00:00", 3),   # next day -> survives
+            ("u2", "2024-01-01 08:00:00", 4),
+        ],
+        "user string, ts_s string, seq int",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp"))
+    out = dedup.dedup_within_window(
+        df, ["user"], F.date_trunc("day", "ts"), ["ts", "seq"]
+    )
+    assert sorted(r["seq"] for r in out.collect()) == [1, 3, 4]
+
+
+def test_minhash_column_and_df_forms_agree(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "h i j k l m n"), (3, "a b c d e f g")],
+        "id long, text string",
+    )
+    sig = dedup.minhash_signature("text", num_hashes=4, shingle_n=3)
+    col_form = {
+        r["id"]: [r[f"m{i}"] for i in range(4)]
+        for r in df.select(
+            "id", *[F.element_at(sig, i + 1).alias(f"m{i}") for i in range(4)]
+        ).collect()
+    }
+    df_form = {
+        r["id"]: [r[f"m{i}"] for i in range(4)]
+        for r in dedup.minhash_signatures_df(df, "id", "text", 4, 3).collect()
+    }
+    assert col_form == df_form
+    assert col_form[1] == col_form[3]  # identical docs -> identical signatures
+
+
+def test_lsh_finds_identical_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "completely different words entirely here now folks")],
+        "id long, text string",
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             dedup.minhash_lsh_candidates(df, "id", "text", 4, 2, 3).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_identity_and_hamming(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon zeta"),
+         (3, "totally unrelated content goes right here")],
+        "id long, text string",
+    )
+    sigs = {r["id"]: r["simhash16"] for r in
+            dedup.simhash_df(df, "id", "text", 16, 2).collect()}
+    assert sigs[1] == sigs[2]
+    ham = spark.createDataFrame([(sigs[1], sigs[3])], "a long, b long").select(
+        dedup.hamming64(F.col("a"), F.col("b")).alias("h")
+    ).first()["h"]
+    assert ham > 0

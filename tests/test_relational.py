@@ -1,0 +1,58 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ingest_spark.operators.relational import as_of_join, salted_join, top_n_per_group
+
+
+def test_as_of_join_latest_prior(spark):
+    left = spark.createDataFrame(
+        [("u1", "2024-01-01 10:00:00", "L1"),
+         ("u1", "2024-01-01 12:00:00", "L2"),
+         ("u2", "2024-01-01 10:00:00", "L3")],
+        "user string, ts_s string, tag string",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    right = spark.createDataFrame(
+        [("u1", "2024-01-01 09:00:00", 1.0),
+         ("u1", "2024-01-01 11:00:00", 2.0),
+         ("u2", "2024-01-01 10:00:00", 3.0),   # equal ts -> matches (<=)
+         ("u2", "2024-01-01 11:00:00", 4.0)],  # future -> never matches
+        "user string, ts_s string, price double",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+
+    out = {r["tag"]: (r["price_asof"], r["ts_asof"]) for r in
+           as_of_join(left, right, ["user"], "ts", "ts", ["price"]).collect()}
+    assert out["L1"][0] == 1.0   # latest right <= 10:00 is 09:00
+    assert out["L2"][0] == 2.0   # 11:00 beats 09:00
+    assert out["L3"][0] == 3.0   # equality included
+    # left columns survive untouched
+    assert set(out) == {"L1", "L2", "L3"}
+
+
+def test_as_of_join_no_match_is_null(spark):
+    left = spark.createDataFrame(
+        [("u1", "2024-01-01 08:00:00")], "user string, ts_s string"
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    right = spark.createDataFrame(
+        [("u1", "2024-01-01 09:00:00", 1.0)], "user string, ts_s string, price double"
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    r = as_of_join(left, right, ["user"], "ts", "ts", ["price"]).first()
+    assert r["price_asof"] is None and r["ts_asof"] is None
+
+
+def test_top_n_per_group(spark):
+    df = spark.createDataFrame(
+        [("g", i, float(100 - i)) for i in range(10)], "grp string, id int, score double"
+    )
+    out = top_n_per_group(df, ["grp"], [F.col("score").desc(), F.col("id")], 3)
+    assert [r["id"] for r in out.orderBy("rank").collect()] == [0, 1, 2]
+
+
+def test_salted_join_matches_plain_join(spark):
+    fact = spark.createDataFrame(
+        [(k, i) for k in ("a", "b") for i in range(50)], "key string, v int"
+    )
+    dim = spark.createDataFrame([("a", "A"), ("b", "B")], "key string, name string")
+    plain = fact.join(dim, "key").groupBy("key").count()
+    salted = salted_join(fact, dim, "key", salt_buckets=4).groupBy("key").count()
+    assert sorted(plain.collect()) == sorted(salted.collect())

@@ -1,0 +1,75 @@
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from ingest_spark.functions.vectors import cosine_similarity, dot_product
+from ingest_spark.operators import multimodal, similarity, text
+from pyspark.sql import functions as F
+
+
+def test_cosine_matches_numpy(spark):
+    rng = np.random.default_rng(7)
+    a, b = rng.normal(size=16).tolist(), rng.normal(size=16).tolist()
+    df = spark.createDataFrame([(a, b)], "a array<double>, b array<double>")
+    got = df.select(cosine_similarity("a", "b").alias("c"), dot_product("a", "b").alias("d")).first()
+    want_d = float(np.dot(a, b))
+    want_c = want_d / (np.linalg.norm(a) * np.linalg.norm(b))
+    assert math.isclose(got["d"], want_d, rel_tol=1e-12)
+    assert math.isclose(got["c"], want_c, rel_tol=1e-12)
+
+
+def test_zero_vector_cosine_is_null(spark):
+    df = spark.createDataFrame([([0.0, 0.0], [1.0, 2.0])], "a array<double>, b array<double>")
+    assert df.select(cosine_similarity("a", "b")).first()[0] is None
+
+
+def test_brute_force_topk_ranks_correctly(spark):
+    vecs = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),   # closest to 0
+        (2, [0.0, 1.0]),   # orthogonal
+        (3, [-1.0, 0.0]),  # opposite
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = similarity.brute_force_topk(df, df.filter(F.col("vec_id") == 0), k=3)
+    got = [r["neighbor_id"] for r in out.orderBy("rank").collect()]
+    assert got == [1, 2, 3]
+
+
+def test_lsh_topk_subset_of_bruteforce_scores(spark):
+    rng = np.random.default_rng(11)
+    vecs = [(i, rng.normal(size=8).tolist()) for i in range(40)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") < 2)
+    bf = {(r["query_id"], r["neighbor_id"]): r["cosine_sim"]
+          for r in similarity.brute_force_topk(df, q, k=40).collect()}
+    ann = similarity.lsh_topk(df, q, k=5, num_bits=4, dim=8).collect()
+    assert len(ann) > 0
+    for r in ann:  # every ANN score must equal the exact score
+        assert math.isclose(bf[(r["query_id"], r["neighbor_id"])], r["cosine_sim"], abs_tol=1e-9)
+
+
+def test_text_quality_and_langid(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog is in the house"),
+         (2, "det er ikke en hund og det er en kat"),
+         (3, "xyzzy qwerty")],
+        "doc_id long, text string",
+    )
+    langs = {r["doc_id"]: r["lang_pred"] for r in text.language_id(df).collect()}
+    assert langs == {1: "en", 2: "da", 3: "und"}
+    scores = {r["doc_id"]: r["quality_score"] for r in text.quality_score(df).collect()}
+    assert scores[1] > scores[3]  # stopword-free junk scores lower
+
+
+def test_multimodal_roundtrip(spark):
+    df = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+    mm = multimodal.attach_payload(df, "doc_id", "text")
+    meta = mm.first()["media_meta"]
+    assert meta["n_bytes"] == 11
+    feats = multimodal.decode_features(mm).first()
+    assert feats["n_bytes"] == 11
+    assert feats["first_byte"] == ord("h")
+    assert feats["feature_sum"] == sum(b"hello world")
