@@ -43,25 +43,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     floor-division truncation, exactly how DuckDB reads the same file.
     """
     path = table_path(sf_dir, name)
-    df = _read_with_nanos_fallback(spark, path)
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    if name == "events":
+        # set preemptively: probing first and falling back on the
+        # PARQUET_TYPE_ILLEGAL error would spawn a (noisy, failing)
+        # schema-merge job on every first read
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # integer division — `/` would go through double and round,
         # disagreeing with DuckDB's truncation by 1us on ~half the rows
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
-
-
-def _read_with_nanos_fallback(spark: SparkSession, path: str) -> DataFrame:
-    try:
-        df = spark.read.parquet(path)
-        df.schema  # force schema resolution
-        return df
-    except Exception:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return spark.read.parquet(path)
 
 
 def load_tables(

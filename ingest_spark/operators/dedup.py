@@ -53,11 +53,17 @@ def exact_dedup(
     With ``keep_tiebreak`` the survivor per duplicate group is
     deterministic (min over the tie-break columns) — required for
     oracle comparison; plain ``dropDuplicates`` keeps an arbitrary row.
-    One shuffle on the hash; map-side partial aggregation applies.
+    One shuffle; map-side partial aggregation applies.
+
+    The no-tiebreak batch path dedups directly on the identity columns:
+    materializing the sha256 first and deduping on it computes the same
+    groups twice as expensively (the hash only pays for itself when it
+    is REUSED — persisted identity, compact streaming state; that is
+    ``with_content_hash`` + ``dropDuplicates(["record_hash"])``).
     """
-    hashed = with_content_hash(df, cols)
     if not keep_tiebreak:
-        return hashed.dropDuplicates(["record_hash"]).drop("record_hash")
+        return df.dropDuplicates(sorted(cols or df.columns))
+    hashed = with_content_hash(df, cols)
     w = Window.partitionBy("record_hash").orderBy(*[F.col(c) for c in keep_tiebreak])
     return (
         hashed.withColumn("__rn", F.row_number().over(w))

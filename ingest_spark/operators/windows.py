@@ -52,15 +52,19 @@ def incremental_filter(
     df: DataFrame, ts_col: str, watermark_df: DataFrame | None, wm_col: str = "high_watermark"
 ) -> DataFrame:
     """T8: keep only rows past the stored high watermark (restart-safe
-    incremental ingest). ``watermark_df`` is a 1-row bookkeeping table;
-    broadcast by Catalyst (scalar subquery-like cross join)."""
+    incremental ingest).
+
+    The 1-row bookkeeping table is collected to the driver and applied
+    as a LITERAL predicate: a join-based filter (even broadcast) never
+    reaches the scan, while a literal is pushed into the parquet reader
+    (PushedFilters + partition pruning) — at 100 TB that is the
+    difference between scanning one day and scanning ten years."""
     if watermark_df is None:
         return df
-    return (
-        df.crossJoin(F.broadcast(watermark_df.select(F.col(wm_col).alias("__wm"))))
-        .filter(F.col(ts_col) > F.col("__wm"))
-        .drop("__wm")
-    )
+    wm = watermark_df.select(F.col(wm_col)).first()[0]
+    if wm is None:
+        return df
+    return df.filter(F.col(ts_col) > F.lit(wm))
 
 
 def ingested_at(df: DataFrame, col: str = "ingested_at") -> DataFrame:
