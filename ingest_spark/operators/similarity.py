@@ -61,17 +61,27 @@ def brute_force_topk(
     )
 
 
-def hyperplane_signature(vec_col: str, num_bits: int = 16, dim: int = 64, seed: int = 11):
-    """Deterministic sign-LSH signature: bit_j = sign(v . h_j) where
-    h_j[i] in {-1,+1} comes from a fixed LCG stream (engine-portable,
-    no RNG at runtime)."""
+def hyperplane_planes(num_bits: int = 16, dim: int = 64, seed: int = 11) -> list[list[float]]:
+    """Deterministic +/-1 hyperplanes from a fixed LCG stream — shared
+    by the Column builder below and the SQL-oracle generator, so both
+    engines bucket with literally the same planes."""
     state = seed
-    bits = []
-    for j in range(num_bits):
+    planes = []
+    for _ in range(num_bits):
         plane = []
         for _ in range(dim):
             state = (1103515245 * state + 12345) % (1 << 31)
             plane.append(1.0 if (state >> 16) & 1 else -1.0)
+        planes.append(plane)
+    return planes
+
+
+def hyperplane_signature(vec_col: str, num_bits: int = 16, dim: int = 64, seed: int = 11):
+    """Deterministic sign-LSH signature: bit_j = sign(v . h_j); no RNG
+    at runtime, reproducible across engines (dot products are
+    sequential double sums in both)."""
+    bits = []
+    for j, plane in enumerate(hyperplane_planes(num_bits, dim, seed)):
         proj = F.aggregate(
             F.zip_with(
                 F.col(vec_col),

@@ -71,7 +71,7 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         + F.least(ttr * 2, F.lit(1.0)) * F.lit(0.4)
         + F.least(stop_ratio * 10, F.lit(1.0)) * F.lit(0.2)
     )
-    return df.withColumn("quality_score", F.round(score, 4))
+    return df.withColumn("quality_score", F.round(score, 6))
 
 
 def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:

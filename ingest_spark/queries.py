@@ -821,11 +821,40 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_neardup_pairs(emb, threshold=0.35)
 
 
-@q("ann_lsh_topk")
+def _sql_ann_lsh(num_bits: int = 8, dim: int = 64, k: int = 10) -> str:
+    """Replicates the sign-LSH bucketing in SQL by embedding the SAME
+    LCG-derived hyperplane literals the Spark side uses — dot products
+    are sequential double sums in both engines, so bucket signatures
+    are bit-identical."""
+    planes = similarity.hyperplane_planes(num_bits, dim, seed=11)
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_inner_product(v, {plane!r}) >= 0 THEN {1 << j} ELSE 0 END)"
+        for j, plane in enumerate(planes)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    sig AS (SELECT vec_id, v, ({bit_terms}) AS bucket FROM e),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM sig WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, v AS cv, bucket FROM sig),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             round(list_inner_product(qv, cv) /
+                   (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))),
+                   4) AS cosine_sim
+      FROM c JOIN q USING (bucket) WHERE neighbor_id <> query_id)
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, neighbor_id) AS rank
+      FROM scored) WHERE rank <= {k}
+    """
+
+
+@q("ann_lsh_topk", _sql_ann_lsh())
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via deterministic sign-LSH bucketing + exact
-    re-rank. Rows-only check: the hyperplane signature is reproducible
-    but not reasonably SQL-expressible (12 bits x 64-dim literal planes)."""
+    cosine re-rank: the bucket equi-join replaces the cross product
+    (the IVF/LSH trade — recall for ~1/2^bits of the work)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.lsh_topk(
         emb, emb.filter(F.col("vec_id") < 5), k=10, num_bits=8
@@ -874,3 +903,216 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle can recompute them from code points)."""
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.decode_features(multimodal.attach_payload(docs, "doc_id", "text"))
+
+
+# ============================================================ E4/E6 round 2
+
+
+@q(
+    "quality_score",
+    f"""
+    SELECT doc_id,
+           round(least(len({WORDS}) / 20.0, 1.0) * 0.4
+                 + least(len(list_distinct({WORDS})) / len({WORDS}) * 2, 1.0) * 0.4
+                 + least({sql_stop_hits('text', text.EN_STOPWORDS)} / len({WORDS}) * 10,
+                         1.0) * 0.2,
+                 6) AS quality_score
+    FROM documents
+    """,
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: heuristic quality pre-filter (length, lexical diversity,
+    stopword density) — the cheap gate before expensive dedup/training."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.quality_score(docs).select("doc_id", "quality_score")
+
+
+@q(
+    "tfidf_top_terms",
+    """
+    WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+    tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY doc_id, word),
+    dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, word, tf,
+             round(tf * ln((SELECT n_docs FROM n) / df), 6) AS tfidf
+      FROM tf JOIN dfreq USING (word))
+    SELECT doc_id, word, tf, tfidf, CAST(rank AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, word) AS rank
+      FROM scored) WHERE rank <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: TF-IDF top-3 terms per document. Plan: explode -> two hash
+    aggregates (tf, then document frequency over the tf table) ->
+    broadcast the small vocab side back -> WindowGroupLimit rank.
+    The corpus size N is a collected literal (like the watermark)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(dfreq), "word").withColumn(
+        "tfidf", F.round(F.col("tf") * F.log(F.lit(n_docs) / F.col("df")), 6)
+    )
+    return relational.top_n_per_group(
+        scored.select("doc_id", "word", "tf", "tfidf"),
+        ["doc_id"],
+        [F.col("tfidf").desc(), F.col("word")],
+        3,
+    )
+
+
+@q(
+    "window_moving_avg",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(avg(o_totalprice) OVER w3, 6) AS moving_avg3,
+           lag(o_orderdate) OVER wo AS prev_orderdate,
+           lead(o_orderdate) OVER wo AS next_orderdate
+    FROM orders
+    WINDOW w3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+           wo AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 window variety: frame-bounded moving average + lag/lead in
+    one pass (single shuffle on the partition key, shared sort)."""
+    o = load_table(spark, sf_dir, "orders")
+    wo = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w3 = wo.rowsBetween(-2, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.avg("o_totalprice").over(w3), 6).alias("moving_avg3"),
+        F.lag("o_orderdate").over(wo).alias("prev_orderdate"),
+        F.lead("o_orderdate").over(wo).alias("next_orderdate"),
+    )
+
+
+@q(
+    "anti_join_inactive_customers",
+    """
+    SELECT c_custkey, c_name, c_mktsegment FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def anti_join_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6: left-anti join (customers that never ordered)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@q(
+    "semi_join_active_parts",
+    """
+    SELECT p_partkey, p_name, p_retailprice FROM part p
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 45)
+    """,
+)
+def semi_join_active_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6: left-semi join with a pushed predicate on the probe side."""
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
+    return p.join(li, p.p_partkey == li.l_partkey, "left_semi").select(
+        "p_partkey", "p_name", "p_retailprice"
+    )
+
+
+@q(
+    "union_sources_dedup",
+    """
+    WITH merged AS (
+      SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+      UNION ALL
+      SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'),
+    deduped AS (SELECT DISTINCT * FROM merged)
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n
+    FROM deduped GROUP BY 1
+    """,
+)
+def union_sources_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source union ingest: two overlapping at-least-once feeds
+    (the reference's replayed-window case, T7/T8) unioned then deduped
+    to an exactly-once daily view."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp"))
+    b = ev.filter(F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
+    merged = dedup.exact_dedup(a.unionByName(b))
+    return merged.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@q(
+    "date_functions",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(month(o_orderdate) AS INT) AS order_month,
+           CAST(day(o_orderdate) AS INT) AS order_day,
+           CAST(date_diff('day', o_orderdate, TIMESTAMP '2002-01-01 00:00:00') AS INT)
+             AS days_to_ref,
+           CAST(o_orderdate + INTERVAL 90 DAY AS TIMESTAMP) AS due_date
+    FROM orders
+    """,
+)
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 scalar surface: date part extraction / arithmetic."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.to_date("o_orderdate")).alias(
+            "days_to_ref"
+        ),
+        (F.col("o_orderdate") + F.expr("interval 90 days")).alias("due_date"),
+    )
+
+
+@q(
+    "string_functions",
+    """
+    SELECT c_custkey,
+           upper(c_name) AS name_upper,
+           substring(c_name, 1, 8) AS name_prefix,
+           CAST(length(c_name) AS INT) AS name_len,
+           replace(c_name, '#', '-') AS name_clean,
+           CAST(strpos(c_name, '#') AS INT) AS hash_pos,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded
+    FROM customer
+    """,
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 scalar surface: string manipulation."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").alias("name_len"),
+        F.replace("c_name", F.lit("#"), F.lit("-")).alias("name_clean"),
+        F.instr("c_name", "#").alias("hash_pos"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
+    )
+
+
+@q("approx_distinct_sketch")
+def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ sketch vs exact distinct count per event type.
+    Rows-only check: sketch estimates are engine-specific by nature
+    (tests assert <5% relative error against the exact count)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )

@@ -33,9 +33,10 @@ def test_entry_returns_rows(spark):
 def test_oracle_keys_subset_of_queries():
     qs, os_ = entry_mod.queries(), entry_mod.oracle_sql()
     assert set(os_) <= set(qs)
-    assert len(qs) >= 35
-    # only genuinely non-SQL-expressible ops may omit an oracle
-    assert set(qs) - set(os_) == {"ann_lsh_topk"}
+    assert len(qs) >= 45
+    # only genuinely oracle-inexpressible ops may omit an oracle
+    # (HLL sketch estimates are engine-specific by nature)
+    assert set(qs) - set(os_) == {"approx_distinct_sketch"}
 
 
 @pytest.fixture(scope="module")
@@ -50,3 +51,10 @@ def test_query_matches_oracle(spark, duck, name):
     qs, os_ = entry_mod.queries(), entry_mod.oracle_sql()
     problems = compare_query(spark, duck, name, qs[name], os_[name], SF_DIR)
     assert not problems, problems
+
+
+def test_approx_sketch_within_tolerance(spark):
+    df = entry_mod.queries()["approx_distinct_sketch"](spark, SF_DIR)
+    for r in df.collect():
+        rel_err = abs(r["approx_users"] - r["exact_users"]) / r["exact_users"]
+        assert rel_err < 0.05, (r["event_type"], rel_err)
