@@ -257,3 +257,56 @@ def simhash_df(
 
 def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_bits: int = 16,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: band the signature (``bands`` slices of
+    ``num_bits/bands`` bits), equi-join bucket-mates, keep pairs within
+    ``max_hamming``. By pigeonhole, any pair with < ``bands`` differing
+    bits shares at least one identical band, so for
+    ``max_hamming < bands`` the banding loses NO qualifying pair —
+    exact result at ~1/2^(num_bits/bands) of the cross-product cost.
+    """
+    assert num_bits % bands == 0
+    width = num_bits // bands
+    mask = (1 << width) - 1
+    sig = simhash_df(df, id_col, text_col, num_bits=num_bits)
+    banded = sig.select(
+        F.col(id_col),
+        F.col("simhash16").alias("__sig"),
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit(f"{b}:"),
+                        F.shiftright(F.col("simhash16"), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .cast("string"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__bucket"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.__bucket") == F.col("b.__bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming64(F.col("a.__sig"), F.col("b.__sig")).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

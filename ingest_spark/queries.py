@@ -1116,3 +1116,436 @@ def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
     )
+
+
+# ============================================================ round 3: TPC-H depth
+
+
+@q(
+    "tpch_q6_forecast_revenue",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (exact on this schema): pure scan-filter-aggregate —
+    all three predicates reach the parquet reader as PushedFilters;
+    no shuffle beyond the final 1-row reduce."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"))
+    )
+
+
+@q(
+    "tpch_q4_late_orders",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def tpch_q4_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 adapted to this schema (no l_commitdate/l_receiptdate:
+    "late" = shipped >60 days after order date). Left-semi join keeps
+    only the existence probe — lineitem never widens the orders side."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("interval 60 days")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@q(
+    "tpch_q10_returned_revenue",
+    """
+    WITH scored AS (
+      SELECT c_custkey, c_name, n_name,
+             round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+      FROM customer JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation ON c_nationkey = n_nationkey
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+        AND l_returnflag = 'R'
+      GROUP BY c_custkey, c_name, n_name)
+    SELECT c_custkey, c_name, n_name, revenue, CAST(rank AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (ORDER BY revenue DESC, c_custkey) AS rank
+      FROM scored) WHERE rank <= 20
+    """,
+)
+def tpch_q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: top-20 customers by returned-item revenue. Fact-side
+    filters (date window, returnflag) cut lineitem before the joins;
+    customer/nation are broadcast onto the aggregated fact."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    scored = joined.groupBy("c_custkey", "c_name", "n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue")
+    )
+    return relational.top_n_per_group(
+        scored, [], [F.col("revenue").desc(), F.col("c_custkey")], 20
+    )
+
+
+@q(
+    "tpch_q13_order_distribution",
+    """
+    WITH per_cust AS (
+      SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey)
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM per_cust GROUP BY c_count
+    """,
+)
+def tpch_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: two-level aggregate over a left outer join (zero-order
+    customers kept — count(col) skips the nulls the outer join makes)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@q(
+    "tpch_q14_promo_share",
+    """
+    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+    """,
+)
+def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promo revenue share for one month; part is broadcast
+    against the date-pruned lineitem scan."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
+        F.round(
+            100.0 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)) / F.sum(rev),
+            6,
+        ).alias("promo_revenue_pct")
+    )
+
+
+@q(
+    "tpch_q18_large_orders",
+    """
+    WITH big AS (
+      SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+    SELECT c_custkey, c_name, o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+           o_totalprice, total_qty
+    FROM big JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: large-volume orders. The HAVING aggregate shrinks the
+    key set to a sliver, which then drives broadcast-able joins back to
+    orders/customer."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        F.broadcast(big)
+        .join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+    )
+
+
+@q(
+    "tpch_q19_bracket_revenue",
+    """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+           AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+)
+def tpch_q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 adapted (no shipmode/shipinstruct columns): disjunctive
+    bracket predicate across both join sides — Catalyst still extracts
+    the common join key and broadcasts part."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+    bracket = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return j.filter(bracket).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue")
+    )
+
+
+@q(
+    "tpch_q22_idle_wealthy",
+    """
+    WITH avg_bal AS (SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0.0)
+    SELECT n_name, CAST(count(*) AS BIGINT) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal > (SELECT a FROM avg_bal)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY n_name
+    """,
+)
+def tpch_q22_idle_wealthy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 adapted (nation stands in for phone country codes):
+    above-average-balance customers with no orders. The scalar avg is a
+    1-row broadcast; the anti join prunes before the aggregate."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("a"))
+    wealthy = c.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("a"), "inner")
+    idle = wealthy.join(o, wealthy.c_custkey == o.o_custkey, "left_anti")
+    return (
+        idle.join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+# ============================================================ round 3: events analytics
+
+
+@q(
+    "sessionize_events",
+    """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sessions AS (
+      SELECT user_id, ts,
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) AS INT) AS session_id
+      FROM marked)
+    SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min idle timeout): the classic
+    clickstream operator — lag to mark session starts, running sum to
+    number them, then per-session rollup. ONE shuffle on user_id is
+    shared by both window functions and the final aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    )
+    sessions = marked.withColumn(
+        "session_id",
+        F.sum("new_session")
+        .over(Window.partitionBy("user_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, 0))
+        .cast("int"),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@q(
+    "retention_cohorts",
+    """
+    WITH firsts AS (
+      SELECT user_id, CAST(min(date_trunc('day', ts)) AS TIMESTAMP) AS cohort_day
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS active_day
+      FROM events)
+    SELECT cohort_day,
+           CAST(date_diff('day', cohort_day, active_day) AS INT) AS day_offset,
+           CAST(count(*) AS BIGINT) AS active_users
+    FROM activity JOIN firsts USING (user_id)
+    GROUP BY cohort_day, day_offset
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-seen day,
+    counted on each later active day. Both aggregates share the
+    user_id shuffle; the cohort dimension joins back broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts")
+    firsts = ev.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    activity = ev.select("user_id", day.alias("active_day")).distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.to_date("active_day"), F.to_date("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
+
+
+@q(
+    "percentiles_exact",
+    """
+    SELECT event_type,
+           round(CAST(quantile_cont(value, 0.25) AS DOUBLE), 6) AS p25,
+           round(CAST(quantile_cont(value, 0.50) AS DOUBLE), 6) AS p50,
+           round(CAST(quantile_cont(value, 0.75) AS DOUBLE), 6) AS p75,
+           round(CAST(quantile_cont(value, 0.95) AS DOUBLE), 6) AS p95
+    FROM events GROUP BY event_type
+    """,
+)
+def percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles per group (the sort-based
+    aggregate; approx_percentile is the sketch sibling for 100 TB)."""
+    ev = load_table(spark, sf_dir, "events")
+    pcts = F.percentile("value", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.95)))
+    return ev.groupBy("event_type").agg(
+        *[F.round(pcts[i], 6).alias(n) for i, n in enumerate(["p25", "p50", "p75", "p95"])]
+    )
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@q(
+    "pivot_daily_event_matrix",
+    f"""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           {', '.join(
+             f"CAST(count(CASE WHEN event_type = '{t}' THEN 1 END) AS BIGINT) AS n_{t}"
+             for t in EVENT_TYPES)}
+    FROM events GROUP BY 1
+    """,
+)
+def pivot_daily_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: day x event_type count matrix. Explicit pivot values keep
+    it one pass (no distinct-values pre-scan) — at 100 TB the value
+    list is a catalog fact, not something to discover per query."""
+    ev = load_table(spark, sf_dir, "events")
+    pivoted = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select("day", *[F.col(t).alias(f"n_{t}") for t in EVENT_TYPES])
+
+
+@q(
+    "cube_order_status",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority) with grouping flags to disambiguate
+    subtotal rows from genuine NULL groups."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@q(
+    "simhash_neardup",
+    f"""
+    WITH sig AS ({_sql_simhash(16)}),
+    banded AS (
+      SELECT doc_id, simhash16,
+             unnest([
+               '0:' || ((simhash16 >> 0) & 15),
+               '1:' || ((simhash16 >> 4) & 15),
+               '2:' || ((simhash16 >> 8) & 15),
+               '3:' || ((simhash16 >> 12) & 15)]) AS bucket
+      FROM sig)
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash16, b.simhash16)) AS INT) AS hamming
+    FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash16, b.simhash16)) <= 3
+    """,
+)
+def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2: SimHash near-dup pairs via banding. With 4 bands over 16
+    bits and max_hamming=3 < 4 bands, pigeonhole guarantees zero
+    recall loss vs the cross product — same result, ~16x cheaper."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_neardup_pairs(
+        docs, "doc_id", "text", num_bits=16, bands=4, max_hamming=3
+    )
