@@ -142,3 +142,100 @@ def run_ingest_pipeline(
     return write_stream_parquet(
         cleaned, sink_path, checkpoint, partition_date_col=event_time_col
     )
+
+
+def windowed_event_counts(
+    stream: DataFrame,
+    event_time_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation — the late-data-aware
+    rollup the reference's ksqlDB view (Q1) could not express. The
+    watermark bounds state: windows older than it are finalized and
+    evicted; later-arriving rows for them are dropped (counted by the
+    streaming metrics, not silently)."""
+    return (
+        stream.withWatermark(event_time_col, watermark)
+        .groupBy(F.window(event_time_col, window).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+SESSION_OUT_SCHEMA = (
+    "user_id long, session_id int, n_events long, "
+    "session_start timestamp, session_end timestamp"
+)
+_SESSION_STATE_SCHEMA = "session_id int, n_events long, start long, last long"
+
+
+def sessionize_stream(stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    gap-based sessionization with per-user session state carried
+    across micro-batches. Emits a session row when a gap closes it;
+    the open tail session stays in the state store (bounded: one small
+    tuple per active user, evicted via processing-time timeout).
+
+    This is the streaming twin of the batch ``sessionize_events``
+    query — same 30-min-gap semantics, incremental instead of
+    re-scan. Arrow-batched both ways; grouping shuffles once on
+    user_id, exactly like the batch window plan.
+    """
+    import pandas as pd  # noqa: F401 (Arrow path)
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            sid, n, start, last = state.get
+            state.remove()
+            yield _session_pdf(user_id, sid, n, start, last)
+            return
+        if state.exists:
+            sid, n, start, last = state.get
+        else:
+            sid, n, start, last = 0, 0, None, None
+        closed = []
+        for pdf in pdf_iter:
+            # datetime64[ns] -> int64 ns -> us (floor), matching Spark micros
+            for ts_us in (pdf["ts"].astype("int64") // 1000).sort_values():
+                if last is None:
+                    sid, n, start, last = 1, 1, ts_us, ts_us
+                elif ts_us - last > gap_us:
+                    closed.append((sid, n, start, last))
+                    sid, n, start, last = sid + 1, 1, ts_us, ts_us
+                else:
+                    n, last = n + 1, ts_us
+        state.update((sid, n, start, last))
+        state.setTimeoutDuration(gap_minutes * 60 * 1000)
+        for c in closed:
+            yield _session_pdf(user_id, *c)
+
+    def _session_pdf(user_id, sid, n, start_us, last_us):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "session_id": [sid],
+                "n_events": [n],
+                "session_start": [pd.Timestamp(start_us, unit="us")],
+                "session_end": [pd.Timestamp(last_us, unit="us")],
+            }
+        )
+
+    return stream.select("user_id", "ts").groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -97,3 +97,30 @@ def test_simhash_identity_and_hamming(spark):
         dedup.hamming64(F.col("a"), F.col("b")).alias("h")
     ).first()["h"]
     assert ham > 0
+
+
+def test_simhash_banding_loses_no_pair_under_pigeonhole(spark):
+    """4 bands over 16 bits with max_hamming=3: banding must return
+    EXACTLY the pairs a brute-force hamming cross product returns."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    banded = {
+        (r.id_a, r.id_b)
+        for r in dedup.simhash_neardup_pairs(
+            docs, "doc_id", "text", num_bits=16, bands=4, max_hamming=3
+        ).collect()
+    }
+    sig = dedup.simhash_df(docs, "doc_id", "text", num_bits=16)
+    a, b = sig.alias("a"), sig.alias("b")
+    brute = {
+        (r.id_a, r.id_b)
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            dedup.hamming64(F.col("a.simhash16"), F.col("b.simhash16")).alias("h"),
+        )
+        .filter(F.col("h") <= 3)
+        .collect()
+    }
+    assert banded == brute
+    assert len(brute) > 0  # non-vacuous

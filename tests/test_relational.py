@@ -56,3 +56,28 @@ def test_salted_join_matches_plain_join(spark):
     plain = fact.join(dim, "key").groupBy("key").count()
     salted = salted_join(fact, dim, "key", salt_buckets=4).groupBy("key").count()
     assert sorted(plain.collect()) == sorted(salted.collect())
+
+
+def test_sessionize_gap_semantics(spark):
+    """Events 29 min apart chain into one session; a 31-min gap
+    splits. Session ids are 1-based per user in time order."""
+    from __spark_entry__ import queries
+
+    rows = [
+        (1, "2024-01-01T00:00:00", 10, "click", 1.0, "{}"),
+        (2, "2024-01-01T00:29:00", 10, "click", 1.0, "{}"),   # same session
+        (3, "2024-01-01T01:00:01", 10, "click", 1.0, "{}"),   # 31m 1s -> new
+        (4, "2024-01-01T00:10:00", 20, "view", 1.0, "{}"),    # other user
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        out = {
+            (r.user_id, r.session_id): r.n_events
+            for r in queries()["sessionize_events"](spark, d).collect()
+        }
+    assert out == {(10, 1): 2, (10, 2): 1, (20, 1): 1}

@@ -80,3 +80,82 @@ def test_foreach_batch_upsert_idempotent_replay(spark, tmp_path):
     )
     apply(batch2, 2)
     assert spark.read.parquet(sink).count() == 3
+
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+    ]
+)
+
+
+def _event_rows(specs):
+    return [{"ts": ts, "user_id": u, "event_type": et} for ts, u, et in specs]
+
+
+def test_windowed_event_counts_stream(spark, tmp_path):
+    from ingest_spark.streaming.pipeline import read_file_stream, windowed_event_counts
+
+    src = tmp_path / "events_src"
+    _write_feed(
+        src,
+        _event_rows(
+            [
+                ("2024-01-01T00:10:00", 1, "click"),
+                ("2024-01-01T00:40:00", 2, "click"),
+                ("2024-01-01T01:05:00", 1, "view"),
+            ]
+        ),
+    )
+    stream = read_file_stream(spark, str(src), EVENT_SCHEMA, fmt="json")
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r.window_start), r.event_type): r.n_events
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    assert got == {
+        ("2024-01-01 00:00:00", "click"): 2,
+        ("2024-01-01 01:00:00", "view"): 1,
+    }
+
+
+def test_sessionize_stream_closes_on_gap(spark, tmp_path):
+    from ingest_spark.streaming.pipeline import read_file_stream, sessionize_stream
+
+    src = tmp_path / "sess_src"
+    _write_feed(
+        src,
+        _event_rows(
+            [
+                ("2024-01-01T00:00:00", 10, "click"),
+                ("2024-01-01T00:29:00", 10, "click"),   # same session
+                ("2024-01-01T01:00:01", 10, "click"),   # 31m gap -> closes s1
+                ("2024-01-01T00:10:00", 20, "view"),    # never closes
+            ]
+        ),
+    )
+    stream = read_file_stream(spark, str(src), EVENT_SCHEMA, fmt="json")
+    q = (
+        sessionize_stream(stream, gap_minutes=30)
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM sessions").collect()
+    # only user 10's FIRST session closed (the gap); open tails stay in state
+    assert [(r.user_id, r.session_id, r.n_events) for r in rows] == [(10, 1, 2)]
+    assert str(rows[0].session_start) == "2024-01-01 00:00:00"
+    assert str(rows[0].session_end) == "2024-01-01 00:29:00"
