@@ -152,3 +152,144 @@ def embedding_neardup_pairs(
         .withColumn("cosine_sim", F.round(cos, round_to))
         .select("id_a", "id_b", "cosine_sim")
     )
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iterations: int = 2,
+) -> list[list[float]]:
+    """Deterministic mini-Lloyd coarse quantizer for IVF: init from the
+    k lowest-id vectors, then ``iterations`` of assign-to-nearest /
+    recompute-mean, all as DataFrame aggregates (posexplode ->
+    per-(cluster,dim) avg). The returned centroid table is tiny
+    (k x dim floats) — at any corpus scale it collects to the driver
+    and broadcasts back as literals, so assignment is a narrow map
+    with no shuffle on the corpus."""
+    dim = len(corpus.select(vec_col).first()[0])
+    init = corpus.orderBy(id_col).limit(k).select(vec_col).collect()
+    centroids = [[float(x) for x in r[0]] for r in init]
+    vecs = corpus.select(F.col(vec_col).cast("array<double>").alias("__v"))
+    for _ in range(iterations):
+        assigned = vecs.withColumn("__c", _nearest_centroid("__v", centroids))
+        means = (
+            assigned.select("__c", F.posexplode("__v").alias("__d", "__x"))
+            .groupBy("__c", "__d")
+            .agg(F.avg("__x").alias("__m"))
+            .collect()
+        )
+        new = [list(c) for c in centroids]  # empty clusters keep old position
+        acc: dict[int, list[float]] = {}
+        for r in means:
+            acc.setdefault(r["__c"], [0.0] * dim)[r["__d"]] = r["__m"]
+        for c_idx, vals in acc.items():
+            new[c_idx] = vals
+        centroids = new
+    return centroids
+
+
+def _nearest_centroid(vec_col: str, centroids: list[list[float]]):
+    """argmin_j ||v - c_j||^2 as a codegen expression: expand to
+    -2*v.c_j + ||c_j||^2 (||v||^2 is constant per row)."""
+    best_idx, best_score = F.lit(0), None
+    for j, c in enumerate(centroids):
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(float(x)) for x in c]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+        norm = sum(x * x for x in c)
+        score = -2.0 * dot + F.lit(norm)
+        if best_score is None:
+            best_idx, best_score = F.lit(j), score
+        else:
+            better = score < best_score
+            best_idx = F.when(better, F.lit(j)).otherwise(best_idx)
+            best_score = F.when(better, score).otherwise(best_score)
+    return best_idx
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    round_to: int = 4,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse-quantize the corpus into
+    ``n_cells`` Voronoi cells, probe the ``nprobe`` nearest cells per
+    query, exact cosine re-rank within the probed cells. The
+    scale-path sibling of ``lsh_topk`` with data-adapted partitions
+    instead of data-oblivious hyperplanes: corpus assignment is a
+    narrow map (centroids are literals), candidates arrive via a
+    bucketed equi-join on cell id — ~nprobe/n_cells of the
+    brute-force work."""
+    cents = kmeans_centroids(corpus, id_col, vec_col, k=n_cells)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("__cvec"),
+    ).withColumn("__cell", _nearest_centroid("__cvec", cents))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qvec"),
+    )
+    # nprobe nearest cells per query, as rows (query_id, cell)
+    probes = (
+        q.select(
+            "query_id",
+            "__qvec",
+            F.posexplode(
+                F.array(*[F.lit(j) for j in range(len(cents))])
+            ).alias("__pos", "__cell"),
+        )
+        .withColumn("__dist", _centroid_distance("__qvec", cents))
+        .withColumn(
+            "__prank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("__dist", "__cell")
+            ),
+        )
+        .filter(F.col("__prank") <= nprobe)
+        .select("query_id", "__qvec", "__cell")
+    )
+    from ingest_spark.functions.vectors import cosine_similarity
+
+    scored = (
+        c.join(F.broadcast(probes), "__cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine_sim", F.round(cosine_similarity("__qvec", "__cvec"), round_to))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def _centroid_distance(vec_col: str, centroids: list[list[float]]):
+    """Distance from v to centroid[__cell] — branches on the literal
+    cell index so the whole thing stays one codegen expression."""
+    expr = F.lit(float("inf"))
+    for j, cvals in enumerate(centroids):
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(float(x)) for x in cvals]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+        norm = sum(x * x for x in cvals)
+        expr = F.when(F.col("__cell") == j, -2.0 * dot + F.lit(norm)).otherwise(expr)
+    return expr

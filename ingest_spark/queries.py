@@ -1549,3 +1549,65 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_neardup_pairs(
         docs, "doc_id", "text", num_bits=16, bands=4, max_hamming=3
     )
+
+
+@q("ivf_topk")
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 scale path #2: IVF ANN — deterministic mini-k-means coarse
+    quantizer (8 cells, 2 Lloyd iterations), nprobe=2, exact cosine
+    re-rank in probed cells. Rows-only check: k-means is iterative
+    (genuinely non-SQL-expressible); tests assert recall@10 >= 0.6
+    vs the brute-force oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, n_cells=8, nprobe=2
+    )
+
+
+@q(
+    "embedding_quantize",
+    """
+    SELECT vec_id,
+           round(CAST(list_aggregate(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE))), 'max') AS DOUBLE), 6) AS max_abs,
+           list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) /
+                 list_aggregate(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))), 'max')
+                 * 127) AS TINYINT)) AS q8
+    FROM embeddings
+    """,
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pipeline op: per-vector symmetric int8 quantization
+    (x -> round(x/max_abs*127)) — 4x storage cut before shipping
+    embeddings to a trainer. Pure codegen (transform/aggregate HOFs),
+    no shuffle, no UDF."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    max_abs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    return emb.select(
+        "vec_id",
+        F.round(max_abs, 6).alias("max_abs"),
+        F.transform(v, lambda x: F.round(x / max_abs * 127).cast("tinyint")).alias("q8"),
+    )
+
+
+@q(
+    "doc_length_histogram",
+    """
+    SELECT CAST(len(string_split(text, ' ')) // 10 AS BIGINT) AS bucket_10w,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY 1
+    """,
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pipeline op: corpus length profile (10-word buckets) —
+    the distribution check run before setting filter thresholds."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (F.size(F.split("text", " ")) / 10).cast("bigint")
+    return docs.groupBy(bucket.alias("bucket_10w")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )

@@ -73,3 +73,22 @@ def test_multimodal_roundtrip(spark):
     assert feats["n_bytes"] == 11
     assert feats["first_byte"] == ord("h")
     assert feats["feature_sum"] == sum(b"hello world")
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark):
+    from ingest_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = sim.brute_force_topk(emb, queries, k=10)
+    approx = sim.ivf_topk(emb, queries, k=10, n_cells=8, nprobe=2)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6, recall
+    # every approx hit must carry the EXACT cosine (re-rank is exact)
+    exact_scores = {(r.query_id, r.neighbor_id): r.cosine_sim for r in exact.collect()}
+    for r in approx.collect():
+        key = (r.query_id, r.neighbor_id)
+        if key in exact_scores:
+            assert abs(r.cosine_sim - exact_scores[key]) < 1e-9
