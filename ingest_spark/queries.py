@@ -1617,3 +1617,92 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+# ============================================================ round 4: scalar surface
+
+
+@q(
+    "regex_functions",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, 'sc[a-z]+')) AS INT) AS n_sc_words,
+           regexp_extract(text, '([a-z]+am)', 1) AS first_am_word,
+           CAST(regexp_matches(text, 'stream|batch') AS BOOLEAN) AS mentions_mode,
+           regexp_replace(text, '[0-9]+', '#', 'g') AS digits_masked
+    FROM documents
+    """,
+)
+def regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 scalar surface: regex extract/count/match/replace (patterns
+    chosen inside the RE2-and-Java-regex common subset so both engines
+    agree)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit("sc[a-z]+"), 0)).alias("n_sc_words"),
+        F.regexp_extract("text", "([a-z]+am)", 1).alias("first_am_word"),
+        F.col("text").rlike("stream|batch").alias("mentions_mode"),
+        F.regexp_replace("text", "[0-9]+", "#").alias("digits_masked"),
+    )
+
+
+@q(
+    "embedding_stats",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           round(sqrt(list_inner_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                         list_transform(embedding, x -> CAST(x AS DOUBLE)))),
+                 6) AS l2_norm,
+           round(CAST(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                     'min') AS DOUBLE), 6) AS vmin,
+           round(CAST(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                     'max') AS DOUBLE), 6) AS vmax
+    FROM embeddings
+    """,
+)
+def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6/E3 array surface: per-vector shape/norm/range profile via
+    higher-order functions — the sanity scan before indexing a new
+    embedding batch. No shuffle; pure codegen projection."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    dot = F.aggregate(F.zip_with(v, v, lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x)
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.sqrt(dot), 6).alias("l2_norm"),
+        F.round(F.array_min(v), 6).alias("vmin"),
+        F.round(F.array_max(v), 6).alias("vmax"),
+    )
+
+
+@q(
+    "conditional_bucketing",
+    """
+    SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+                WHEN c_acctbal < 1000 THEN 'low'
+                WHEN c_acctbal < 3000 THEN 'mid'
+                ELSE 'high' END AS tier,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(avg(c_acctbal), 6) AS avg_bal,
+           CAST(count(nullif(c_mktsegment, 'BUILDING')) AS BIGINT) AS n_non_building
+    FROM customer GROUP BY 1
+    """,
+)
+def conditional_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 scalar surface: CASE WHEN tiering + nullif inside an
+    aggregate (count skips the nulls nullif manufactures)."""
+    c = load_table(spark, sf_dir, "customer")
+    tier = (
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 1000, "low")
+        .when(F.col("c_acctbal") < 3000, "mid")
+        .otherwise("high")
+    )
+    return c.groupBy(tier.alias("tier")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.avg("c_acctbal"), 6).alias("avg_bal"),
+        F.count(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))).alias("n_non_building"),
+    )
