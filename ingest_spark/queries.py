@@ -1706,3 +1706,48 @@ def conditional_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("c_acctbal"), 6).alias("avg_bal"),
         F.count(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))).alias("n_non_building"),
     )
+
+
+@q(
+    "unpivot_part_metrics",
+    """
+    SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS val FROM part
+    """,
+)
+def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6: UNPIVOT/melt — wide metrics to long (id, metric, value)
+    triples. Spark's unpivot is a zero-shuffle generator expression."""
+    p = load_table(spark, sf_dir, "part")
+    return p.withColumn("p_size", F.col("p_size").cast("double")).unpivot(
+        ["p_partkey"], ["p_size", "p_retailprice"], "metric", "val"
+    )
+
+
+@q(
+    "hof_array_filtering",
+    """
+    SELECT vec_id,
+           CAST(len(list_filter(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                x -> x > 0)) AS INT) AS n_positive,
+           CAST(len(list_filter(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                x -> abs(x) > 2)) > 0 AS BOOLEAN) AS any_extreme,
+           round(CAST(list_aggregate(list_filter(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE)), x -> x > 0), 'sum') AS DOUBLE), 6)
+             AS positive_mass
+    FROM embeddings
+    """,
+)
+def hof_array_filtering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 higher-order-function surface: filter/exists/aggregate over
+    array columns without exploding (row count preserved, no shuffle)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    pos = F.filter(v, lambda x: x > 0)
+    return emb.select(
+        "vec_id",
+        F.size(pos).alias("n_positive"),
+        F.exists(v, lambda x: F.abs(x) > 2).alias("any_extreme"),
+        F.round(F.aggregate(pos, F.lit(0.0), lambda s, x: s + x), 6).alias("positive_mass"),
+    )

@@ -81,3 +81,26 @@ def test_sessionize_gap_semantics(spark):
             for r in queries()["sessionize_events"](spark, d).collect()
         }
     assert out == {(10, 1): 2, (10, 2): 1, (20, 1): 1}
+
+
+def test_bucketed_join_skips_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key must sort-merge join with
+    ZERO Exchange operators — the co-located-join scale path."""
+    from ingest_spark.operators.relational import bucket_write
+
+    orders = spark.range(0, 1000).selectExpr("id AS o_key", "id * 2 AS amount")
+    cust = spark.range(0, 100).selectExpr("id AS o_key", "concat('c', id) AS name")
+    bucket_write(orders, str(tmp_path / "o"), "bt_orders", "o_key", num_buckets=4)
+    bucket_write(cust, str(tmp_path / "c"), "bt_cust", "o_key", num_buckets=4)
+    try:
+        j = (
+            spark.table("bt_orders")
+            .hint("merge")  # force SMJ so broadcast doesn't mask bucketing
+            .join(spark.table("bt_cust"), "o_key")
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert j.count() == 100
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_orders")
+        spark.sql("DROP TABLE IF EXISTS bt_cust")
