@@ -32,7 +32,9 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, ts_after: str | None = None
+) -> DataFrame:
     """Scan one parquet table. Filters/projections applied downstream
     reach the scan via Catalyst pushdown (verify with .explain:
     PushedFilters / ReadSchema).
@@ -53,9 +55,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        if ts_after is not None:
+            # high-watermark pushdown (T8): the converted-timestamp
+            # filter can't cross `timestamp_micros(ts div 1000)`, so
+            # translate it onto the RAW nanos column, which IS a scan
+            # attribute. `trunc_us(raw) > wm_us  <=>  raw > wm_us*1000
+            # + 999` (floor-division boundary, exact for any raw).
+            from datetime import datetime, timezone
+
+            wm_us = int(
+                datetime.strptime(ts_after, "%Y-%m-%d %H:%M:%S")
+                .replace(tzinfo=timezone.utc)
+                .timestamp()
+                * 1_000_000
+            )
+            df = df.filter(F.col("ts") > F.lit(wm_us * 1000 + 999))
         # integer division — `/` would go through double and round,
         # disagreeing with DuckDB's truncation by 1us on ~half the rows
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_after is not None:
+        df = df.filter(F.col("ts") > F.lit(ts_after).cast("timestamp"))
     return df
 
 

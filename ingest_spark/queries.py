@@ -299,12 +299,12 @@ def t7_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t8_incremental_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T8: high-watermark incremental ingest — only rows past the
-    checkpoint; the filter is pushed to the parquet scan."""
-    ev = load_table(spark, sf_dir, "events")
-    wm = ev.sparkSession.createDataFrame(
-        [("2024-01-15 00:00:00",)], "high_watermark string"
-    ).select(F.col("high_watermark").cast("timestamp"))
-    return windows.incremental_filter(ev, "ts", wm).agg(
+    checkpoint. The watermark is applied at load time so it reaches
+    the parquet scan as a PushedFilter even on the nanos-long events
+    column (translated onto the raw attribute; see catalog.load_table).
+    Plan-asserted in tests/test_plans.py."""
+    ev = load_table(spark, sf_dir, "events", ts_after="2024-01-15 00:00:00")
+    return ev.agg(
         F.count(F.lit(1)).alias("n_new"),
         F.round(F.sum("value"), 2).alias("sum_new"),
         F.max("ts").alias("new_watermark"),

@@ -1,0 +1,70 @@
+"""Plan-quality invariants: the physical plans we rely on at 100 TB,
+asserted so a refactor can't silently regress them (README
+§Performance is backed by these)."""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from ingest_spark.queries import QUERIES
+from tests.conftest import SF_DIR
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_DIR)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_q6_filters_reach_the_scan(spark):
+    f = _formatted(spark, "tpch_q6_forecast_revenue")
+    assert "GreaterThanOrEqual(l_shipdate" in f  # pushed, not post-scan
+    assert "LessThan(l_quantity,24.0)" in f
+    # column pruning: the 11-column table scans as a 4-column slice
+    read = [ln for ln in f.splitlines() if "ReadSchema" in ln][0]
+    assert read.count(":") - 1 == 4, read
+
+
+def test_q10_star_join_all_broadcast(spark):
+    p = _plan(spark, "tpch_q10_returned_revenue")
+    assert p.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in p  # fact side must never shuffle for a join
+
+
+def test_q4_semi_join_stays_semi_and_broadcast(spark):
+    p = _plan(spark, "tpch_q4_late_orders")
+    assert "LeftSemi" in p
+    assert "CartesianProduct" not in p
+
+
+def test_knn_broadcasts_queries_never_cartesian(spark):
+    p = _plan(spark, "knn_bruteforce")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p  # tiny query side x corpus
+
+
+def test_lsh_candidates_join_on_equi_buckets(spark):
+    for name in ("minhash_lsh_neardup", "simhash_neardup", "ann_lsh_topk"):
+        p = _plan(spark, name)
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name  # equi-join only
+
+
+def test_flagship_aggregates_have_map_side_combine(spark):
+    p = _plan(spark, "flagship_event_rollup")
+    # partial + final pairs: dedup agg and rollup agg
+    assert p.count("HashAggregate") >= 4
+
+
+def test_incremental_filter_is_literal_pushdown(spark):
+    f = _formatted(spark, "t8_incremental_filter")
+    assert "GreaterThan(ts" in f or "GreaterThan(event_id" in f, f
