@@ -1751,3 +1751,80 @@ def hof_array_filtering(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.exists(v, lambda x: F.abs(x) > 2).alias("any_extreme"),
         F.round(F.aggregate(pos, F.lit(0.0), lambda s, x: s + x), 6).alias("positive_mass"),
     )
+
+
+@q(
+    "range_join_weekly_windows",
+    """
+    WITH windows AS (
+      SELECT CAST(w AS TIMESTAMP) AS win_start,
+             CAST(w + INTERVAL 7 DAY AS TIMESTAMP) AS win_end
+      FROM (SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                                          TIMESTAMP '2024-01-29',
+                                          INTERVAL 7 DAY)) AS w))
+    SELECT win_start, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events JOIN windows ON ts >= win_start AND ts < win_end
+    GROUP BY win_start
+    """,
+)
+def range_join_weekly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6: interval range join — events against a GENERATED window
+    dimension (S3's sequence+explode enumeration reused as a join
+    side). Non-equi joins have no hash path, but the window side is
+    tiny and broadcast, so the fact side still never shuffles."""
+    ev = load_table(spark, sf_dir, "events")
+    windows_df = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("timestamp"),
+                F.lit("2024-01-29").cast("timestamp"),
+                F.expr("interval 7 days"),
+            )
+        ).alias("win_start")
+    ).withColumn("win_end", F.col("win_start") + F.expr("interval 7 days"))
+    return (
+        ev.join(
+            F.broadcast(windows_df),
+            (ev.ts >= windows_df.win_start) & (ev.ts < windows_df.win_end),
+        )
+        .groupBy("win_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@q(
+    "word_frequencies",
+    """
+    WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+    c AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM w GROUP BY word)
+    SELECT word, freq, CAST(rank AS INT) AS rank FROM (
+      SELECT word, freq, row_number() OVER (ORDER BY freq DESC, word) AS rank
+      FROM c) WHERE rank <= 20
+    """,
+)
+def word_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: corpus vocabulary head (top-20 words) — explode -> two-phase
+    hash aggregate (map-side combine does the heavy lifting; only
+    distinct words shuffle) -> global top-k."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("word"))
+    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    return relational.top_n_per_group(
+        counts, [], [F.col("freq").desc(), F.col("word")], 20
+    )
+
+
+@q("approx_percentile_sketch")
+def approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL-style quantile sketch vs the exact percentile, per event
+    type. Rows-only check (sketch internals are engine-specific);
+    tests assert the approximation lands within 2% relative error."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
+        F.percentile("value", 0.5).alias("exact_p50"),
+    )

@@ -33,10 +33,14 @@ def test_entry_returns_rows(spark):
 def test_oracle_keys_subset_of_queries():
     qs, os_ = entry_mod.queries(), entry_mod.oracle_sql()
     assert set(os_) <= set(qs)
-    assert len(qs) >= 67
+    assert len(qs) >= 70
     # only genuinely oracle-inexpressible ops may omit an oracle
     # (HLL sketch estimates are engine-specific by nature)
-    assert set(qs) - set(os_) == {"approx_distinct_sketch", "ivf_topk"}
+    assert set(qs) - set(os_) == {
+        "approx_distinct_sketch",
+        "ivf_topk",
+        "approx_percentile_sketch",
+    }
 
 
 @pytest.fixture(scope="module")
@@ -58,3 +62,10 @@ def test_approx_sketch_within_tolerance(spark):
     for r in df.collect():
         rel_err = abs(r["approx_users"] - r["exact_users"]) / r["exact_users"]
         assert rel_err < 0.05, (r["event_type"], rel_err)
+
+
+def test_approx_percentile_within_tolerance(spark):
+    df = entry_mod.queries()["approx_percentile_sketch"](spark, SF_DIR)
+    for r in df.collect():
+        rel_err = abs(r["approx_p50"] - r["exact_p50"]) / max(abs(r["exact_p50"]), 1e-9)
+        assert rel_err < 0.02, (r["event_type"], rel_err)
