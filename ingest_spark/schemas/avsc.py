@@ -24,7 +24,7 @@ import json
 from functools import lru_cache
 from typing import Any
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -153,3 +153,34 @@ def apply_contract(df: DataFrame, struct: T.StructType) -> DataFrame:
     return df.select(
         *[F.col(f.name).cast(f.dataType).alias(f.name) for f in struct.fields]
     )
+
+
+def strip_confluent_header(value_col: str | Column) -> Column:
+    """Remove the 5-byte Confluent wire-format prefix (magic byte 0x00
+    + 4-byte big-endian schema id) from a Kafka message body, leaving
+    the plain Avro payload for ``from_avro``.
+
+    The reference's producer writes this framing (AvroSerializer,
+    fetch_data_energinet.py:240-244) while its consumer tries to parse
+    the same bytes as an Avro container file (consumer/consumer.py:
+    27-33) — incompatible framings (SURVEY.md §1.4). This is the
+    documented interop step for reading Connect/registry-framed topics.
+    """
+    col = F.col(value_col) if isinstance(value_col, str) else value_col
+    # substring is 1-based; byte 6 onward is the Avro body
+    return F.expr(f"substring({_col_name(col)}, 6, length({_col_name(col)}) - 5)")
+
+
+def confluent_schema_id(value_col: str | Column) -> Column:
+    """Big-endian uint32 schema id from bytes 2-5 of the wire format —
+    lets a reader dispatch per-record schemas (registry lookup becomes
+    a broadcast map of id -> schema string)."""
+    col = F.col(value_col) if isinstance(value_col, str) else value_col
+    n = _col_name(col)
+    return (
+        F.expr(f"conv(hex(substring({n}, 2, 4)), 16, 10)").cast("long").alias("schema_id")
+    )
+
+
+def _col_name(col: Column) -> str:
+    return col._jc.toString()

@@ -97,3 +97,86 @@ def test_jdbc_reader_options(spark):
     assert reader is not None
     with pytest.raises(ValueError, match="lower_bound"):
         jdbc_reader(spark, "jdbc:postgresql://db/x", "t", partition_column="id")
+
+
+def test_json_contract_quarantines_corrupt_rows(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from ingest_spark.sources.files import read_json_contract
+
+    p = tmp_path / "feed"
+    p.mkdir()
+    (p / "a.json").write_text(
+        '{"HourUTC": "2024-01-01T00:00:00", "kwh": 1.5}\n'
+        'this is not json\n'
+        '{"HourUTC": "2024-01-01T01:00:00", "kwh": 2.5}\n'
+        '{"HourUTC": "2024-01-01T02:00:00", "kwh": "NaN-ish"}\n'
+    )
+    schema = T.StructType(
+        [T.StructField("HourUTC", T.StringType()), T.StructField("kwh", T.DoubleType())]
+    )
+    good, bad = read_json_contract(spark, str(p), schema)
+    assert good.count() == 2 and good.columns == ["HourUTC", "kwh"]
+    assert bad.count() == 2  # malformed line + type-violating row
+    assert "not json" in " ".join(r[0] for r in bad.collect())
+
+
+def test_csv_contract_quarantines_corrupt_rows(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from ingest_spark.sources.files import read_csv_contract
+
+    p = tmp_path / "csv_feed"
+    p.mkdir()
+    (p / "a.csv").write_text("hour,kwh\nh1,1.5\nh2,not_a_number\nh3,3.25\n")
+    schema = T.StructType(
+        [T.StructField("hour", T.StringType()), T.StructField("kwh", T.DoubleType())]
+    )
+    good, bad = read_csv_contract(spark, str(p), schema)
+    assert good.count() == 2
+    assert bad.count() == 1
+
+
+def test_binary_payload_source(spark, tmp_path):
+    from ingest_spark.sources.files import read_binary_payloads
+
+    p = tmp_path / "blobs"
+    p.mkdir()
+    (p / "img1.bin").write_bytes(b"\x89PNG fake")
+    (p / "img2.bin").write_bytes(b"RIFF fake")
+    (p / "skip.txt").write_text("not a blob")
+    df = read_binary_payloads(spark, str(p), glob="*.bin")
+    rows = {r.path.split("/")[-1]: r for r in df.collect()}
+    assert set(rows) == {"img1.bin", "img2.bin"}
+    assert bytes(rows["img1.bin"].content) == b"\x89PNG fake"
+    assert rows["img1.bin"].length == 9
+
+
+def test_compact_rewrites_small_files(spark, tmp_path):
+    import os
+
+    from ingest_spark.sources.files import compact
+
+    src, dst = str(tmp_path / "small"), str(tmp_path / "compacted")
+    # flush.size=3-style landing zone: 10 files of 3 rows
+    spark.range(30).repartition(10).write.parquet(src)
+    n_src = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    assert n_src == 10
+    n = compact(spark, src, dst, partitions=1)
+    assert n == 30
+    n_dst = len([f for f in os.listdir(dst) if f.endswith(".parquet")])
+    assert n_dst == 1
+
+
+def test_confluent_header_strip_and_schema_id(spark):
+    from ingest_spark.schemas.avsc import confluent_schema_id, strip_confluent_header
+
+    payload = b"avro-body-bytes"
+    framed = b"\x00" + (42).to_bytes(4, "big") + payload
+    df = spark.createDataFrame([(bytearray(framed),)], "value binary")
+    out = df.select(
+        strip_confluent_header("value").alias("body"),
+        confluent_schema_id("value").alias("schema_id"),
+    ).first()
+    assert bytes(out.body) == payload
+    assert out.schema_id == 42
