@@ -239,3 +239,42 @@ def sessionize_stream(stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def attribute_purchases_stream(
+    stream: DataFrame,
+    click_type: str = "click",
+    purchase_type: str = "purchase",
+    attribution_minutes: int = 30,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream join: attribute each purchase to the
+    same user's clicks in the preceding ``attribution_minutes``. Both
+    sides carry watermarks and the join condition bounds event-time
+    distance, so Spark can size the state store and evict rows the
+    other side can no longer match — the unbounded-state trap of naive
+    stream joins, solved declaratively. Output: one row per
+    (click, purchase) attribution pair."""
+    clicks = (
+        stream.filter(F.col("event_type") == click_type)
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == purchase_type)
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        F.expr(
+            f"""
+            c_user = p_user AND
+            purchase_ts >= click_ts AND
+            purchase_ts <= click_ts + interval {attribution_minutes} minutes
+            """
+        ),
+        "inner",
+    ).select(
+        F.col("c_user").alias("user_id"), "click_ts", "purchase_ts"
+    )

@@ -159,3 +159,34 @@ def test_sessionize_stream_closes_on_gap(spark, tmp_path):
     assert [(r.user_id, r.session_id, r.n_events) for r in rows] == [(10, 1, 2)]
     assert str(rows[0].session_start) == "2024-01-01 00:00:00"
     assert str(rows[0].session_end) == "2024-01-01 00:29:00"
+
+
+def test_stream_stream_join_attribution(spark, tmp_path):
+    from ingest_spark.streaming.pipeline import attribute_purchases_stream, read_file_stream
+
+    src = tmp_path / "attr_src"
+    _write_feed(
+        src,
+        _event_rows(
+            [
+                ("2024-01-01T00:00:00", 10, "click"),
+                ("2024-01-01T00:10:00", 10, "purchase"),   # within 30m -> attributed
+                ("2024-01-01T02:00:00", 10, "purchase"),   # too late -> no pair
+                ("2024-01-01T00:05:00", 20, "purchase"),   # no click -> no pair
+            ]
+        ),
+    )
+    stream = read_file_stream(spark, str(src), EVENT_SCHEMA, fmt="json")
+    q = (
+        attribute_purchases_stream(stream, attribution_minutes=30)
+        .writeStream.format("memory")
+        .queryName("attributions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM attributions").collect()
+    assert [(r.user_id, str(r.click_ts), str(r.purchase_ts)) for r in rows] == [
+        (10, "2024-01-01 00:00:00", "2024-01-01 00:10:00")
+    ]
