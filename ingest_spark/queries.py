@@ -2002,3 +2002,95 @@ def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 6).alias("avg_yearly"))
     )
+
+
+@q(
+    "latest_state_per_user",
+    """
+    SELECT user_id,
+           arg_max(event_type, ts) AS last_event_type,
+           max(ts) AS last_seen,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def latest_state_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert-compaction read side: collapse an append-only event log
+    to latest-state-per-key in ONE hash aggregate (max_by) — no window
+    sort, no self-join; deterministic because (user_id, ts) is verified
+    unique at every SF. This is how a MERGE target is reconstructed
+    from the reference's at-least-once append model."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_type", "ts").alias("last_event_type"),
+        F.max("ts").alias("last_seen"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@q(
+    "densify_daily_counts",
+    """
+    WITH cal AS (
+      SELECT CAST(d AS TIMESTAMP) AS day
+      FROM (SELECT unnest(generate_series(TIMESTAMP '2023-12-25',
+                                          TIMESTAMP '2024-02-04',
+                                          INTERVAL 1 DAY)) AS d)),
+    daily AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1)
+    SELECT cal.day, coalesce(daily.n, 0) AS n_events
+    FROM cal LEFT JOIN daily ON cal.day = daily.day
+    """,
+)
+def densify_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap densification: a generated calendar (S3's sequence+explode)
+    left-joined to the fact rollup, zero-filling silent days — the
+    difference between 'no data' and 'no row' that monitoring and
+    training-data accounting both need. Aggregate first, THEN join:
+    the calendar join touches day-level rows, never raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    cal = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2023-12-25").cast("timestamp"),
+                F.lit("2024-02-04").cast("timestamp"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("day")
+    )
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return cal.join(daily, "day", "left_outer").select(
+        "day", F.coalesce("n", F.lit(0)).alias("n_events")
+    )
+
+
+@q(
+    "rolling_7day_user_spend",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+             RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW), 2) AS spend_7d
+    FROM orders
+    """,
+)
+def rolling_7day_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame (vs the ROWS frames elsewhere): sums
+    everything within 6 trailing days by VALUE, handling same-day rows
+    and gaps correctly where a row-count frame cannot. Ordered by epoch
+    seconds so both engines frame on identical integers."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-6 * 86400, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("spend_7d"),
+    )
