@@ -95,3 +95,124 @@ def decode_features(df: DataFrame) -> DataFrame:
             )
 
     return df.select("doc_id", "payload").mapInPandas(run, DECODED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_bytes", T.LongType()),
+        T.StructField("frame_sha256", T.StringType()),
+    ]
+)
+
+FRAME_SIZE = 256
+
+
+def sample_frames(df: DataFrame, frame_size: int = FRAME_SIZE) -> DataFrame:
+    """Frame sampling: one payload row fans out to N frame rows — the
+    one-to-many mapInPandas shape every video pipeline needs (batch in,
+    differently-sized batch out). STUB decode: "frames" are fixed-size
+    byte slices (ffmpeg unavailable here); slicing, fan-out, schema and
+    hashing are the real plumbing. Deterministic, so the DuckDB oracle
+    reproduces frames exactly from the source text."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k.name: [] for k in FRAME_SCHEMA.fields}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = payload or b""
+                n = max(1, -(-len(payload) // frame_size))  # ceil, >=1 frame
+                for i in range(n):
+                    chunk = bytes(payload[i * frame_size : (i + 1) * frame_size])
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_bytes"].append(len(chunk))
+                    out["frame_sha256"].append(hashlib.sha256(chunk).hexdigest())
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "payload").mapInPandas(run, FRAME_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("resized", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(df: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """Image resize plumbing. Tries PIL; in this container (no PIL) it
+    falls back to a clearly-marked deterministic stub that emits a
+    width*height-byte "thumbnail" derived by striding the payload —
+    output schema, Arrow batching and payload flow identical to the
+    real path, so swapping the decoder in changes nothing upstream."""
+    try:  # pragma: no cover - PIL not installed here
+        import io
+
+        from PIL import Image
+
+        def _resize(payload: bytes) -> bytes:
+            img = Image.open(io.BytesIO(payload)).resize((width, height))
+            buf = io.BytesIO()
+            img.save(buf, format="PNG")
+            return buf.getvalue()
+
+    except ImportError:
+
+        def _resize(payload: bytes) -> bytes:
+            # STUB: stride-sample the payload to exactly width*height bytes
+            payload = payload or b"\x00"
+            target = width * height
+            return bytes(payload[(i * len(payload)) // target] for i in range(target))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": width,
+                    "height": height,
+                    "resized": pdf["payload"].map(_resize),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(run, RESIZED_SCHEMA)
+
+
+AUDIO_FEAT_DIM = 8
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """Fixed-length feature vector per payload (fake MFCC: mean byte
+    value over ``AUDIO_FEAT_DIM`` equal strides — torchaudio/librosa
+    unavailable). Output is ``array<double>``, so it feeds directly
+    into the E3 similarity operators (brute-force/LSH/IVF top-k over
+    audio becomes the same code path as text embeddings)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                payload = payload or b"\x00"
+                stride = max(1, len(payload) // AUDIO_FEAT_DIM)
+                feats.append(
+                    [
+                        float(sum(payload[i * stride : (i + 1) * stride]))
+                        / max(1, len(payload[i * stride : (i + 1) * stride]))
+                        for i in range(AUDIO_FEAT_DIM)
+                    ]
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("features", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    return df.select("doc_id", "payload").mapInPandas(run, schema)

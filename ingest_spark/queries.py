@@ -2094,3 +2094,28 @@ def rolling_7day_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.round(F.sum("o_totalprice").over(w), 2).alias("spend_7d"),
     )
+
+
+@q(
+    "multimodal_frames",
+    """
+    WITH base AS (SELECT doc_id, text, strlen(text) AS nb FROM documents),
+    frames AS (
+      SELECT doc_id, CAST(i AS INT) AS frame_idx,
+             substring(text, i * 256 + 1, 256) AS chunk
+      FROM base, (SELECT unnest(generate_series(0, 1000)) AS i)
+      WHERE i <= CAST(ceil(nb / 256.0) AS BIGINT) - 1 OR (i = 0))
+    SELECT doc_id, frame_idx,
+           CAST(strlen(chunk) AS BIGINT) AS frame_bytes,
+           sha256(chunk) AS frame_sha256
+    FROM frames
+    """,
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5: video-style frame sampling as one-to-many mapInPandas fan
+    out. The stub "frames" are 256-byte payload slices, so the oracle
+    re-derives every frame hash from the source text (verified pure
+    ASCII at every SF, so char slicing == byte slicing) — the Python
+    batch plumbing is proven, not just smoke-tested."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.sample_frames(multimodal.attach_payload(docs, "doc_id", "text"))

@@ -94,3 +94,38 @@ def test_ivf_topk_recall_vs_bruteforce(spark):
         key = (r.query_id, r.neighbor_id)
         if key in exact_scores:
             assert abs(r.cosine_sim - exact_scores[key]) < 1e-9
+
+
+def test_multimodal_pipeline_shapes(spark):
+    """Frame fan-out, resize stub, and audio features: schema + batch
+    shape + determinism (two runs, identical results)."""
+    from ingest_spark.operators import multimodal as mm
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
+    media = mm.attach_payload(docs, "doc_id", "text")
+
+    frames = mm.sample_frames(media, frame_size=100)
+    f = frames.collect()
+    assert len(f) >= 20  # fan-out: at least one frame per doc
+    per_doc = {}
+    for r in f:
+        per_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+    assert all(sorted(v) == list(range(len(v))) for v in per_doc.values())
+
+    resized = mm.resize_images(media, width=8, height=4).collect()
+    assert all(len(r.resized) == 32 for r in resized)
+    assert {r.doc_id for r in resized} == set(per_doc)
+
+    feats = mm.audio_features(media)
+    a1 = {r.doc_id: r.features for r in feats.collect()}
+    a2 = {r.doc_id: r.features for r in feats.collect()}
+    assert a1 == a2  # deterministic
+    assert all(len(v) == mm.AUDIO_FEAT_DIM for v in a1.values())
+    # features are valid embedding input: run top-k over them
+    from ingest_spark.operators import similarity as sim
+
+    emb = feats.withColumnRenamed("doc_id", "vec_id").withColumnRenamed(
+        "features", "embedding"
+    )
+    topk = sim.brute_force_topk(emb, emb.limit(2), k=3)
+    assert topk.count() == 6
