@@ -2119,3 +2119,28 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch plumbing is proven, not just smoke-tested."""
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.sample_frames(multimodal.attach_payload(docs, "doc_id", "text"))
+
+
+@q(
+    "zscore_by_event_type",
+    """
+    SELECT event_id,
+           round((value - avg(value) OVER (PARTITION BY event_type))
+                 / stddev_samp(value) OVER (PARTITION BY event_type), 6) AS zscore
+    FROM events
+    """,
+)
+def zscore_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group normalization (feature scaling before training) as
+    unbounded-frame window aggregates — one shuffle on the group key,
+    no self-join with the stats. tests/test_udf_surface.py proves the
+    grouped-applyInPandas (Arrow) version computes the identical
+    result, so the declarative form is the one that ships."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    return ev.select(
+        "event_id",
+        F.round(
+            (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w), 6
+        ).alias("zscore"),
+    )

@@ -1,0 +1,82 @@
+"""UDF/UDTF surface (SURVEY §2.3): grouped applyInPandas, scalar
+pandas_udf registered for SQL, and a Python UDTF — each checked against
+the equivalent built-in plan, because at scale the JVM path is the one
+that ships and the Python path must agree with it."""
+
+from __future__ import annotations
+
+import sys
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+sys.path.insert(0, "/root/repo")
+
+from ingest_spark.catalog import load_table
+from ingest_spark.queries import QUERIES
+from tests.conftest import SF_DIR
+
+
+def test_grouped_apply_in_pandas_matches_window_plan(spark):
+    """Z-score via applyInPandas == z-score via window aggregates."""
+
+    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"]
+        return pd.DataFrame(
+            {"event_id": pdf["event_id"], "zscore": ((v - v.mean()) / v.std(ddof=1)).round(6)}
+        )
+
+    ev = load_table(spark, SF_DIR, "events")
+    via_pandas = (
+        ev.select("event_id", "event_type", "value")
+        .groupBy("event_type")
+        .applyInPandas(normalize, "event_id long, zscore double")
+    )
+    via_window = QUERIES["zscore_by_event_type"](spark, SF_DIR)
+    a = {r.event_id: r.zscore for r in via_pandas.collect()}
+    b = {r.event_id: r.zscore for r in via_window.collect()}
+    assert a.keys() == b.keys()
+    assert all(abs(a[k] - b[k]) < 1e-9 for k in a)
+
+
+def test_registered_pandas_udf_callable_from_sql(spark):
+    @F.pandas_udf("double")
+    def vec_norm(arrs: pd.Series) -> pd.Series:
+        return arrs.map(lambda v: float(sum(x * x for x in v)) ** 0.5)
+
+    spark.udf.register("vec_norm", vec_norm)
+    load_table(spark, SF_DIR, "embeddings").createOrReplaceTempView("emb_udf_test")
+    out = spark.sql(
+        "SELECT vec_id, round(vec_norm(embedding), 4) AS n FROM emb_udf_test ORDER BY vec_id LIMIT 5"
+    ).collect()
+    # cross-check against the JVM higher-order-function norm
+    jvm = spark.sql(
+        """SELECT vec_id, round(sqrt(aggregate(embedding, 0.0D,
+               (s, x) -> s + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS n
+           FROM emb_udf_test ORDER BY vec_id LIMIT 5"""
+    ).collect()
+    assert [(r.vec_id, r.n) for r in out] == [(r.vec_id, r.n) for r in jvm]
+
+
+def test_python_udtf_explodes_key_value_pairs(spark):
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="k string, v string")
+    class ParseKV:
+        def eval(self, s: str):
+            for pair in (s or "").split(","):
+                if "=" in pair:
+                    k, v = pair.split("=", 1)
+                    yield k.strip(), v.strip()
+
+    spark.udtf.register("parse_kv", ParseKV)
+    out = spark.sql(
+        "SELECT * FROM parse_kv('region=dk, source=energinet, unit=kwh')"
+    ).collect()
+    assert [(r.k, r.v) for r in out] == [
+        ("region", "dk"),
+        ("source", "energinet"),
+        ("unit", "kwh"),
+    ]
