@@ -2144,3 +2144,47 @@ def zscore_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w), 6
         ).alias("zscore"),
     )
+
+
+@q(
+    "cheapest_supplier_per_part",
+    """
+    WITH offers AS (
+      SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_price
+      FROM lineitem WHERE l_quantity > 0 GROUP BY l_partkey, l_suppkey),
+    best AS (SELECT l_partkey, min(unit_price) AS best_price FROM offers GROUP BY l_partkey)
+    SELECT o.l_partkey AS p_partkey, s_suppkey, s_name,
+           round(o.unit_price, 6) AS unit_price
+    FROM offers o
+      JOIN best b ON o.l_partkey = b.l_partkey AND o.unit_price = b.best_price
+      JOIN supplier ON s_suppkey = o.l_suppkey
+    """,
+)
+def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2's shape on this schema (lineitem stands in for
+    partsupp): argmin-per-group resolved by joining the aggregate back
+    to the per-pair offers — ties keep ALL minimal suppliers, exactly
+    like Q2's correlated min subquery. Both aggregates share the
+    l_partkey shuffle; supplier broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    s = load_table(spark, sf_dir, "supplier")
+    offers = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price")
+    )
+    best = offers.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        F.min("unit_price").alias("best_price")
+    )
+    return (
+        offers.join(
+            best,
+            (F.col("l_partkey") == F.col("b_partkey"))
+            & (F.col("unit_price") == F.col("best_price")),
+        )
+        .join(F.broadcast(s), offers.l_suppkey == s.s_suppkey)
+        .select(
+            offers.l_partkey.alias("p_partkey"),
+            "s_suppkey",
+            "s_name",
+            F.round(offers.unit_price, 6).alias("unit_price"),
+        )
+    )

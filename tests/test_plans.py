@@ -68,3 +68,17 @@ def test_flagship_aggregates_have_map_side_combine(spark):
 def test_incremental_filter_is_literal_pushdown(spark):
     f = _formatted(spark, "t8_incremental_filter")
     assert "GreaterThan(ts" in f or "GreaterThan(event_id" in f, f
+
+
+def test_q8_deep_star_all_dimensions_broadcast(spark):
+    p = _plan(spark, "tpch_q8_market_share")
+    assert p.count("BroadcastHashJoin") >= 6  # 7-table star
+    assert "CartesianProduct" not in p
+
+
+def test_range_join_broadcasts_window_dimension(spark):
+    p = _plan(spark, "range_join_weekly_windows")
+    # non-equi join must be NestedLoop against the TINY broadcast side,
+    # never a cartesian of the fact table
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
