@@ -310,3 +310,76 @@ def simhash_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph by iterative
+    min-label propagation: each node repeatedly takes the minimum label
+    among itself and its neighbors, converging to (node, min id in its
+    component) in O(component diameter) rounds — near-dup clusters are
+    shallow, so this is a handful of shuffles in practice, each a plain
+    equi-join + hash aggregate. ``localCheckpoint`` truncates lineage
+    per round so the plan does not snowball. (At extreme graph sizes
+    swap in the large-star/small-star variant; the interface holds.)
+
+    Returns (id, component) for every node that appears in ``pairs``.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("n_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left_outer")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("n_component", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_by_components(
+    df: DataFrame, id_col: str, pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """Collapse near-duplicate clusters to one canonical row each: the
+    min-id member survives; rows in no pair survive trivially. This is
+    the keep-one step real training-data dedup ends with (pairs alone
+    are not a dedup)."""
+    comps = connected_components(pairs, id_a, id_b)
+    joined = df.join(comps, df[id_col] == comps.id, "left_outer")
+    return (
+        joined.filter(F.col("component").isNull() | (F.col(id_col) == F.col("component")))
+        .drop("id", "component")
+    )

@@ -2188,3 +2188,40 @@ def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(offers.unit_price, 6).alias("unit_price"),
         )
     )
+
+
+@q(
+    "neardup_components",
+    f"""
+    WITH RECURSIVE sig AS ({_sql_minhash_sig()[0]}),
+    b AS (
+      SELECT doc_id, '0:' || m0 || ',' || m1 AS bucket FROM sig
+      UNION ALL
+      SELECT doc_id, '1:' || m2 || ',' || m3 AS bucket FROM sig),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+      FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.doc_id < b2.doc_id),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    reach(id, label) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e.s, r.label FROM edges e JOIN reach r ON r.id = e.d)
+    SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS component
+    FROM reach GROUP BY id
+    """,
+)
+def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 completion: near-dup PAIRS are not yet a dedup — cluster them
+    into connected components (iterative min-label propagation; the
+    oracle replays it as a recursive transitive-closure CTE) so each
+    cluster can collapse to one canonical survivor
+    (dedup.dedup_by_components)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_candidates(
+        docs, "doc_id", "text", num_hashes=4, bands=2, shingle_n=3
+    )
+    return dedup.connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "component"
+    )

@@ -124,3 +124,40 @@ def test_simhash_banding_loses_no_pair_under_pigeonhole(spark):
     }
     assert banded == brute
     assert len(brute) > 0  # non-vacuous
+
+
+def _uf_components(pairs):
+    """Tiny union-find ground truth for the iterative-join CC."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_matches_union_find(spark):
+    pairs = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (3, 4), (40, 41)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {r.id: r.component for r in dedup.connected_components(df).collect()}
+    assert got == _uf_components(pairs)
+
+
+def test_dedup_by_components_keeps_one_per_cluster(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(8)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 5), (6, 7)], "id_a long, id_b long")
+    out = dedup.dedup_by_components(docs, "doc_id", pairs)
+    ids = sorted(r.doc_id for r in out.collect())
+    # clusters {1,2,5}->1 and {6,7}->6; singletons 0,3,4 survive
+    assert ids == [0, 1, 3, 4, 6]
+    assert out.columns == ["doc_id", "text"]
