@@ -82,3 +82,27 @@ def test_range_join_broadcasts_window_dimension(spark):
     # never a cartesian of the fact table
     assert "BroadcastNestedLoopJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_date_partitioned_write_prunes_scan(spark, tmp_path):
+    """partitionBy(date) sink (K2 upgrade over Connect's
+    DefaultPartitioner) must produce partition-PRUNED reads: the day
+    filter lands in PartitionFilters and non-matching directories are
+    never opened."""
+    from ingest_spark.catalog import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    sink = str(tmp_path / "by_day")
+    ev.withColumn("day", __import__("pyspark").sql.functions.to_date("ts")).write.partitionBy(
+        "day"
+    ).parquet(sink)
+
+    back = spark.read.parquet(sink).filter("day = DATE '2024-01-05'")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    f = back._jdf.queryExecution().explainString(mode)
+    pf = [ln for ln in f.splitlines() if "PartitionFilters" in ln][0]
+    assert "2024-01-05" in pf, pf
+    n = back.count()
+    assert n > 0
+    full = spark.read.parquet(sink).count()
+    assert n < full
