@@ -647,13 +647,17 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "token_count",
     f"""
     SELECT doc_id, CAST(len({WORDS}) AS INT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+'))
+                AS INT) AS pretok_tokens,
            CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_est_tokens
     FROM documents
     """,
 )
 def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return text.token_count(docs).select("doc_id", "ws_tokens", "bpe_est_tokens")
+    return text.token_count(docs).select(
+        "doc_id", "ws_tokens", "pretok_tokens", "bpe_est_tokens"
+    )
 
 
 @q(
