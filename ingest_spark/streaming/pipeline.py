@@ -278,3 +278,21 @@ def attribute_purchases_stream(
     ).select(
         F.col("c_user").alias("user_id"), "click_ts", "purchase_ts"
     )
+
+
+def to_kafka_frame(
+    df: DataFrame, key_col: str, value_cols: list[str] | None = None
+) -> DataFrame:
+    """K1/T12: project any frame into the Kafka sink contract —
+    ``key: binary`` (the event-time string key, T12) and ``value:
+    binary`` (JSON body; swap ``to_json`` for ``to_avro`` + an optional
+    Confluent header where registry framing is required). The result
+    writes with ``.format("kafka").option("topic", ...)`` unchanged;
+    Spark batches and acks natively — the reference's per-record
+    produce+flush (fetch_data_energinet.py:249-254) has no analogue
+    here by design."""
+    cols = value_cols or [c for c in df.columns]
+    return df.select(
+        F.col(key_col).cast("string").cast("binary").alias("key"),
+        F.to_json(F.struct(*[F.col(c) for c in cols])).cast("binary").alias("value"),
+    )

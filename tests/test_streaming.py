@@ -190,3 +190,27 @@ def test_stream_stream_join_attribution(spark, tmp_path):
     assert [(r.user_id, str(r.click_ts), str(r.purchase_ts)) for r in rows] == [
         (10, "2024-01-01 00:00:00", "2024-01-01 00:10:00")
     ]
+
+
+def test_kafka_frame_contract(spark):
+    from ingest_spark.streaming.pipeline import to_kafka_frame
+
+    df = spark.createDataFrame(
+        [("2024-01-01T00:00:00", "101", 1.5)],
+        "HourUTC string, MunicipalityNo string, ConsumptionkWh double",
+    )
+    out = to_kafka_frame(df, "HourUTC")
+    assert [(f.name, f.dataType.simpleString()) for f in out.schema.fields] == [
+        ("key", "binary"),
+        ("value", "binary"),
+    ]
+    r = out.first()
+    assert bytes(r.key) == b"2024-01-01T00:00:00"
+    import json
+
+    body = json.loads(bytes(r.value))
+    assert body == {
+        "HourUTC": "2024-01-01T00:00:00",
+        "MunicipalityNo": "101",
+        "ConsumptionkWh": 1.5,
+    }
