@@ -16,6 +16,8 @@ import os
 import sys
 import time
 
+import pandas as pd  # module-level: pandas_udf type-hint resolution
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # Headline set: one per operator family, weighted toward the shapes that
@@ -56,6 +58,15 @@ def main() -> None:
     # warm the JVM + parquet footers so per-query numbers measure the
     # plans, not first-touch JIT
     QUERIES["s2_bounds_discovery"](spark, sf_dir).collect()
+    # warm the Python worker pool + Arrow serde path (pandas_udf-backed
+    # queries otherwise pay ~1-2s one-time worker startup)
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(1000).select(_warm("id")).collect()
 
     per_query: dict[str, float] = {}
     rows: dict[str, int] = {}
