@@ -97,16 +97,23 @@ class WindowedRestSource:
 
     # -- the S3 loop, checkpointed ------------------------------------
     def ingest_pending(
-        self, lo: datetime, hi: datetime, step: str = "1 day"
+        self, lo: datetime, hi: datetime, step: str = "1 day", distribute: bool = False
     ) -> DataFrame:
         """Fetch every pending window, mark checkpoints, return the
-        union under the contract schema. Driver-side fetch per window
-        (rate-limited API); all post-fetch transforms are DataFrames."""
+        union under the contract schema.
+
+        ``distribute=False``: driver-side fetch per window — right for
+        a rate-limited API where the bottleneck is the remote end.
+        ``distribute=True``: the window table is repartitioned and each
+        EXECUTOR fetches its windows inside ``mapInPandas`` — right for
+        a high-fanout source (many shards/partitions) where fetch
+        parallelism is the bottleneck. Same checkpoint semantics either
+        way; results land under the same contract schema."""
+        pending_df = self.pending_windows(lo, hi, step).orderBy("window_start")
+        if distribute:
+            return self._ingest_distributed(pending_df)
         pending = [
-            (r["window_start"], r["window_end"])
-            for r in self.pending_windows(lo, hi, step)
-            .orderBy("window_start")
-            .collect()
+            (r["window_start"], r["window_end"]) for r in pending_df.collect()
         ]
         out = self.spark.createDataFrame([], self.schema)
         fetched = []
@@ -115,6 +122,35 @@ class WindowedRestSource:
             fetched.append(start)
         if fetched:
             self._mark_done(fetched)
+        return out
+
+    def _ingest_distributed(self, pending_df: DataFrame) -> DataFrame:
+        """Executor-side fetch: one ``mapInPandas`` pass over the
+        window table; each batch of windows is fetched inside the task
+        and yielded as contract-schema rows. ``fetch_fn`` must be
+        picklable (a module-level callable or closure over plain data).
+        """
+        import pandas as pd
+
+        fetch_fn = self.fetch_fn
+        field_names = [f.name for f in self.schema.fields]
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows: list[dict[str, Any]] = []
+                for start, end in zip(pdf["window_start"], pdf["window_end"]):
+                    rows.extend(fetch_fn(start.to_pydatetime(), end.to_pydatetime()) or [])
+                yield pd.DataFrame(rows, columns=field_names)
+
+        n_windows = pending_df.count()
+        if n_windows == 0:
+            return self.spark.createDataFrame([], self.schema)
+        out = (
+            pending_df.repartition(min(n_windows, 64))
+            .mapInPandas(run, self.schema)
+            .localCheckpoint()  # fetch exactly once, before checkpoint marking
+        )
+        self._mark_done([r["window_start"] for r in pending_df.collect()])
         return out
 
 
