@@ -2229,3 +2229,105 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(pairs).select(
         F.col("id").alias("doc_id"), "component"
     )
+
+
+@q(
+    "window_rank_variety",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(ntile(4) OVER w AS INT) AS price_quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           first_value(o_orderkey) OVER w AS cheapest_key,
+           last_value(o_orderkey) OVER (PARTITION BY o_custkey
+                ORDER BY o_totalprice, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS priciest_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_rank_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 ranking-family completeness: ntile / percent_rank / cume_dist
+    / first_value / last_value (with the full-partition frame
+    last_value needs) — all five share ONE shuffle+sort on
+    (o_custkey, o_totalprice)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("o_orderkey").over(w).alias("cheapest_key"),
+        F.last("o_orderkey").over(w_full).alias("priciest_key"),
+    )
+
+
+@q(
+    "null_semantics",
+    """
+    WITH t AS (
+      SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg, c_acctbal
+      FROM customer)
+    SELECT seg,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(seg) AS BIGINT) AS n_nonnull,
+           CAST(sum(CASE WHEN seg IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_nullsafe_null,
+           round(avg(c_acctbal), 6) AS avg_bal
+    FROM t GROUP BY seg
+    ORDER BY seg NULLS FIRST
+    """,
+)
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 null semantics: NULL group keys, count(*) vs count(col),
+    null-safe equality (<=>), and explicit NULLS FIRST ordering — the
+    engine-parity corners every SQL migration trips on."""
+    c = load_table(spark, sf_dir, "customer")
+    t = c.select(
+        "c_custkey", F.nullif("c_mktsegment", F.lit("BUILDING")).alias("seg"), "c_acctbal"
+    )
+    return (
+        t.groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("seg").alias("n_nonnull"),
+            F.sum(F.col("seg").eqNullSafe(F.lit(None)).cast("int")).cast("bigint").alias(
+                "n_nullsafe_null"
+            ),
+            F.round(F.avg("c_acctbal"), 6).alias("avg_bal"),
+        )
+        .orderBy(F.col("seg").asc_nulls_first())
+    )
+
+
+@q(
+    "set_ops_all_variants",
+    """
+    SELECT 'intersect_all' AS op, CAST(count(*) AS BIGINT) AS n FROM (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      INTERSECT ALL
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+    UNION ALL
+    SELECT 'except_all', CAST(count(*) AS BIGINT) FROM (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      EXCEPT ALL
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+    """,
+)
+def set_ops_all_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6: bag-semantics set ops (INTERSECT ALL / EXCEPT ALL keep
+    multiplicities — the distinct variants live in set_ops_custkeys)."""
+    o = load_table(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    op = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    inter = f.intersectAll(op).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("intersect_all").alias("op"), "n"
+    )
+    exc = f.exceptAll(op).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("except_all").alias("op"), "n"
+    )
+    return inter.unionByName(exc)
