@@ -2331,3 +2331,31 @@ def set_ops_all_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("except_all").alias("op"), "n"
     )
     return inter.unionByName(exc)
+
+
+@q(
+    "lateral_top2_orders",
+    """
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+    """,
+)
+def lateral_top2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6: correlated LATERAL subquery (top-2 orders per customer),
+    via the engine's SQL surface. Catalyst decorrelates it into the
+    same window-rank plan as top_n_per_group — proof the SQL front-end
+    and the DataFrame API meet in one optimizer."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_lv")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_lv")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer_lv c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders_lv o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        """
+    )
