@@ -1,0 +1,77 @@
+"""Property-based tests (hypothesis): random inputs, checked against an
+independent Python reference or a second independent implementation."""
+
+from __future__ import annotations
+
+import sys
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo")
+
+from ingest_spark.operators import dedup
+
+WORD = st.text(alphabet="abcdefg", min_size=1, max_size=4)
+DOC = st.lists(WORD, min_size=1, max_size=12).map(" ".join)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(DOC, min_size=1, max_size=6))
+def test_minhash_scale_path_equals_column_path(spark, docs):
+    """The explode+aggregate scale path and the higher-order-function
+    column path must produce IDENTICAL signatures for any input."""
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    a = {
+        r.doc_id: (r.m0, r.m1, r.m2, r.m3)
+        for r in dedup.minhash_signatures_df(df, "doc_id", "text", 4, 2).collect()
+    }
+    b = {
+        r.doc_id: tuple(r.sig)
+        for r in df.select(
+            "doc_id", dedup.minhash_signature("text", 4, 2).alias("sig")
+        ).collect()
+    }
+    assert a == b
+
+
+def _py_sessions(times_us, gap_us):
+    """Independent Python reference for gap sessionization."""
+    sessions, cur = [], []
+    for t in sorted(times_us):
+        if cur and t - cur[-1] > gap_us:
+            sessions.append(cur)
+            cur = []
+        cur.append(t)
+    if cur:
+        sessions.append(cur)
+    return [(i + 1, len(s), s[0], s[-1]) for i, s in enumerate(sessions)]
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=3 * 86400 * 1_000_000),
+        min_size=1,
+        max_size=25,
+        unique=True,
+    )
+)
+def test_sessionize_matches_python_reference(spark, times):
+    from __spark_entry__ import queries
+    import os
+    import tempfile
+
+    base = 1704067200 * 1_000_000  # 2024-01-01 UTC
+    df = spark.createDataFrame(
+        [(i, base + t, 7, "click", 0.0, "{}") for i, t in enumerate(times)],
+        "event_id long, ts long, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.timestamp_micros("ts"))
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        got = sorted(
+            (r.session_id, r.n_events) for r in queries()["sessionize_events"](spark, d).collect()
+        )
+    want = sorted((sid, n) for sid, n, _, _ in _py_sessions([base + t for t in times], 1_800_000_000))
+    assert got == want
