@@ -112,6 +112,13 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: candidates = same LSH bucket, re-ranked by
     exact cosine. Equi-join on the bucket replaces the cross product."""
+    # fail fast on a dim mismatch: zip_with null-pads the shorter side,
+    # which would silently send EVERY vector to bucket 0 (cross product)
+    probe = corpus.select(F.size(vec_col).alias("d")).first()
+    if probe is not None and probe["d"] != dim:
+        raise ValueError(
+            f"lsh_topk: dim={dim} but {vec_col} arrays have {probe['d']} elements"
+        )
     sig = lambda df, name: df.select(  # noqa: E731
         F.col(id_col).alias(name),
         F.col(vec_col).alias(f"__{name}_vec"),
@@ -180,10 +187,24 @@ def kmeans_centroids(
         .select(F.col(vec_col).cast("array<double>"))
         .collect()
     )
+    if len(sample_rows) < k:
+        # tiny corpus where the hash slice came up short: fall back to
+        # the first rows of the full corpus rather than crash
+        sample_rows = (
+            corpus.orderBy(id_col)
+            .limit(max(k, 256))
+            .select(F.col(vec_col).cast("array<double>"))
+            .collect()
+        )
+    if not sample_rows:
+        raise ValueError("kmeans_centroids: corpus is empty")
     X = np.array([r[0] for r in sample_rows])  # n x dim
     # spherical k-means: the index serves COSINE queries, so cells must
     # partition directions, not magnitudes — cluster unit vectors
-    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    # (zero vectors stay zero instead of dividing by 0 -> NaN)
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    X = X / np.where(norms == 0, 1.0, norms)
+    k = min(k, len(X))
     # deterministic farthest-point init (greedy k-means++): spreads
     # cells far better than "first k rows"
     chosen = [0]
@@ -203,7 +224,8 @@ def kmeans_centroids(
         # re-normalize (spherical k-means): with every ||c_j|| = 1,
         # nearest-cell-by-L2 == nearest-cell-by-cosine for ANY query
         # scaling, so probe ranking needs no query normalization
-        C = C / np.linalg.norm(C, axis=1, keepdims=True)
+        cn = np.linalg.norm(C, axis=1, keepdims=True)
+        C = C / np.where(cn == 0, 1.0, cn)
     return [[float(x) for x in row] for row in C]
 
 
@@ -241,7 +263,8 @@ def _nearest_centroid(vec_col: str, centroids: list[list[float]]):
     @F.pandas_udf("int")
     def nearest(v: pd.Series) -> pd.Series:
         M = np.vstack(v.to_numpy())  # batch x dim
-        M = M / np.linalg.norm(M, axis=1, keepdims=True)  # spherical
+        mn = np.linalg.norm(M, axis=1, keepdims=True)  # spherical
+        M = M / np.where(mn == 0, 1.0, mn)
         d2 = -2.0 * (M @ C.T) + norms
         return pd.Series(d2.argmin(axis=1).astype("int32"))
 

@@ -44,12 +44,7 @@ def read_json_contract(
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
         .json(path)
     )
-    # Spark leaves corrupt-row fields null and fills CORRUPT_COL; JSON
-    # needs a cache-or-reselect before filtering on the corrupt column
-    full = full.cache()
-    good = full.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
-    bad = full.filter(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
-    return good, bad
+    return _split_good_bad(full, schema)
 
 
 def read_csv_contract(
@@ -62,9 +57,23 @@ def read_csv_contract(
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
         .option("header", str(header).lower())
         .csv(path)
-    ).cache()
+    )
+    return _split_good_bad(full, schema)
+
+
+def _split_good_bad(full: DataFrame, schema: T.StructType) -> tuple[DataFrame, DataFrame]:
+    """Spark refuses plans whose referenced columns are ONLY the
+    internal corrupt-record column — and column pruning reduces BOTH
+    sides of the split to exactly that under count()-style ops. So the
+    parsed batch is materialized ONCE via localCheckpoint: the raw-file
+    lineage is severed (every downstream op legal), the files are read
+    exactly once, and — unlike .cache(), whose entry would pin executor
+    storage for the whole session — checkpoint blocks are reclaimed by
+    the ContextCleaner as soon as the returned frames are garbage
+    collected."""
+    full = full.localCheckpoint()
     good = full.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
-    bad = full.filter(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
+    bad = full.filter(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL, *schema.fieldNames())
     return good, bad
 
 

@@ -52,9 +52,14 @@ class WindowedRestSource:
 
     # -- S3: declarative window planning ------------------------------
     def plan_windows(self, lo: datetime, hi: datetime, step: str = "1 day") -> DataFrame:
+        # truncate the bounds at the STEP's granularity — day-truncating
+        # a "6 hours" plan would silently drop the tail of the range
+        unit = step.split()[-1].rstrip("s")
         bounds = self.spark.createDataFrame(
             [(lo, hi)], "lo timestamp, hi timestamp"
-        ).select(F.date_trunc("day", "lo").alias("lo"), F.date_trunc("day", "hi").alias("hi"))
+        ).select(
+            F.date_trunc(unit, "lo").alias("lo"), F.date_trunc(unit, "hi").alias("hi")
+        )
         return bounds.select(
             F.posexplode(F.sequence("lo", "hi", F.expr(f"interval {step}"))).alias(
                 "window_idx", "window_start"
@@ -97,34 +102,57 @@ class WindowedRestSource:
 
     # -- the S3 loop, checkpointed ------------------------------------
     def ingest_pending(
-        self, lo: datetime, hi: datetime, step: str = "1 day", distribute: bool = False
+        self,
+        lo: datetime,
+        hi: datetime,
+        step: str = "1 day",
+        distribute: bool = False,
+        sink_path: str | None = None,
     ) -> DataFrame:
         """Fetch every pending window, mark checkpoints, return the
-        union under the contract schema.
+        result under the contract schema.
+
+        **Checkpoint ordering**: with ``sink_path`` the fetched rows
+        are written to the sink FIRST and windows are marked done only
+        after the write commits — a crash in between refetches (at-
+        least-once + downstream dedup), never loses data. Without a
+        sink the rows are pinned via ``localCheckpoint`` before
+        marking; that protects against fetch-vs-mark races within this
+        run but the caller owns durability (documented at-least-once).
 
         ``distribute=False``: driver-side fetch per window — right for
         a rate-limited API where the bottleneck is the remote end.
         ``distribute=True``: the window table is repartitioned and each
         EXECUTOR fetches its windows inside ``mapInPandas`` — right for
         a high-fanout source (many shards/partitions) where fetch
-        parallelism is the bottleneck. Same checkpoint semantics either
-        way; results land under the same contract schema."""
-        pending_df = self.pending_windows(lo, hi, step).orderBy("window_start")
-        if distribute:
-            return self._ingest_distributed(pending_df)
+        parallelism is the bottleneck."""
         pending = [
-            (r["window_start"], r["window_end"]) for r in pending_df.collect()
+            (r["window_start"], r["window_end"])
+            for r in self.pending_windows(lo, hi, step).orderBy("window_start").collect()
         ]
-        out = self.spark.createDataFrame([], self.schema)
-        fetched = []
-        for start, end in pending:
-            out = out.unionByName(self.fetch_window(start, end))
-            fetched.append(start)
-        if fetched:
-            self._mark_done(fetched)
+        if not pending:
+            return self.spark.createDataFrame([], self.schema)
+        if distribute:
+            out = self._fetch_distributed(pending)
+        else:
+            # accumulate plain record lists and build ONE DataFrame: an
+            # iterative unionByName would re-analyze an O(n)-deep plan
+            # per window (quadratic for multi-year backfills)
+            rows: list[dict[str, Any]] = []
+            for start, end in pending:
+                rows.extend(self.fetch_fn(start, end) or [])
+            out = self.spark.createDataFrame(rows, self.schema)
+            if self.order_by:
+                out = out.orderBy(F.col(self.order_by).desc())
+        if sink_path is not None:
+            out.write.mode("append").parquet(sink_path)
+            self._mark_done([w for w, _ in pending])
+            return self.spark.read.parquet(sink_path)
+        out = out.localCheckpoint()
+        self._mark_done([w for w, _ in pending])
         return out
 
-    def _ingest_distributed(self, pending_df: DataFrame) -> DataFrame:
+    def _fetch_distributed(self, pending: list[tuple]) -> DataFrame:
         """Executor-side fetch: one ``mapInPandas`` pass over the
         window table; each batch of windows is fetched inside the task
         and yielded as contract-schema rows. ``fetch_fn`` must be
@@ -142,16 +170,10 @@ class WindowedRestSource:
                     rows.extend(fetch_fn(start.to_pydatetime(), end.to_pydatetime()) or [])
                 yield pd.DataFrame(rows, columns=field_names)
 
-        n_windows = pending_df.count()
-        if n_windows == 0:
-            return self.spark.createDataFrame([], self.schema)
-        out = (
-            pending_df.repartition(min(n_windows, 64))
-            .mapInPandas(run, self.schema)
-            .localCheckpoint()  # fetch exactly once, before checkpoint marking
+        windows_df = self.spark.createDataFrame(
+            pending, "window_start timestamp, window_end timestamp"
         )
-        self._mark_done([r["window_start"] for r in pending_df.collect()])
-        return out
+        return windows_df.repartition(min(len(pending), 64)).mapInPandas(run, self.schema)
 
 
 def discover_bounds_via_probes(

@@ -112,13 +112,19 @@ def foreach_batch_upsert(sink_path: str, key_col: str = "record_hash"):
     ``MERGE WHEN NOT MATCHED`` instead of the read-back.)"""
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         spark = batch_df.sparkSession
         fresh = batch_df.dropDuplicates([key_col])
         try:
             existing = spark.read.parquet(sink_path).select(key_col)
             fresh = fresh.join(existing, on=key_col, how="left_anti")
-        except Exception:
-            pass  # first batch: sink does not exist yet
+        except AnalysisException:
+            # ONLY path-not-found (first batch, sink not created yet).
+            # Transient IO/permission errors must propagate — swallowing
+            # them would skip the anti-join and append duplicates,
+            # silently breaking the idempotence this sink exists for.
+            pass
         fresh.write.mode("append").parquet(sink_path)
 
     return apply
@@ -186,6 +192,12 @@ def sessionize_stream(stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
     query — same 30-min-gap semantics, incremental instead of
     re-scan. Arrow-batched both ways; grouping shuffles once on
     user_id, exactly like the batch window plan.
+
+    Key stability: ``session_id`` is the within-state ordinal and
+    RESTARTS at 1 if a user's state is evicted by the idle timeout and
+    the user later returns — downstream consumers must key sessions on
+    ``(user_id, session_start)``, which is globally unique and stable;
+    the ordinal is for human-readable ordering within an active period.
     """
     import pandas as pd  # noqa: F401 (Arrow path)
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -203,17 +215,23 @@ def sessionize_stream(stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
             sid, n, start, last = state.get
         else:
             sid, n, start, last = 0, 0, None, None
-        closed = []
+        # gather the WHOLE group's batch before sorting: Arrow hands
+        # the group over as multiple chunks (maxRecordsPerBatch) in no
+        # particular order, and chunk-local sorting would let a later
+        # chunk move `last` backwards and merge across a real gap
+        all_ts: list[int] = []
         for pdf in pdf_iter:
             # datetime64[ns] -> int64 ns -> us (floor), matching Spark micros
-            for ts_us in (pdf["ts"].astype("int64") // 1000).sort_values():
-                if last is None:
-                    sid, n, start, last = 1, 1, ts_us, ts_us
-                elif ts_us - last > gap_us:
-                    closed.append((sid, n, start, last))
-                    sid, n, start, last = sid + 1, 1, ts_us, ts_us
-                else:
-                    n, last = n + 1, ts_us
+            all_ts.extend((pdf["ts"].astype("int64") // 1000).tolist())
+        closed = []
+        for ts_us in sorted(all_ts):
+            if last is None:
+                sid, n, start, last = 1, 1, ts_us, ts_us
+            elif ts_us - last > gap_us:
+                closed.append((sid, n, start, last))
+                sid, n, start, last = sid + 1, 1, ts_us, ts_us
+            else:
+                n, last = n + 1, ts_us
         state.update((sid, n, start, last))
         state.setTimeoutDuration(gap_minutes * 60 * 1000)
         for c in closed:
