@@ -63,8 +63,11 @@ def load_table(
             # + 999` (floor-division boundary, exact for any raw).
             from datetime import datetime, timezone
 
+            # fromisoformat accepts "2024-01-15" and
+            # "2024-01-15 00:00:00" alike — the same inputs the
+            # cast("timestamp") path below takes
             wm_us = int(
-                datetime.strptime(ts_after, "%Y-%m-%d %H:%M:%S")
+                datetime.fromisoformat(ts_after)
                 .replace(tzinfo=timezone.utc)
                 .timestamp()
                 * 1_000_000
@@ -74,6 +77,10 @@ def load_table(
         # disagreeing with DuckDB's truncation by 1us on ~half the rows
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif ts_after is not None:
+        if "ts" not in df.columns:
+            raise ValueError(
+                f"load_table: ts_after given but table {name!r} has no 'ts' column"
+            )
         df = df.filter(F.col("ts") > F.lit(ts_after).cast("timestamp"))
     return df
 

@@ -14,8 +14,9 @@ state store is Spark itself:
                       (band, band-signature) so only colliding docs
                       ever meet. At 100 TB the candidate join touches
                       a vanishing fraction of the n^2 pair space.
-- SimHash          -> 64-bit weighted-bit signature, near-dup = small
-                      Hamming distance within LSH-style chunks.
+- SimHash          -> weighted-bit signature (up to 28 bits — the
+                      portable base hash's width), near-dup = small
+                      Hamming distance within LSH-style bands.
 
 Every hash is derived from SHA-256 (functions.hashing.stable_hash64)
 so results are engine-reproducible — the DuckDB oracle recomputes
@@ -107,7 +108,12 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     words = F.split(c, " ")
     pat = r"(?<=^| )(?=((?:[^ ]+ ){" + str(n - 1) + r"}[^ ]+))"
     grams = F.array_distinct(F.regexp_extract_all(c, F.lit(pat), 1))
-    return F.when(F.size(words) >= n, grams).otherwise(
+    # gate the fallback on the REGEX result, not the word count:
+    # consecutive spaces make split() count empty tokens while the
+    # regex only matches runs of real words — gating on word count
+    # would hand such docs an EMPTY shingle array, silently dropping
+    # them from every downstream dedup join
+    return F.when(F.size(grams) > 0, grams).otherwise(
         F.array(F.concat_ws(" ", words))
     )
 
@@ -190,6 +196,9 @@ def minhash_lsh_candidates(
     Only bucket-mates join, so the pair space never materializes.
     Returns (id_a, id_b) candidate pairs, id_a < id_b.
     """
+    # a remainder would silently drop trailing hash functions from the
+    # banding, changing the candidate-probability curve unannounced
+    assert num_hashes % bands == 0, (num_hashes, bands)
     rows = num_hashes // bands
     sig = minhash_signatures_df(df, id_col, text_col, num_hashes, shingle_n)
     # one bucket string per band, built from plain signature columns
@@ -229,12 +238,16 @@ def simhash_df(
 ) -> DataFrame:
     """SimHash over word shingles: per bit, sum +/-1 votes over shingle
     hashes; positive vote -> bit set. Built on the portable 28-bit
-    hash, so the DuckDB oracle reproduces identical signatures.
+    hash, so the DuckDB oracle reproduces identical signatures — which
+    also caps ``num_bits`` at 28: bits above the base hash's width
+    would vote -1 on every shingle and come out constantly zero
+    (dead bands that bucket ALL docs together).
     Near-dup = small Hamming distance (``hamming64``).
 
     Same scale plan as :func:`minhash_signatures_df`: explode ->
     hash-once projection -> codegen'd sum aggregates -> bit assembly.
     """
+    assert 1 <= num_bits <= 28, f"num_bits must be in [1, 28], got {num_bits}"
     ex = df.select(
         F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("__shingle")
     ).select(
@@ -377,9 +390,13 @@ def dedup_by_components(
     min-id member survives; rows in no pair survive trivially. This is
     the keep-one step real training-data dedup ends with (pairs alone
     are not a dedup)."""
-    comps = connected_components(pairs, id_a, id_b)
-    joined = df.join(comps, df[id_col] == comps.id, "left_outer")
+    comps = connected_components(pairs, id_a, id_b).select(
+        F.col("id").alias("__cc_id"), F.col("component").alias("__cc_component")
+    )
+    joined = df.join(comps, df[id_col] == F.col("__cc_id"), "left_outer")
     return (
-        joined.filter(F.col("component").isNull() | (F.col(id_col) == F.col("component")))
-        .drop("id", "component")
+        joined.filter(
+            F.col("__cc_component").isNull() | (F.col(id_col) == F.col("__cc_component"))
+        )
+        .drop("__cc_id", "__cc_component")
     )

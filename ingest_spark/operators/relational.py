@@ -39,16 +39,21 @@ def as_of_join(
     compare with the naive range-join (quadratic within key).
     """
     lt = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
-    # Right columns are renamed BEFORE the union so they never collide
-    # with (and never clobber) same-named left columns.
+    # The right row travels as ONE struct: carrying each column forward
+    # independently with last(ignorenulls) would splice values from
+    # DIFFERENT right rows whenever a right column is null (fabricating
+    # (ts, value) tuples that never co-occurred). last() over the
+    # struct is all-or-nothing — always a genuine right row.
     rt = (
         right.select(
             *on,
-            F.col(right_ts).alias(right_ts + suffix),
-            *[F.col(c).alias(c + suffix) for c in right_cols],
+            F.struct(
+                F.col(right_ts).alias(right_ts),
+                *[F.col(c) for c in right_cols],
+            ).alias("__right_row"),
+            F.col(right_ts).alias("__ts"),
         )
         .withColumn("__side", F.lit(0))
-        .withColumn("__ts", F.col(right_ts + suffix))
     )
     merged = lt.unionByName(rt, allowMissingColumns=True)
     w = (
@@ -56,15 +61,16 @@ def as_of_join(
         .orderBy(F.col("__ts").asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out_cols = [c for c in left.columns] + [c + suffix for c in right_cols + [right_ts]]
-    carried = merged.select(
-        *[c for c in merged.columns if not c.endswith(suffix)],
+    carried = merged.withColumn(
+        "__asof", F.last("__right_row", ignorenulls=True).over(w)
+    )
+    return carried.filter(F.col("__side") == 1).select(
+        *[F.col(c) for c in left.columns],
         *[
-            F.last(F.col(c + suffix), ignorenulls=True).over(w).alias(c + suffix)
+            F.col(f"__asof.{c}").alias(c + suffix)
             for c in right_cols + [right_ts]
         ],
     )
-    return carried.filter(F.col("__side") == 1).select(*out_cols)
 
 
 def salted_join(
@@ -76,7 +82,13 @@ def salted_join(
 ) -> DataFrame:
     """Skew-buster: explode the dim side ``salt_buckets``x, salt the
     fact key randomly-but-deterministically (hash of full row), join on
-    (key, salt). Use only when AQE's skew split is insufficient."""
+    (key, salt). Use only when AQE's skew split is insufficient.
+
+    Only fact-preserving join types are valid: the dim side is
+    replicated per salt, so a right/full outer join would emit up to
+    ``salt_buckets`` phantom unmatched-dim rows per key."""
+    if how.replace("_", "").lower() not in ("inner", "left", "leftouter"):
+        raise ValueError(f"salted_join supports inner/left joins only, got {how!r}")
     salted_fact = fact.withColumn(
         "__salt", F.pmod(F.xxhash64(*fact.columns), F.lit(salt_buckets))
     )

@@ -26,14 +26,12 @@ DA_STOPWORDS = ("og", "er", "det", "en", "til", "af", "ikke", "som")
 
 
 def _occurrences(text: Column, word: str) -> Column:
-    """# of bounded occurrences of ``word`` via length arithmetic —
-    portable (no regex dialect dependence)."""
-    padded = F.concat(F.lit(" "), text, F.lit(" "))
-    needle = f" {word} "
-    return (
-        (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(""))))
-        / F.lit(len(needle))
-    ).cast("int")
+    """# of word-token occurrences of ``word``, counted by filtering
+    the split array — exact for ADJACENT repeats ("the the the" = 3),
+    where the replace-" w "-and-measure trick undercounts because
+    non-overlapping matches consume the shared boundary space.
+    Portable: the oracle uses len(list_filter(string_split(...)))."""
+    return F.size(F.filter(F.split(text, " "), lambda x: x == word)).cast("int")
 
 
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:

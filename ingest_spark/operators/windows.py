@@ -37,9 +37,13 @@ def enumerate_windows(df: DataFrame, ts_col: str, step: str = "1 day") -> DataFr
     no driver loop, no collect; downstream per-window work joins on
     window_idx and parallelizes across executors.
     """
+    # truncate at the STEP's granularity: day-truncating the upper
+    # bound under a sub-day step would leave the tail of the last day
+    # uncovered by any window
+    unit = step.split()[-1].rstrip("s")
     bounds = df.agg(
-        F.date_trunc("day", F.min(ts_col)).alias("lo"),
-        F.date_trunc("day", F.max(ts_col)).alias("hi"),
+        F.date_trunc(unit, F.min(ts_col)).alias("lo"),
+        F.date_trunc(unit, F.max(ts_col)).alias("hi"),
     )
     return bounds.select(
         F.posexplode(
@@ -61,10 +65,10 @@ def incremental_filter(
     difference between scanning one day and scanning ten years."""
     if watermark_df is None:
         return df
-    wm = watermark_df.select(F.col(wm_col)).first()[0]
-    if wm is None:
+    row = watermark_df.select(F.col(wm_col)).first()
+    if row is None or row[0] is None:  # empty bookkeeping table = first run
         return df
-    return df.filter(F.col(ts_col) > F.lit(wm))
+    return df.filter(F.col(ts_col) > F.lit(row[0]))
 
 
 def ingested_at(df: DataFrame, col: str = "ingested_at") -> DataFrame:

@@ -64,9 +64,10 @@ H28 = "('0x' || substring(sha256({}), 1, 7))::BIGINT"
 
 
 def sql_occurrences(expr: str, word: str) -> str:
-    pad = f"(' ' || {expr} || ' ')"
+    # array-filter count, mirroring operators.text._occurrences (exact
+    # for adjacent repeats, unlike replace-and-measure)
     return (
-        f"CAST((length({pad}) - length(replace({pad}, ' {word} ', ''))) / {len(word) + 2} AS INT)"
+        f"CAST(len(list_filter(string_split({expr}, ' '), x -> x = '{word}')) AS INT)"
     )
 
 
