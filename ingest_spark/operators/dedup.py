@@ -105,7 +105,6 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     evaluates interpreted. Docs with fewer than ``n`` words fall back
     to one whole-text shingle (matches the SQL oracle's CASE)."""
     c = F.col(text) if isinstance(text, str) else text
-    words = F.split(c, " ")
     pat = r"(?<=^| )(?=((?:[^ ]+ ){" + str(n - 1) + r"}[^ ]+))"
     grams = F.array_distinct(F.regexp_extract_all(c, F.lit(pat), 1))
     # gate the fallback on the REGEX result, not the word count:
@@ -113,9 +112,9 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     # regex only matches runs of real words — gating on word count
     # would hand such docs an EMPTY shingle array, silently dropping
     # them from every downstream dedup join
-    return F.when(F.size(grams) > 0, grams).otherwise(
-        F.array(F.concat_ws(" ", words))
-    )
+    # fallback = the RAW text (not concat_ws of the split, which would
+    # rebuild multi-space runs differently from the original)
+    return F.when(F.size(grams) > 0, grams).otherwise(F.array(c))
 
 
 def _perm_params(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:

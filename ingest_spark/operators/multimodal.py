@@ -151,24 +151,31 @@ def resize_images(df: DataFrame, width: int = 32, height: int = 32) -> DataFrame
     width*height-byte "thumbnail" derived by striding the payload —
     output schema, Arrow batching and payload flow identical to the
     real path, so swapping the decoder in changes nothing upstream."""
+    def _stub_resize(payload: bytes) -> bytes:
+        # STUB: stride-sample the payload to exactly width*height bytes
+        payload = payload or b"\x00"
+        target = width * height
+        return bytes(payload[(i * len(payload)) // target] for i in range(target))
+
     try:  # pragma: no cover - PIL not installed here
         import io
 
         from PIL import Image
 
         def _resize(payload: bytes) -> bytes:
-            img = Image.open(io.BytesIO(payload)).resize((width, height))
-            buf = io.BytesIO()
-            img.save(buf, format="PNG")
-            return buf.getvalue()
+            # NULL or undecodable payloads (this pipeline also carries
+            # text-derived fakes) fall back to the stub instead of
+            # killing the whole mapInPandas task
+            try:
+                img = Image.open(io.BytesIO(payload)).resize((width, height))
+                buf = io.BytesIO()
+                img.save(buf, format="PNG")
+                return buf.getvalue()
+            except Exception:
+                return _stub_resize(payload)
 
     except ImportError:
-
-        def _resize(payload: bytes) -> bytes:
-            # STUB: stride-sample the payload to exactly width*height bytes
-            payload = payload or b"\x00"
-            target = width * height
-            return bytes(payload[(i * len(payload)) // target] for i in range(target))
+        _resize = _stub_resize
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

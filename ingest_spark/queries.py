@@ -51,12 +51,19 @@ WORDS = "string_split(text, ' ')"
 
 def sql_shingles(n: int = 3) -> str:
     """Distinct word n-grams with whole-text fallback — mirrors
-    operators.dedup.shingles exactly."""
+    operators.dedup.shingles exactly, INCLUDING its single-space
+    semantics: the Spark regex only matches n words separated by
+    single spaces, so a gram containing any empty split-token (i.e.
+    spanning a multi-space run) is excluded here too; when no gram
+    survives, both sides fall back to the raw text."""
     gram = " || ' ' || ".join(f"w[i+{j}]" for j in range(n))
+    nonempty = " AND ".join(f"w[i+{j}] <> ''" for j in range(n))
     return (
-        f"(SELECT CASE WHEN len(w) >= {n} THEN "
-        f"list_distinct(list_transform(generate_series(1, len(w) - {n - 1}), i -> {gram})) "
-        f"ELSE [array_to_string(w, ' ')] END FROM (SELECT {WORDS} AS w))"
+        f"(SELECT CASE WHEN len(g) > 0 THEN g ELSE [t] END FROM "
+        f"(SELECT list_distinct(list_filter(list_transform("
+        f"generate_series(1, greatest(len(w) - {n - 1}, 0)), "
+        f"i -> CASE WHEN {nonempty} THEN {gram} END), x -> x IS NOT NULL)) AS g, t "
+        f"FROM (SELECT {WORDS} AS w, text AS t)))"
     )
 
 
@@ -896,9 +903,10 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
            CAST(unicode(substring(text, 1, 1)) AS INTEGER) AS first_byte,
-           CAST(list_aggregate(list_transform(generate_series(1, least(64, length(text))),
-                                              i -> unicode(substring(text, i, 1))),
-                               'sum') AS BIGINT) AS feature_sum
+           CAST(coalesce(
+                 list_aggregate(list_transform(generate_series(1, least(64, length(text))),
+                                               i -> unicode(substring(text, i, 1))),
+                                'sum'), 0) AS BIGINT) AS feature_sum
     FROM documents
     """,
 )
@@ -1296,10 +1304,14 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
+    # filter on the UNROUNDED sum (the oracle's HAVING compares raw);
+    # round only the reported column — boundary values like 300.004
+    # would otherwise flip across engines
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
-        .filter(F.col("total_qty") > 300)
+        .agg(F.sum("l_quantity").alias("__raw_qty"))
+        .filter(F.col("__raw_qty") > 300)
+        .select("l_orderkey", F.round("__raw_qty", 2).alias("total_qty"))
     )
     return (
         F.broadcast(big)
@@ -1381,14 +1393,14 @@ def tpch_q22_idle_wealthy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sessionize_events",
     """
     WITH marked AS (
-      SELECT user_id, ts,
+      SELECT user_id, event_id, ts,
              CASE WHEN lag(ts) OVER w IS NULL
                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
                   THEN 1 ELSE 0 END AS new_session
       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     sessions AS (
       SELECT user_id, ts,
-             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                          ROWS UNBOUNDED PRECEDING) AS INT) AS session_id
       FROM marked)
     SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
@@ -1414,7 +1426,11 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions = marked.withColumn(
         "session_id",
         F.sum("new_session")
-        .over(Window.partitionBy("user_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, 0))
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
         .cast("int"),
     )
     return sessions.groupBy("user_id", "session_id").agg(
@@ -1502,7 +1518,11 @@ def pivot_daily_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("event_type", list(EVENT_TYPES))
         .agg(F.count(F.lit(1)))
     )
-    return pivoted.select("day", *[F.col(t).alias(f"n_{t}") for t in EVENT_TYPES])
+    # a (day, type) combo with no rows pivots to NULL while the oracle's
+    # count(CASE ...) yields 0 — coalesce so sparse days stay comparable
+    return pivoted.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in EVENT_TYPES]
+    )
 
 
 @q(
@@ -2107,9 +2127,10 @@ def rolling_7day_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH base AS (SELECT doc_id, text, strlen(text) AS nb FROM documents),
     frames AS (
       SELECT doc_id, CAST(i AS INT) AS frame_idx,
-             substring(text, i * 256 + 1, 256) AS chunk
-      FROM base, (SELECT unnest(generate_series(0, 1000)) AS i)
-      WHERE i <= CAST(ceil(nb / 256.0) AS BIGINT) - 1 OR (i = 0))
+             substring(text, CAST(i * 256 + 1 AS INT), 256) AS chunk
+      FROM base, LATERAL (
+        SELECT unnest(generate_series(0,
+                 greatest(CAST(ceil(nb / 256.0) AS BIGINT) - 1, 0))) AS i) s)
     SELECT doc_id, frame_idx,
            CAST(strlen(chunk) AS BIGINT) AS frame_bytes,
            sha256(chunk) AS frame_sha256

@@ -82,6 +82,9 @@ def main():
     from ingest_spark.queries import ORACLES, QUERIES
     from ingest_spark.session import get_spark
 
+    unknown = only - set(QUERIES)
+    if unknown:  # a typo'd name must not produce a false "0 failures"
+        sys.exit(f"unknown query name(s): {sorted(unknown)}")
     spark = get_spark("oracle-harness")
     con = duck_connection(sf_dir)
     failures = 0
