@@ -2381,3 +2381,52 @@ def lateral_top2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
           ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
         """
     )
+
+
+@q(
+    "salted_join_skew",
+    """
+    SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(c_acctbal), 2) AS total_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def salted_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew remedy, result-proven: the salted join (dim exploded
+    per-salt, fact salted by row hash) must produce EXACTLY the plain
+    join's answer — the oracle IS the plain join. At scale this runs
+    when one nation holds half the customers and AQE's split isn't
+    enough."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    joined = relational.salted_join(c, n.withColumnRenamed("n_nationkey", "c_nationkey"),
+                                    "c_nationkey", salt_buckets=8)
+    return joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )
+
+
+@q(
+    "correlation_stats",
+    """
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_discount), 6) AS covar_qty_disc,
+           round(stddev_pop(l_extendedprice), 4) AS std_price,
+           round(var_samp(l_quantity), 6) AS var_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def correlation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 statistical aggregates: corr / covar_samp / stddev_pop /
+    var_samp per group — one hash aggregate, all moments accumulated
+    map-side in a single pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("covar_qty_disc"),
+        F.round(F.stddev_pop("l_extendedprice"), 4).alias("std_price"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+    )

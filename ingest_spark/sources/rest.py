@@ -131,6 +131,13 @@ class WindowedRestSource:
             for r in self.pending_windows(lo, hi, step).orderBy("window_start").collect()
         ]
         if not pending:
+            # uniform contract: with a sink, the result is always the
+            # sink's current contents (ingest is ensure-then-read)
+            if sink_path is not None:
+                try:
+                    return self.spark.read.parquet(sink_path)
+                except Exception:
+                    return self.spark.createDataFrame([], self.schema)
             return self.spark.createDataFrame([], self.schema)
         if distribute:
             out = self._fetch_distributed(pending)

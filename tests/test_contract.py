@@ -33,7 +33,7 @@ def test_entry_returns_rows(spark):
 def test_oracle_keys_subset_of_queries():
     qs, os_ = entry_mod.queries(), entry_mod.oracle_sql()
     assert set(os_) <= set(qs)
-    assert len(qs) >= 85
+    assert len(qs) >= 87
     # only genuinely oracle-inexpressible ops may omit an oracle
     # (HLL sketch estimates are engine-specific by nature)
     assert set(qs) - set(os_) == {

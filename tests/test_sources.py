@@ -212,3 +212,35 @@ def test_distributed_rest_fetch_matches_driver_fetch(spark, tmp_path):
     src2 = WindowedRestSource(spark, fetch, schema, str(tmp_path / "ck_drv"))
     out2 = src2.ingest_pending(datetime(2024, 1, 1), datetime(2024, 1, 4))
     assert {(r.HourUTC, r.v) for r in out2.collect()} == rows
+
+
+def test_ingest_pending_sink_path_write_then_mark(spark, tmp_path):
+    """Durable mode: rows land in the sink BEFORE windows are marked
+    done, and a second call is a no-op on both sink and checkpoint."""
+    from datetime import datetime
+
+    from pyspark.sql import types as T
+
+    from ingest_spark.sources.rest import WindowedRestSource
+
+    schema = T.StructType(
+        [T.StructField("HourUTC", T.StringType()), T.StructField("v", T.DoubleType())]
+    )
+
+    def fetch(start, end):
+        return [{"HourUTC": start.strftime("%Y-%m-%d"), "v": 1.0}]
+
+    sink = str(tmp_path / "durable_sink")
+    src = WindowedRestSource(spark, fetch, schema, str(tmp_path / "ck"))
+    out = src.ingest_pending(
+        datetime(2024, 1, 1), datetime(2024, 1, 3), sink_path=sink
+    )
+    assert out.count() == 3
+    assert spark.read.parquet(sink).count() == 3
+    # replay: checkpoint already covers the range; sink must not grow,
+    # and ensure-then-read returns the (unchanged) sink contents
+    out2 = src.ingest_pending(
+        datetime(2024, 1, 1), datetime(2024, 1, 3), sink_path=sink
+    )
+    assert spark.read.parquet(sink).count() == 3
+    assert out2.count() == 3
