@@ -44,11 +44,22 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             "n_chars_calc": F.length(t),
             "n_words": F.size(words),
             "n_distinct_words": F.size(F.array_distinct(words)),
-            "avg_word_len": F.round(
-                (F.length(t) - F.size(words) + 1) / F.size(words), 4
+            # scaled-integer division (x*10^4 div n / 10^4) instead of
+            # round(x/n, 4): int/int ratios land on EXACT 5-decimal
+            # midpoints whenever n is a power of two (1/32 = .03125),
+            # where Spark (shortest-decimal) and other engines (binary)
+            # round in opposite directions
+            "avg_word_len": (
+                ((F.length(t) - F.size(words) + 1) * 10000 / F.size(words))
+                .cast("long")
+                .cast("double")
+                / 10000
             ),
-            "type_token_ratio": F.round(
-                F.size(F.array_distinct(words)) / F.size(words), 4
+            "type_token_ratio": (
+                (F.size(F.array_distinct(words)) * 10000 / F.size(words))
+                .cast("long")
+                .cast("double")
+                / 10000
             ),
         }
     )
@@ -61,15 +72,26 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     words = F.split(t, " ")
     n_words = F.size(words)
-    ttr = F.size(F.array_distinct(words)) / n_words
+    n_distinct = F.size(F.array_distinct(words))
     stop_hits = sum((_occurrences(t, w) for w in EN_STOPWORDS), F.lit(0))
-    stop_ratio = stop_hits / n_words
-    score = (
-        F.least(n_words / F.lit(20.0), F.lit(1.0)) * F.lit(0.4)
-        + F.least(ttr * 2, F.lit(1.0)) * F.lit(0.4)
-        + F.least(stop_ratio * 10, F.lit(1.0)) * F.lit(0.2)
+    # integer micro-units end-to-end (score = micros / 1e6): the three
+    # ratio terms are small-int fractions that hit exact decimal
+    # midpoints for power-of-two word counts, where double rounding
+    # diverges across engines. 0.4*min(w/20,1) -> min(20000w, 400000),
+    # 0.4*min(2d/w,1) -> min(800000d div w, 400000),
+    # 0.2*min(10s/w,1) -> min(2000000s div w, 200000).
+    t1 = F.least(n_words.cast("long") * 20000, F.lit(400000).cast("long"))
+    t2 = F.least(
+        (n_distinct.cast("long") * 800000 / n_words).cast("long"),
+        F.lit(400000).cast("long"),
     )
-    return df.withColumn("quality_score", F.round(score, 6))
+    t3 = F.least(
+        (stop_hits.cast("long") * 2000000 / n_words).cast("long"),
+        F.lit(200000).cast("long"),
+    )
+    return df.withColumn(
+        "quality_score", (t1 + t2 + t3).cast("double") / 1_000_000
+    )
 
 
 def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:

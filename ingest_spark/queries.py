@@ -92,14 +92,22 @@ def sql_stop_hits(expr: str, stopwords: tuple[str, ...]) -> str:
     SELECT date_trunc('hour', ts) AS hour, event_type,
            count(*) AS n_events,
            round(sum(value), 2) AS sum_value,
-           round(avg(value), 6) AS avg_value
+           CAST(CAST(round(sum(value * 100)) AS BIGINT) * 10000
+                // count(*) AS DOUBLE) / 1000000 AS avg_value
     FROM deduped GROUP BY 1, 2
     """,
 )
 def flagship_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scan -> content-hash (T5) -> exact dedup (T6) -> hourly rollup
     (Q1-over-sink semantics). The reference's whole happy path in one
-    declarative plan; dedup+agg are the only shuffles."""
+    declarative plan; dedup+agg are the only shuffles.
+
+    avg_value is micro-unit INTEGER arithmetic (cents*10^4 div n, then
+    one identical double division): round(avg(double), 6) diverges
+    across engines whenever the true mean lands on an exact 7-decimal
+    midpoint — with 2-decimal data that happens for EVERY power-of-two
+    group size (n=32 groups at sf0.1 exposed it: Spark rounds the
+    shortest decimal repr, DuckDB the binary value)."""
     ev = load_table(spark, sf_dir, "events")
     deduped = dedup.exact_dedup(ev)
     return deduped.groupBy(
@@ -107,7 +115,12 @@ def flagship_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("sum_value"),
-        F.round(F.avg("value"), 6).alias("avg_value"),
+        (
+            F.expr(
+                "CAST(round(sum(value * 100)) AS BIGINT) * 10000 div count(*)"
+            ).cast("double")
+            / 1000000
+        ).alias("avg_value"),
     )
 
 
@@ -349,9 +362,12 @@ def t9_enrich_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(sum(l_extendedprice), 2) AS sum_base_price,
            round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
            round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
-           round(avg(l_quantity), 6) AS avg_qty,
-           round(avg(l_extendedprice), 6) AS avg_price,
-           round(avg(l_discount), 6) AS avg_disc,
+           CAST(CAST(round(sum(l_quantity * 100)) AS BIGINT) * 10000
+                // count(*) AS DOUBLE) / 1000000 AS avg_qty,
+           CAST(CAST(round(sum(l_extendedprice * 100)) AS BIGINT) * 10000
+                // count(*) AS DOUBLE) / 1000000 AS avg_price,
+           CAST(CAST(round(sum(l_discount * 100)) AS BIGINT) * 10000
+                // count(*) AS DOUBLE) / 1000000 AS avg_disc,
            count(*) AS count_order
     FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
     GROUP BY l_returnflag, l_linestatus
@@ -367,9 +383,19 @@ def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
         F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
         F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 6).alias("sum_charge"),
-        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        *[
+            (
+                F.expr(
+                    f"CAST(round(sum({c} * 100)) AS BIGINT) * 10000 div count(*)"
+                ).cast("double")
+                / 1000000
+            ).alias(a)
+            for c, a in [
+                ("l_quantity", "avg_qty"),
+                ("l_extendedprice", "avg_price"),
+                ("l_discount", "avg_disc"),
+            ]
+        ],
         F.count(F.lit(1)).alias("count_order"),
     )
 
@@ -502,7 +528,8 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
            min(value) AS min_value, max(value) AS max_value,
-           round(avg(value), 6) AS avg_value,
+           CAST(CAST(round(sum(value * 100)) AS BIGINT) * 10000
+                // count(*) AS DOUBLE) / 1000000 AS avg_value,
            round(stddev_samp(value), 4) AS std_value
     FROM events GROUP BY event_type
     """,
@@ -514,7 +541,11 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
-        F.round(F.avg("value"), 6).alias("avg_value"),
+        (
+            F.expr("CAST(round(sum(value * 100)) AS BIGINT) * 10000 div count(*)")
+            .cast("double")
+            / 1000000
+        ).alias("avg_value"),
         F.round(F.stddev_samp("value"), 4).alias("std_value"),
     )
 
@@ -615,8 +646,10 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(length(text) AS INT) AS n_chars_calc,
            CAST(len({WORDS}) AS INT) AS n_words,
            CAST(len(list_distinct({WORDS})) AS INT) AS n_distinct_words,
-           round((length(text) - len({WORDS}) + 1) / len({WORDS}), 4) AS avg_word_len,
-           round(len(list_distinct({WORDS})) / len({WORDS}), 4) AS type_token_ratio
+           CAST((length(text) - len({WORDS}) + 1) * 10000 // len({WORDS}) AS DOUBLE)
+             / 10000 AS avg_word_len,
+           CAST(len(list_distinct({WORDS})) * 10000 // len({WORDS}) AS DOUBLE)
+             / 10000 AS type_token_ratio
     FROM documents
     """,
 )
@@ -925,11 +958,10 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "quality_score",
     f"""
     SELECT doc_id,
-           round(least(len({WORDS}) / 20.0, 1.0) * 0.4
-                 + least(len(list_distinct({WORDS})) / len({WORDS}) * 2, 1.0) * 0.4
-                 + least({sql_stop_hits('text', text.EN_STOPWORDS)} / len({WORDS}) * 10,
-                         1.0) * 0.2,
-                 6) AS quality_score
+           CAST(least(len({WORDS}) * 20000, 400000)
+                + least(len(list_distinct({WORDS})) * 800000 // len({WORDS}), 400000)
+                + least({sql_stop_hits('text', text.EN_STOPWORDS)} * 2000000
+                        // len({WORDS}), 200000) AS DOUBLE) / 1000000 AS quality_score
     FROM documents
     """,
 )
@@ -1711,7 +1743,8 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN c_acctbal < 3000 THEN 'mid'
                 ELSE 'high' END AS tier,
            CAST(count(*) AS BIGINT) AS n_customers,
-           round(avg(c_acctbal), 6) AS avg_bal,
+           CAST(CAST(round(sum(c_acctbal * 100)) AS BIGINT) * 10000
+                // count(*) AS DOUBLE) / 1000000 AS avg_bal,
            CAST(count(nullif(c_mktsegment, 'BUILDING')) AS BIGINT) AS n_non_building
     FROM customer GROUP BY 1
     """,
@@ -1728,7 +1761,11 @@ def conditional_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return c.groupBy(tier.alias("tier")).agg(
         F.count(F.lit(1)).alias("n_customers"),
-        F.round(F.avg("c_acctbal"), 6).alias("avg_bal"),
+        (
+            F.expr("CAST(round(sum(c_acctbal * 100)) AS BIGINT) * 10000 div count(*)")
+            .cast("double")
+            / 1000000
+        ).alias("avg_bal"),
         F.count(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))).alias("n_non_building"),
     )
 
@@ -2176,13 +2213,15 @@ def zscore_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cheapest_supplier_per_part",
     """
     WITH offers AS (
-      SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_price
+      SELECT l_partkey, l_suppkey,
+             min(CAST(round(l_extendedprice * 100) AS BIGINT) * 10000
+                 // CAST(l_quantity AS BIGINT)) AS unit_micros
       FROM lineitem WHERE l_quantity > 0 GROUP BY l_partkey, l_suppkey),
-    best AS (SELECT l_partkey, min(unit_price) AS best_price FROM offers GROUP BY l_partkey)
+    best AS (SELECT l_partkey, min(unit_micros) AS best_micros FROM offers GROUP BY l_partkey)
     SELECT o.l_partkey AS p_partkey, s_suppkey, s_name,
-           round(o.unit_price, 6) AS unit_price
+           CAST(o.unit_micros AS DOUBLE) / 1000000 AS unit_price
     FROM offers o
-      JOIN best b ON o.l_partkey = b.l_partkey AND o.unit_price = b.best_price
+      JOIN best b ON o.l_partkey = b.l_partkey AND o.unit_micros = b.best_micros
       JOIN supplier ON s_suppkey = o.l_suppkey
     """,
 )
@@ -2191,27 +2230,36 @@ def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     partsupp): argmin-per-group resolved by joining the aggregate back
     to the per-pair offers — ties keep ALL minimal suppliers, exactly
     like Q2's correlated min subquery. Both aggregates share the
-    l_partkey shuffle; supplier broadcasts."""
+    l_partkey shuffle; supplier broadcasts.
+
+    Unit price is integer micro-units (cents*10^4 div qty): a double
+    division rounded to 6 decimals lands on exact 7-decimal midpoints
+    for power-of-two quantities (qty=32 at sf0.1 exposed it), where
+    Spark and DuckDB round in opposite directions. Integer min and an
+    integer equality join are deterministic everywhere."""
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
     s = load_table(spark, sf_dir, "supplier")
+    unit_micros = F.expr(
+        "CAST(round(l_extendedprice * 100) AS BIGINT) * 10000 div CAST(l_quantity AS BIGINT)"
+    )
     offers = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price")
+        F.min(unit_micros).alias("unit_micros")
     )
     best = offers.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
-        F.min("unit_price").alias("best_price")
+        F.min("unit_micros").alias("best_micros")
     )
     return (
         offers.join(
             best,
             (F.col("l_partkey") == F.col("b_partkey"))
-            & (F.col("unit_price") == F.col("best_price")),
+            & (F.col("unit_micros") == F.col("best_micros")),
         )
         .join(F.broadcast(s), offers.l_suppkey == s.s_suppkey)
         .select(
             offers.l_partkey.alias("p_partkey"),
             "s_suppkey",
             "s_name",
-            F.round(offers.unit_price, 6).alias("unit_price"),
+            (F.col("unit_micros").cast("double") / 1000000).alias("unit_price"),
         )
     )
 
@@ -2299,7 +2347,8 @@ def window_rank_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(seg) AS BIGINT) AS n_nonnull,
            CAST(sum(CASE WHEN seg IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_nullsafe_null,
-           round(avg(c_acctbal), 6) AS avg_bal
+           CAST(CAST(round(sum(c_acctbal * 100)) AS BIGINT) * 10000
+                // count(*) AS DOUBLE) / 1000000 AS avg_bal
     FROM t GROUP BY seg
     ORDER BY seg NULLS FIRST
     """,
@@ -2320,7 +2369,12 @@ def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("seg").eqNullSafe(F.lit(None)).cast("int")).cast("bigint").alias(
                 "n_nullsafe_null"
             ),
-            F.round(F.avg("c_acctbal"), 6).alias("avg_bal"),
+            (
+                F.expr(
+                    "CAST(round(sum(c_acctbal * 100)) AS BIGINT) * 10000 div count(*)"
+                ).cast("double")
+                / 1000000
+            ).alias("avg_bal"),
         )
         .orderBy(F.col("seg").asc_nulls_first())
     )
