@@ -354,6 +354,7 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("id"))
     )
+    changed = 0
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
@@ -379,6 +380,14 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # Silent under-merging would make dedup_by_components keep extra
+        # "canonical" rows on deep chain-shaped graphs — fail loudly.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            f"iterations ({changed} labels still changing); raise "
+            "max_iterations (diameter exceeds the round budget)"
+        )
     return labels
 
 

@@ -106,7 +106,17 @@ def top_n_per_group(
     rank_col: str = "rank",
 ) -> DataFrame:
     """Windowed top-N; the rank filter lets Spark's WindowGroupLimit
-    push the limit into the sort (no full materialization per group)."""
+    push the limit into the sort (no full materialization per group).
+
+    Global top-N (``group_cols == []``) is NOT a window: that would
+    shuffle every row to one partition. ``orderBy().limit(n)`` compiles
+    to TakeOrderedAndProject — each partition keeps a local top-n heap,
+    only n rows per partition reach the driver-side merge — and the
+    rank is then numbered over the n surviving rows only."""
+    if not group_cols:
+        top = df.orderBy(*order_cols).limit(n)
+        w = Window.partitionBy(F.lit(1)).orderBy(*order_cols)
+        return top.withColumn(rank_col, F.row_number().over(w))
     w = Window.partitionBy(*group_cols).orderBy(*order_cols)
     return df.withColumn(rank_col, F.row_number().over(w)).filter(
         F.col(rank_col) <= n

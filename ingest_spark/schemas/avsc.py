@@ -21,6 +21,7 @@ Normalization handles the reference's contract quirks (SURVEY §1.4):
 from __future__ import annotations
 
 import json
+import os
 from functools import lru_cache
 from typing import Any
 
@@ -119,11 +120,16 @@ def avsc_to_struct(schema: dict | str) -> T.StructType:
     return _record_to_struct(normalize_avsc(schema))
 
 
-@lru_cache(maxsize=128)
 def _load_avsc_file(path: str) -> dict:
     """Memoized file load — the engine-local analogue of the
     reference's per-subject registry cache (CACHE_SCHEMA,
-    fetch_data_energinet.py:202,227-238)."""
+    fetch_data_energinet.py:202,227-238). Keyed on (path, mtime) so a
+    contract updated on disk is re-read by long-running drivers."""
+    return _load_avsc_cached(path, os.stat(path).st_mtime_ns)
+
+
+@lru_cache(maxsize=128)
+def _load_avsc_cached(path: str, _mtime_ns: int) -> dict:
     with open(path, encoding="utf-8") as fh:
         return json.load(fh)
 
@@ -167,8 +173,9 @@ def strip_confluent_header(value_col: str | Column) -> Column:
     documented interop step for reading Connect/registry-framed topics.
     """
     col = F.col(value_col) if isinstance(value_col, str) else value_col
-    # substring is 1-based; byte 6 onward is the Avro body
-    return F.expr(f"substring({_col_name(col)}, 6, length({_col_name(col)}) - 5)")
+    # substr is 1-based; byte 6 onward is the Avro body. Built from
+    # Column ops (not expr-SQL splicing) so aliased/derived Columns work.
+    return col.substr(F.lit(6), F.length(col) - 5)
 
 
 def confluent_schema_id(value_col: str | Column) -> Column:
@@ -176,11 +183,8 @@ def confluent_schema_id(value_col: str | Column) -> Column:
     lets a reader dispatch per-record schemas (registry lookup becomes
     a broadcast map of id -> schema string)."""
     col = F.col(value_col) if isinstance(value_col, str) else value_col
-    n = _col_name(col)
     return (
-        F.expr(f"conv(hex(substring({n}, 2, 4)), 16, 10)").cast("long").alias("schema_id")
+        F.conv(F.hex(col.substr(F.lit(2), F.lit(4))), 16, 10)
+        .cast("long")
+        .alias("schema_id")
     )
-
-
-def _col_name(col: Column) -> str:
-    return col._jc.toString()

@@ -141,6 +141,9 @@ class WindowedRestSource:
             return self.spark.createDataFrame([], self.schema)
         if distribute:
             out = self._fetch_distributed(pending)
+            if self.order_by:
+                # same result contract as the driver-side path
+                out = out.orderBy(F.col(self.order_by).desc())
         else:
             # accumulate plain record lists and build ONE DataFrame: an
             # iterative unionByName would re-analyze an O(n)-deep plan

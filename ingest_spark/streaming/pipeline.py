@@ -103,13 +103,25 @@ def write_stream_parquet(
     return writer.start()
 
 
-def foreach_batch_upsert(sink_path: str, key_col: str = "record_hash"):
+def foreach_batch_upsert(
+    sink_path: str, key_col: str = "record_hash", prune_col: str | None = None
+):
     """Idempotent sink for at-least-once upstreams: per micro-batch,
     anti-join the batch against keys already in the sink, append the
     remainder. The exactly-once-by-content-hash guarantee the
     reference gets from Redis hexists (T6), without the per-record
-    round trip. (On a cluster with a table format, this is Delta/Iceberg
-    ``MERGE WHEN NOT MATCHED`` instead of the read-back.)"""
+    round trip.
+
+    The read-back cost grows with sink size, so on long-running
+    streams pass ``prune_col`` (a partition column of the sink, e.g.
+    ``ingest_date``): the anti-join side is then restricted to the
+    batch's own [min, max] range of that column — partition-pruned at
+    the parquet scan, so the read-back cost tracks the BATCH's time
+    span, not the sink's lifetime. Duplicates can only collide on
+    equal content, and equal content has an equal prune_col value, so
+    pruning never weakens the guarantee. (On a cluster with a table
+    format, swap the read-back for Delta/Iceberg
+    ``MERGE WHEN NOT MATCHED``.)"""
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.errors import AnalysisException
@@ -117,8 +129,18 @@ def foreach_batch_upsert(sink_path: str, key_col: str = "record_hash"):
         spark = batch_df.sparkSession
         fresh = batch_df.dropDuplicates([key_col])
         try:
-            existing = spark.read.parquet(sink_path).select(key_col)
-            fresh = fresh.join(existing, on=key_col, how="left_anti")
+            existing = spark.read.parquet(sink_path)
+            if prune_col is not None:
+                bounds = fresh.agg(
+                    F.min(prune_col).alias("lo"), F.max(prune_col).alias("hi")
+                ).first()
+                if bounds["lo"] is not None:
+                    existing = existing.filter(
+                        F.col(prune_col).between(bounds["lo"], bounds["hi"])
+                    )
+            fresh = fresh.join(
+                existing.select(key_col), on=key_col, how="left_anti"
+            )
         except AnalysisException:
             # ONLY path-not-found (first batch, sink not created yet).
             # Transient IO/permission errors must propagate — swallowing
