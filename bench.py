@@ -58,9 +58,27 @@ def main() -> None:
     # warm the JVM + parquet footers so per-query numbers measure the
     # plans, not first-touch JIT
     QUERIES["s2_bounds_discovery"](spark, sf_dir).collect()
+    # warm every table's parquet footer/scan path (first touch of a
+    # cold file otherwise lands on whichever measured query reads it
+    # first — at driver time that skewed the opening query ~3x)
+    from pyspark.sql import functions as F
+
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(1).collect()
+    # warm the codegen paths the suite exercises: broadcast hash join,
+    # shuffle aggregate, partitioned window (tiny synthetic inputs —
+    # compiles the operators, does none of the measured work)
+    a = spark.range(1000).withColumn("k", F.pmod("id", F.lit(10)))
+    b = spark.range(10).withColumnRenamed("id", "k")
+    a.join(F.broadcast(b), "k").groupBy("k").count().collect()
+    from pyspark.sql import Window
+
+    a.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("k").orderBy("id"))
+    ).filter(F.col("rn") <= 2).collect()
     # warm the Python worker pool + Arrow serde path (pandas_udf-backed
     # queries otherwise pay ~1-2s one-time worker startup)
-    from pyspark.sql import functions as F
 
     @F.pandas_udf("long")
     def _warm(s: pd.Series) -> pd.Series:

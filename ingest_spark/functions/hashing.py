@@ -59,13 +59,19 @@ def stable_hash64(col: Column | str, salt: int = 0, hex_digits: int = 15) -> Col
     return F.conv(F.substring(F.sha2(c, 256), 1, hex_digits), 16, 10).cast("long")
 
 
+def normalized_text(text: Column | str) -> Column:
+    """Canonical text form: lowercased, punctuation-stripped,
+    whitespace-collapsed, trimmed. The shared normalization under
+    fingerprint dedup and any pre-tokenization cleanup."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(c), r"[^a-z0-9 ]", ""), r" +", " ")
+    )
+
+
 def normalized_fingerprint(text: Column | str) -> Column:
     """Document fingerprint: SHA-256 of whitespace-collapsed, lowercased,
     punctuation-stripped text. Two documents that differ only in case,
     spacing or punctuation fingerprint identically — the cheap first
     pass of a dedup cascade (exact -> fingerprint -> MinHash)."""
-    c = F.col(text) if isinstance(text, str) else text
-    normalized = F.trim(
-        F.regexp_replace(F.regexp_replace(F.lower(c), r"[^a-z0-9 ]", ""), r" +", " ")
-    )
-    return F.sha2(normalized, 256)
+    return F.sha2(normalized_text(text), 256)

@@ -73,6 +73,23 @@ def exact_dedup(
     )
 
 
+def keep_best(
+    df: DataFrame, group_col: str | Column, order_cols: list[Column]
+) -> DataFrame:
+    """Canonical-survivor selection with an explicit QUALITY order:
+    one row per duplicate group, the best by ``order_cols`` (e.g.
+    longest text, highest quality score, earliest crawl). The
+    training-data complement of ``exact_dedup``'s min-key survivor —
+    which duplicate you keep matters when the copies differ in
+    truncation or boilerplate."""
+    w = Window.partitionBy(group_col).orderBy(*order_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def dedup_within_window(
     df: DataFrame,
     key_cols: list[str],

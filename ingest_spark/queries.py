@@ -2484,3 +2484,398 @@ def correlation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_pop("l_extendedprice"), 4).alias("std_price"),
         F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
     )
+
+
+# ============================================== TPC-H completions (adapted)
+# The driver tables carry no partsupp and no l_shipmode / l_commitdate /
+# l_receiptdate columns, so q9/q11/q12/q16/q20/q21 are adapted: each keeps
+# its reference plan shape (the part Catalyst must get right) with the
+# missing column swapped for an equivalent predicate on what exists.
+
+
+@q(
+    "tpch_q9_product_profit",
+    """
+    SELECT nation, o_year, round(sum(amount_cents) / 100.0, 2) AS sum_profit FROM (
+      SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+             CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS amount_cents
+      FROM part JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%gear%')
+    GROUP BY nation, o_year
+    """,
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (adapted: profit = revenue; no ps_supplycost without
+    partsupp): per-nation, per-year profit on a part-name subset. The
+    LIKE filter prunes part FIRST, then broadcasts onto lineitem — the
+    5-way join never materializes unfiltered lineitem rows. Amounts
+    accumulate as integer cents so the sum is order-independent across
+    engines (float += is not associative)."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("gear"))
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+    )
+    amount_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return j.groupBy(
+        F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+    ).agg(F.round(F.sum(amount_cents) / 100.0, 2).alias("sum_profit"))
+
+
+@q(
+    "tpch_q11_important_stock",
+    """
+    WITH val AS (
+      SELECT l_partkey,
+             CAST(round(sum(l_extendedprice) * 100) AS BIGINT) AS value_cents
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_7'
+      GROUP BY l_partkey)
+    SELECT l_partkey, round(value_cents / 100.0, 2) AS value
+    FROM val WHERE value_cents * 1000 > (SELECT sum(value_cents) FROM val)
+    """,
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (adapted: shipped value stands in for partsupp stock
+    value): parts whose single-nation value exceeds 0.1% of that
+    nation's total. The HAVING-vs-global-scalar compare is a broadcast
+    of a 1-row aggregate, and the threshold compare runs in integer
+    cents so both engines make the identical cut."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    val = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.round(F.sum("l_extendedprice") * 100)
+            .cast("long")
+            .alias("value_cents")
+        )
+    )
+    total = val.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        val.join(F.broadcast(total), F.col("value_cents") * 1000 > F.col("total_cents"))
+        .select("l_partkey", F.round(F.col("value_cents") / 100.0, 2).alias("value"))
+    )
+
+
+@q(
+    "tpch_q12_late_shipment",
+    """
+    SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+    GROUP BY l_linestatus
+    """,
+)
+def tpch_q12_late_shipment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (adapted: l_linestatus stands in for l_shipmode, the
+    90-day ship lag for the commit/receipt lag): priority mix of late
+    lines. The lag predicate is a non-equi condition ON the join — it
+    runs inside the join stage, not as a post-filter."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > F.col("o_orderdate") + F.expr("interval 90 days")),
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@q(
+    "tpch_q16_supplier_variety",
+    """
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#45' AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def tpch_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (adapted: suppliers observed in lineitem stand in for
+    partsupp rows): distinct-supplier counts per part classification.
+    count(DISTINCT) expands to a two-phase aggregate — partial distinct
+    map-side, exact count after one shuffle on the group key."""
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@q(
+    "tpch_q20_part_promotion",
+    """
+    SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey IN (
+      SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'red%'
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY l_suppkey HAVING sum(l_quantity) > 300)
+    """,
+)
+def tpch_q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (adapted: shipped quantity stands in for ps_availqty):
+    suppliers who moved >300 units of red parts in 1996. The IN
+    subquery is a left-semi join against a pre-aggregated,
+    pre-filtered lineitem slice; quantities are integral doubles so
+    the HAVING threshold is engine-exact."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").startswith("red"))
+    s = load_table(spark, sf_dir, "supplier")
+    movers = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 300)
+    )
+    return s.join(
+        movers, s.s_suppkey == movers.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+@q(
+    "tpch_q21_waiting_supplier",
+    """
+    WITH l AS (
+      SELECT l_orderkey, l_suppkey, l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F')
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier JOIN l l1 ON s_suppkey = l1.l_suppkey
+    WHERE l1.late
+      AND EXISTS (SELECT 1 FROM l l2 WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM l l3 WHERE l3.l_orderkey = l1.l_orderkey
+                      AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+    GROUP BY s_name
+    """,
+)
+def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (adapted: "late" = shipped >60 days after order; the
+    reference's receipt-vs-commit lag isn't in the driver tables):
+    suppliers who were the SOLE late shipper in multi-supplier
+    finished orders. EXISTS -> left-semi, NOT EXISTS -> left-anti;
+    both reuse the same shuffle partitioning on l_orderkey."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    l = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("interval 60 days")).alias(
+                "late"
+            ),
+        )
+        .localCheckpoint()  # reused 3x: pin once instead of 3 joins re-deriving it
+    )
+    l1 = l.filter(F.col("late")).select(
+        F.col("l_orderkey").alias("o1"), F.col("l_suppkey").alias("s1")
+    )
+    l2 = l.select(F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2"))
+    l3 = l.filter(F.col("late")).select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    waiting = (
+        l1.join(l2, (F.col("o1") == F.col("o2")) & (F.col("s1") != F.col("s2")), "left_semi")
+        .join(l3, (F.col("o1") == F.col("o3")) & (F.col("s1") != F.col("s3")), "left_anti")
+    )
+    return (
+        waiting.join(F.broadcast(s), F.col("s1") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+# ==================================== training-data pipeline ops (round 2)
+from ingest_spark.functions.hashing import normalized_text, stable_hash64
+from ingest_spark.operators import sampling
+
+NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+
+
+@q(
+    "text_normalize",
+    f"""
+    SELECT doc_id, {NORM_SQL} AS norm_text,
+           CAST(length({NORM_SQL}) AS INT) AS n_norm_chars
+    FROM documents
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: canonical text form (lowercase, strip punctuation, collapse
+    whitespace) — the cleanup stage ahead of tokenization and
+    fingerprinting. Pure JVM regexp inside whole-stage codegen."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = normalized_text("text")
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length(norm).cast("int").alias("n_norm_chars"),
+    )
+
+
+@q(
+    "bigram_frequencies",
+    f"""
+    WITH g AS (
+      SELECT unnest(list_transform(
+               generate_series(1, greatest(len(w) - 1, 0)),
+               i -> w[i] || ' ' || w[i+1])) AS bigram
+      FROM (SELECT {WORDS} AS w FROM documents))
+    SELECT bigram, freq, CAST(rank AS INT) AS rank FROM (
+      SELECT bigram, CAST(count(*) AS BIGINT) AS freq,
+             row_number() OVER (ORDER BY count(*) DESC, bigram) AS rank
+      FROM g GROUP BY bigram) WHERE rank <= 20
+    """,
+)
+def bigram_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: corpus bigram head — the n-gram LM / collocation-count
+    shape. explode(word_ngrams) -> two-phase hash aggregate -> global
+    top-k (TakeOrderedAndProject, not a single-partition window)."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(F.explode(text.word_ngrams("text", 2)).alias("bigram"))
+    counts = grams.groupBy("bigram").agg(F.count(F.lit(1)).alias("freq"))
+    return relational.top_n_per_group(
+        counts, [], [F.col("freq").desc(), F.col("bigram")], 20
+    )
+
+
+SPLIT_HASH_SQL = (
+    "('0x' || substring(sha256(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100"
+)
+
+
+@q(
+    "hash_split_train_test",
+    f"""
+    SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM (SELECT n_chars,
+                 CASE WHEN {SPLIT_HASH_SQL} < 80 THEN 'train'
+                      WHEN {SPLIT_HASH_SQL} < 90 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM documents)
+    GROUP BY split
+    """,
+)
+def hash_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by content-hash
+    bucket — reproducible across reruns, engines, and partitionings
+    (rand() is none of those). No shuffle for the assignment itself;
+    the one here belongs to the verification rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    split = sampling.hash_split(
+        docs, "doc_id", {"train": 80, "val": 10, "test": 10}
+    )
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@q(
+    "stratified_sample_by_lang",
+    f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             ('0x' || substring(sha256(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+               AS bucket,
+             CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 50 ELSE 100 END AS rate
+      FROM documents)
+    WHERE bucket < rate
+    """,
+)
+def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus balancing: keep 10% of English, 50% of German, 100% of
+    everything else — per-stratum deterministic hash sampling as one
+    codegen'd filter (no per-language scans, no shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.stratified_hash_sample(
+        docs, "doc_id", "lang", {"en": 10, "de": 50}, default_rate=100
+    ).select("doc_id", "lang")
+
+
+@q(
+    "dedup_keep_best",
+    f"""
+    SELECT doc_id, fp, n_chars FROM (
+      SELECT doc_id, sha256({NORM_SQL}) AS fp, n_chars,
+             row_number() OVER (PARTITION BY sha256({NORM_SQL})
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents) WHERE rn = 1
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: one survivor per normalized
+    fingerprint, the LONGEST copy (truncated near-dupes lose). The
+    which-copy-to-keep policy of a training-data dedup cascade."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "fp", normalized_fingerprint("text")
+    )
+    return dedup.keep_best(
+        docs, "fp", [F.col("n_chars").desc(), F.col("doc_id")]
+    ).select("doc_id", "fp", "n_chars")
+
+
+@q(
+    "sliding_event_rate",
+    """
+    SELECT window_start, CAST(count(*) AS BIGINT) AS n_events FROM (
+      SELECT unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                     date_trunc('hour', ts)]) AS window_start
+      FROM events)
+    GROUP BY window_start
+    """,
+)
+def sliding_event_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window event rate (2h windows, 1h slide) via Spark's
+    native window() generator — each row expands to its two containing
+    windows before ONE hash aggregate; the same code runs unchanged on
+    a watermarked stream."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("win.start").alias("window_start"), "n_events")
+    )
