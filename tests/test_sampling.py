@@ -6,7 +6,7 @@ from pyspark.sql import functions as F
 
 from ingest_spark.operators import dedup, sampling
 
-from .conftest import SF_DIR
+from tests.conftest import SF_DIR
 
 
 def _docs(spark):
