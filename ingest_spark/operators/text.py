@@ -151,3 +151,59 @@ def word_ngrams(text: Column | str, n: int) -> Column:
         idx, lambda i: F.concat_ws(" ", *[F.element_at(words, i + j + 1) for j in range(n)])
     )
     return F.when(k > 0, gram).otherwise(F.array())
+
+
+def repetition_ratio(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 2
+) -> DataFrame:
+    """Boilerplate/spam signal: share of the document taken by its
+    single most-repeated word n-gram. Template pages and keyword-stuffed
+    spam score high; natural prose scores near 1/total.
+
+    Plan: explode n-grams -> (doc, gram) hash aggregate -> (doc) max +
+    sum — two shuffles on doc_id, both with map-side combine. The
+    ratio is scaled-integer division (portable midpoint behavior)."""
+    grams = df.select(
+        F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("gram")
+    )
+    per_gram = grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    return per_gram.groupBy(id_col).agg(
+        F.max("cnt").cast("long").alias("max_gram_count"),
+        F.sum("cnt").cast("long").alias("total_grams"),
+        (
+            (F.max("cnt") * 1000000 / F.sum("cnt")).cast("long").cast("double")
+            / 1000000
+        ).alias("repetition_ratio"),
+    )
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark-contamination scan: corpus documents sharing at least
+    one word n-gram with any benchmark document, with the count of
+    distinct shared grams. The decontamination primitive every
+    training-data pipeline runs before shipping a corpus.
+
+    Plan: distinct n-grams per side -> equi-join on the gram -> count
+    per corpus doc. The benchmark side (eval sets are small) is
+    broadcast, so the corpus never shuffles. At 100 TB, join on
+    ``stable_hash64(gram)`` instead of the string to cut shuffle/
+    broadcast width ~8x; string join kept here for oracle exactness.
+    """
+    corpus_grams = corpus.select(
+        F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("gram")
+    ).distinct()
+    bench_grams = (
+        benchmark.select(F.explode(word_ngrams(text_col, n)).alias("gram"))
+        .distinct()
+    )
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.countDistinct("gram").alias("shared_ngrams"))
+    )

@@ -2879,3 +2879,55 @@ def sliding_event_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(F.col("win.start").alias("window_start"), "n_events")
     )
+
+
+def _sql_ngrams(n: int, src_filter: str = "") -> str:
+    """DuckDB word n-grams mirroring text.word_ngrams (single-space
+    split, empty tokens participate, no distinct)."""
+    gram = " || ' ' || ".join(f"w[i+{j}]" for j in range(n))
+    return (
+        f"SELECT doc_id, unnest(list_transform("
+        f"generate_series(1, greatest(len(w) - {n - 1}, 0)), i -> {gram})) AS gram "
+        f"FROM (SELECT doc_id, {WORDS} AS w FROM documents{src_filter})"
+    )
+
+
+@q(
+    "repetition_ratio",
+    f"""
+    WITH g AS ({_sql_ngrams(2)}),
+         pg AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram)
+    SELECT doc_id, CAST(max(cnt) AS BIGINT) AS max_gram_count,
+           CAST(sum(cnt) AS BIGINT) AS total_grams,
+           CAST(max(cnt) * 1000000 // sum(cnt) AS DOUBLE) / 1000000
+             AS repetition_ratio
+    FROM pg GROUP BY doc_id
+    """,
+)
+def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4/E7: most-repeated-bigram share per document — the
+    boilerplate/keyword-stuffing filter signal of a curation
+    pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.repetition_ratio(docs, "text", "doc_id", n=2)
+
+
+@q(
+    "contamination_ngram_overlap",
+    f"""
+    WITH cg AS (SELECT DISTINCT * FROM ({_sql_ngrams(5, " WHERE source <> 'src0'")})),
+         bg AS (SELECT DISTINCT gram FROM ({_sql_ngrams(5, " WHERE source = 'src0'")}))
+    SELECT cg.doc_id, CAST(count(DISTINCT cg.gram) AS BIGINT) AS shared_ngrams
+    FROM cg JOIN bg ON cg.gram = bg.gram
+    GROUP BY cg.doc_id
+    """,
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7: decontamination scan — corpus docs (source <> 'src0')
+    sharing any 5-gram with the 'benchmark' slice (source = 'src0'),
+    with distinct shared-gram counts. Benchmark grams broadcast; the
+    corpus side never shuffles for the join."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("source") != "src0")
+    benchmark = docs.filter(F.col("source") == "src0")
+    return text.ngram_contamination(corpus, benchmark, "text", "doc_id", n=5)

@@ -106,3 +106,41 @@ def test_date_partitioned_write_prunes_scan(spark, tmp_path):
     assert n > 0
     full = spark.read.parquet(sink).count()
     assert n < full
+
+
+def test_global_topn_is_take_ordered_not_global_window(spark):
+    """Global top-N (q10's final rank, word/bigram frequency heads)
+    must compile to TakeOrderedAndProject — a single-partition Window
+    sort of the full aggregate would serialize at scale."""
+    for name in ("word_frequencies", "bigram_frequencies"):
+        p = _plan(spark, name)
+        assert "TakeOrderedAndProject" in p, name
+
+
+def test_q9_star_join_dimensions_broadcast(spark):
+    p = _plan(spark, "tpch_q9_product_profit")
+    assert p.count("BroadcastHashJoin") >= 3  # part, supplier, nation
+    assert "CartesianProduct" not in p
+
+
+def test_q21_exists_become_semi_anti_joins(spark):
+    p = _plan(spark, "tpch_q21_waiting_supplier")
+    assert "LeftSemi" in p
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
+
+
+def test_sampling_filter_needs_no_shuffle(spark):
+    """The sample/split assignment itself is pure Column arithmetic:
+    zero Exchange nodes — at 100 TB it is a codegen'd filter over the
+    scan, embarrassingly parallel."""
+    from ingest_spark.catalog import load_table
+    from ingest_spark.operators import sampling
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = sampling.stratified_hash_sample(
+        docs, "doc_id", "lang", {"en": 10}, default_rate=100
+    )
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p
+    assert "*(1)" in p  # the star marks the WholeStageCodegen span
