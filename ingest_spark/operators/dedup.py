@@ -217,9 +217,6 @@ def minhash_lsh_candidates(
     assert num_hashes % bands == 0, (num_hashes, bands)
     rows = num_hashes // bands
     sig = minhash_signatures_df(df, id_col, text_col, num_hashes, shingle_n)
-    # one bucket string per band, built from plain signature columns
-    # (the aggregate output is materialized by its shuffle — no
-    # recompute on the self-join's two sides)
     buckets = [
         F.concat_ws(
             ",",
@@ -228,9 +225,13 @@ def minhash_lsh_candidates(
         )
         for b in range(bands)
     ]
+    # pin the banded table before the self-join: exchange reuse is NOT
+    # guaranteed across the two sides (observed recompute — the whole
+    # shingle-explode + signature aggregate ran twice), and the table
+    # is tiny relative to its input (docs x bands rows)
     banded = sig.select(
         F.col(id_col).alias("__id"), F.explode(F.array(*buckets)).alias("__bucket")
-    )
+    ).localCheckpoint()
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -307,6 +308,8 @@ def simhash_neardup_pairs(
     width = num_bits // bands
     mask = (1 << width) - 1
     sig = simhash_df(df, id_col, text_col, num_bits=num_bits)
+    # pinned before the self-join: the vote aggregate otherwise runs
+    # once per side (see minhash_lsh_candidates)
     banded = sig.select(
         F.col(id_col),
         F.col("simhash16").alias("__sig"),
@@ -323,7 +326,7 @@ def simhash_neardup_pairs(
                 ]
             )
         ).alias("__bucket"),
-    )
+    ).localCheckpoint()
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
