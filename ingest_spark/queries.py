@@ -2931,3 +2931,83 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("source") != "src0")
     benchmark = docs.filter(F.col("source") == "src0")
     return text.ngram_contamination(corpus, benchmark, "text", "doc_id", n=5)
+
+
+# ======================================= Spark-4-native surfaces (round 2)
+
+
+@q(
+    "session_window_native",
+    """
+    WITH o AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    s AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+          FROM o)
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization via Spark's NATIVE session_window aggregate
+    (one hash aggregate with merging session state — no lag/cumsum
+    window cascade, and the identical call works on a watermarked
+    stream). The oracle re-derives sessions with the lag+cumsum
+    construction, proving the two formulations equivalent; the
+    hand-rolled Spark variant is ``sessionize_events``."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@q(
+    "variant_extract",
+    """
+    SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+           CASE WHEN CAST(json_extract(props, '$.k') AS INTEGER) = 0 THEN NULL
+                ELSE floor(value * 10000 / CAST(json_extract(props, '$.k') AS INTEGER))
+                     / 10000.0
+           END AS value_per_k,
+           CAST(json_extract(props, '$.missing') AS INTEGER) AS absent
+    FROM events
+    """,
+)
+def variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type:
+    parse_json once, then typed variant_get paths — the open-schema
+    ingest path (contrast t2_flatten_props' fixed-schema from_json).
+    try_variant_get + try_divide give the error-safe cleaning
+    semantics (missing path -> NULL, /0 -> NULL, never a crash).
+    The ratio is floor-scaled, not rounded: both engines compute the
+    identical IEEE quotient, and floor of the same double is exact
+    where round-at-4 sits on a representation boundary."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.withColumn("__v", F.parse_json("props"))
+    k = F.try_variant_get("__v", "$.k", "int")
+    return v.select(
+        "event_id",
+        k.alias("k"),
+        (F.floor(F.try_divide(F.col("value") * 10000, k)) / 10000.0).alias(
+            "value_per_k"
+        ),
+        F.try_variant_get("__v", "$.missing", "int").alias("absent"),
+    )
