@@ -336,3 +336,30 @@ def to_kafka_frame(
         F.col(key_col).cast("string").cast("binary").alias("key"),
         F.to_json(F.struct(*[F.col(c) for c in cols])).cast("binary").alias("value"),
     )
+
+
+def session_window_counts(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    event_time_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Gap sessionization via Spark's NATIVE session_window aggregate:
+    built-in merging session state, watermark-bounded, emitted when the
+    watermark passes a session's end. The engine-managed sibling of
+    ``sessionize_stream`` (applyInPandasWithState) — use this one
+    unless per-session custom logic is needed; identical code runs in
+    batch (queries.session_window_native proves parity vs the
+    lag+cumsum construction)."""
+    return (
+        stream.withWatermark(event_time_col, watermark)
+        .groupBy(key_col, F.session_window(event_time_col, gap).alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key_col,
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -214,3 +214,41 @@ def test_kafka_frame_contract(spark):
         "MunicipalityNo": "101",
         "ConsumptionkWh": 1.5,
     }
+
+
+def test_session_window_native_stream_matches_batch(spark, tmp_path):
+    """The built-in session_window aggregate on a stream produces the
+    same sessions as the identical expression in batch mode."""
+    from ingest_spark.streaming.pipeline import read_file_stream, session_window_counts
+
+    specs = [
+        ("2024-01-01T00:00:00", 10, "click"),
+        ("2024-01-01T00:29:00", 10, "click"),   # merges into session 1
+        ("2024-01-01T01:00:01", 10, "click"),   # 31m gap -> new session
+        ("2024-01-01T00:10:00", 20, "view"),
+    ]
+    src = tmp_path / "swn_src"
+    _write_feed(src, _event_rows(specs))
+    stream = read_file_stream(spark, str(src), EVENT_SCHEMA, fmt="json")
+    q = (
+        session_window_counts(stream)
+        .writeStream.format("memory")
+        .queryName("swn")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, str(r.session_start), str(r.session_end)): r.n_events
+        for r in spark.sql("SELECT * FROM swn").collect()
+    }
+    batch = spark.createDataFrame(
+        [(s[1], s[0].replace("T", " ")) for s in specs], ["user_id", "ts_s"]
+    ).selectExpr("user_id", "CAST(ts_s AS TIMESTAMP) AS ts")
+    expect = {
+        (r.user_id, str(r.session_start), str(r.session_end)): r.n_events
+        for r in session_window_counts(batch).collect()
+    }
+    assert got == expect
+    assert got[(10, "2024-01-01 00:00:00", "2024-01-01 00:59:00")] == 2
