@@ -80,3 +80,58 @@ def test_bad_options_fail_at_planning(registered):
         _load(registered, start="2024-02-01", end="2024-01-01").count()
     with pytest.raises(Exception):
         _load(registered, fetch="no_such_module:fn").count()
+
+
+def _drain(q, sink_df, expect_rows, timeout=120):
+    import time
+
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        if sink_df() >= expect_rows:
+            break
+        time.sleep(1)
+    q.stop()
+    q.awaitTermination(30)
+
+
+def test_stream_reader_ingests_and_resumes_exactly_once(registered, tmp_path):
+    """S3/T8 as a true streaming source: offsets live in the Spark
+    checkpoint. A restart with a WIDER end date must fetch only the
+    new windows — each window's rows land exactly once."""
+    spark = registered
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start_query(end):
+        stream = (
+            spark.readStream.format("windowed_rest")
+            .schema(SCHEMA)
+            .option("start", "2024-01-01")
+            .option("end", end)
+            .load()
+        )
+        return (
+            stream.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="1 seconds")
+            .start()
+        )
+
+    q = start_query("2024-01-05")
+    _drain(q, lambda: _safe_count(spark, sink), 4 * 24)
+    assert _safe_count(spark, sink) == 4 * 24
+
+    # restart, three more days available
+    q = start_query("2024-01-08")
+    _drain(q, lambda: _safe_count(spark, sink), 7 * 24)
+    df = spark.read.parquet(sink)
+    assert df.count() == 7 * 24          # nothing refetched, nothing lost
+    assert df.select("ts").distinct().count() == 7 * 24
+
+
+def _safe_count(spark, path):
+    try:
+        return spark.read.parquet(path).count()
+    except Exception:
+        return 0
