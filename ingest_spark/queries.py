@@ -3011,3 +3011,68 @@ def variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.try_variant_get("__v", "$.missing", "int").alias("absent"),
     )
+
+
+@q(
+    "domain_quota_rebalance",
+    f"""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+    WHERE rn <= 20
+    """,
+)
+def domain_quota_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7 domain mixing: cap every source at a quota (20 docs), picked
+    by hash order — a deterministic uniform subsample per domain, not
+    head-of-table bias. One shuffle on source; WindowGroupLimit pushes
+    the quota into the per-group sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.sha2(F.col("doc_id").cast("string"), 256), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "source")
+    )
+
+
+@q(
+    "curation_pipeline_e2e",
+    f"""
+    WITH fp AS (
+      SELECT doc_id, n_chars, lang, sha256({NORM_SQL}) AS fp
+      FROM documents
+      WHERE n_chars >= 50 AND len(string_split(text, ' ')) >= 10),
+    best AS (
+      SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY fp ORDER BY n_chars DESC, doc_id) AS rn
+        FROM fp) WHERE rn = 1),
+    split AS (
+      SELECT lang,
+             CASE WHEN ('0x' || substring(sha256(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                       % 100 < 90 THEN 'train' ELSE 'val' END AS split
+      FROM best)
+    SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs
+    FROM split GROUP BY lang, split
+    """,
+)
+def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data curation pipeline as ONE composed plan:
+    quality gate (length floors) -> normalization-fingerprint dedup
+    keeping the longest copy -> deterministic 90/10 split ->
+    verification rollup. Composes E4 + E7 operators; Catalyst fuses
+    the whole chain into scan -> filter -> one fingerprint shuffle ->
+    split arithmetic -> one rollup shuffle."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("n_chars") >= 50) & (F.size(F.split("text", " ")) >= 10)
+    )
+    fp = docs.withColumn("fp", normalized_fingerprint("text"))
+    best = dedup.keep_best(fp, "fp", [F.col("n_chars").desc(), F.col("doc_id")])
+    split = sampling.hash_split(best, "doc_id", {"train": 90, "val": 10})
+    return split.groupBy("lang", "split").agg(F.count(F.lit(1)).alias("n_docs"))
