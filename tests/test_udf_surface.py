@@ -80,3 +80,55 @@ def test_python_udtf_explodes_key_value_pairs(spark):
         ("source", "energinet"),
         ("unit", "kwh"),
     ]
+
+
+def test_grouped_agg_pandas_udf_matches_builtin(spark):
+    """GROUPED_AGG pandas UDF (a numpy UDAF) == the built-in aggregate
+    plan — the escape hatch for aggregations Spark lacks, verified
+    against one it has."""
+    import numpy as np
+    import pandas as pd
+
+    @F.pandas_udf("double")
+    def wmean(v: pd.Series, w: pd.Series) -> float:
+        return float(np.average(v.to_numpy(), weights=w.to_numpy()))
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
+        "w", (F.col("event_id") % 7 + 1).cast("double")
+    )
+    got = {
+        r["event_type"]: r["m"]
+        for r in ev.groupBy("event_type").agg(wmean("value", "w").alias("m")).collect()
+    }
+    expect = {
+        r["event_type"]: r["m"]
+        for r in ev.groupBy("event_type")
+        .agg((F.sum(F.col("value") * F.col("w")) / F.sum("w")).alias("m"))
+        .collect()
+    }
+    assert set(got) == set(expect)
+    for k in expect:
+        assert abs(got[k] - expect[k]) < 1e-9
+
+
+def test_map_in_arrow_matches_builtin_projection(spark):
+    """mapInArrow (zero-copy RecordBatch transform) == the equivalent
+    Column projection; the lowest-overhead Python hook for columnar
+    libraries that speak Arrow natively."""
+    import pyarrow as pa
+
+    def double_value(batches):
+        for batch in batches:
+            t = pa.Table.from_batches([batch])
+            out = t.set_column(
+                t.schema.get_field_index("value"),
+                "value",
+                pa.compute.multiply(t["value"], 2.0),
+            )
+            yield from out.to_batches()
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select("event_id", "value")
+    got = ev.mapInArrow(double_value, "event_id long, value double")
+    expect = ev.select("event_id", (F.col("value") * 2.0).alias("value"))
+    assert got.exceptAll(expect).count() == 0
+    assert expect.exceptAll(got).count() == 0
