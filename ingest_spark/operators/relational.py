@@ -114,8 +114,13 @@ def top_n_per_group(
     only n rows per partition reach the driver-side merge — and the
     rank is then numbered over the n surviving rows only."""
     if not group_cols:
+        # The rank window over the n survivors has an empty partition
+        # spec (Spark eliminates any constant spec), so WindowExec logs
+        # its single-partition warning — a false positive here: the
+        # input is already limit(n) rows, and TakeOrderedAndProject did
+        # the distributed work.
         top = df.orderBy(*order_cols).limit(n)
-        w = Window.partitionBy(F.lit(1)).orderBy(*order_cols)
+        w = Window.orderBy(*order_cols)
         return top.withColumn(rank_col, F.row_number().over(w))
     w = Window.partitionBy(*group_cols).orderBy(*order_cols)
     return df.withColumn(rank_col, F.row_number().over(w)).filter(

@@ -177,6 +177,68 @@ def repetition_ratio(
     )
 
 
+def chunk_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 16,
+    stride: int = 8,
+) -> DataFrame:
+    """Training-sample chunker: split each document into token windows
+    of ``size`` whitespace tokens advancing by ``stride`` (overlapping
+    when stride < size), the standard pretokenization step that turns a
+    variable-length corpus into fixed-shape training samples.
+
+    Plan: one narrow projection (split + sequence) then a generate
+    (explode) — no shuffle at all; chunking is embarrassingly parallel
+    and stays inside whole-stage codegen. At 100 TB the only knob is
+    input split size (``files.maxPartitionBytes``); output is ~
+    size/stride x the input rows but each row is narrow.
+    Generalizes the reference's day-window chunking (S3,
+    producers/energinet/fetch_data_energinet.py:139-186) from time
+    ranges to token ranges."""
+    toks = F.split(F.col(text_col), " ")
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(stride))
+    chunked = df.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.posexplode(starts).alias("chunk_id", "_start"),
+    )
+    return chunked.select(
+        F.col(id_col),
+        F.col("chunk_id"),
+        F.concat_ws(" ", F.slice("_toks", F.col("_start"), size)).alias("chunk_text"),
+        F.size(F.slice("_toks", F.col("_start"), size)).alias("n_tokens"),
+    )
+
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\d{3}-\d{3}-\d{4}"
+
+
+def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrubbing: replace email addresses and phone numbers with
+    typed placeholders and count the redactions. Both patterns are
+    RE2-safe (no backtracking constructs), so the same regex runs on
+    Spark (Java regex), DuckDB (RE2), and any engine in between —
+    and linear-time matching is what you want on adversarial 100 TB
+    web text anyway.
+
+    Plan: two chained regexp_replace + two regexp_count, all inside
+    one codegen'd projection; no shuffle."""
+    c = F.col(text_col)
+    return df.withColumn(
+        "n_emails", F.regexp_count(c, F.lit(EMAIL_RE)).cast("int")
+    ).withColumn(
+        "n_phones", F.regexp_count(c, F.lit(PHONE_RE)).cast("int")
+    ).withColumn(
+        "redacted",
+        F.regexp_replace(
+            F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+        ),
+    )
+
+
 def ngram_contamination(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -3076,3 +3076,125 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     best = dedup.keep_best(fp, "fp", [F.col("n_chars").desc(), F.col("doc_id")])
     split = sampling.hash_split(best, "doc_id", {"train": 90, "val": 10})
     return split.groupBy("lang", "split").agg(F.count(F.lit(1)).alias("n_docs"))
+
+@q(
+    "chunk_tokens_windows",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    s AS (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w), 1), 8)) AS start
+          FROM t)
+    SELECT doc_id, CAST((start - 1) // 8 AS INT) AS chunk_id,
+           array_to_string(list_slice(w, start, start + 15), ' ') AS chunk_text,
+           CAST(len(list_slice(w, start, start + 15)) AS INT) AS n_tokens
+    FROM s
+    """,
+)
+def chunk_tokens_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-shape training-sample chunking: 16-token windows, stride 8
+    (50% overlap). Shuffle-free generate inside codegen — the whole
+    corpus chunks in one map stage (operators/text.py chunk_tokens)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.chunk_tokens(docs, size=16, stride=8)
+
+
+@q(
+    "pii_redaction",
+    r"""
+    WITH synth AS (
+      SELECT doc_id,
+             'user' || CAST(doc_id AS VARCHAR) || '@example.com said ' || text ||
+             CASE WHEN doc_id % 3 = 0
+                  THEN ' call 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  ELSE '' END AS raw
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(raw, '\d{3}-\d{3}-\d{4}')) AS INT) AS n_phones,
+           regexp_replace(
+             regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                            '<EMAIL>', 'g'),
+             '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g') AS redacted
+    FROM synth
+    """,
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (emails + phone numbers -> typed placeholders,
+    with per-doc counts). The corpus is synthetic-clean, so PII is
+    injected deterministically from doc_id first — the regex path is
+    then exercised on every row on both engines. RE2-safe patterns
+    only (operators/text.py pii_redact): linear-time on adversarial
+    text, portable across Spark/DuckDB/RE2 engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com said "),
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" call 555-867-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = text.pii_redact(synth)
+    return out.select("doc_id", "n_emails", "n_phones", "redacted")
+
+
+@q(
+    "vocab_coverage",
+    """
+    WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+    c AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM w GROUP BY word),
+    r AS (SELECT word, freq,
+                 row_number() OVER (ORDER BY freq DESC, word) AS rank,
+                 sum(freq) OVER (ORDER BY freq DESC, word
+                                 ROWS UNBOUNDED PRECEDING) AS cum_freq,
+                 sum(freq) OVER () AS total
+          FROM c)
+    SELECT word, freq, CAST(rank AS INT) AS rank,
+           CAST(cum_freq AS BIGINT) AS cum_freq,
+           CAST(CAST(cum_freq * 1000000 // total AS BIGINT) AS DOUBLE)
+             / 1000000 AS cum_share
+    FROM r WHERE rank <= 50
+    """,
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-design primitive: vocabulary head with cumulative
+    corpus coverage — "the top-k words cover X% of all tokens". One
+    count shuffle, then TakeOrderedAndProject keeps only the head
+    (per-partition top-50 heaps — the full vocabulary never moves to
+    one partition); rank + running sum are windowed over the 50
+    survivors only. Scaled-integer share (portable midpoints)."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # corpus-wide token total: scalar agg, broadcast onto the head
+    total = counts.agg(F.sum("freq").alias("total"))
+    # rank + running sum over the 50 survivors only; the empty window
+    # partition spec triggers WindowExec's single-partition warning,
+    # which is a false positive at this post-limit size
+    top = counts.orderBy(F.col("freq").desc(), F.col("word")).limit(50)
+    w = Window.orderBy(F.col("freq").desc(), F.col("word"))
+    ranked = (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .withColumn(
+            "cum_freq",
+            F.sum("freq").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return ranked.select(
+        "word",
+        "freq",
+        "rank",
+        F.col("cum_freq").cast("long").alias("cum_freq"),
+        ((F.col("cum_freq") * 1000000 / F.col("total")).cast("long").cast("double") / 1000000).alias("cum_share"),
+    )
