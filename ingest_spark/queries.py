@@ -3198,3 +3198,39 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cum_freq").cast("long").alias("cum_freq"),
         ((F.col("cum_freq") * 1000000 / F.col("total")).cast("long").cast("double") / 1000000).alias("cum_share"),
     )
+
+@q("sketch_rollup_union")
+def sketch_rollup_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup (Apache DataSketches HLL): per-group
+    user-cardinality sketches, then an associative hll_union_agg of the
+    partials for the corpus-wide row — the pattern that makes distinct
+    counting tractable at 100 TB: partials are a few KB per group, and
+    the SAME sketches answer per-group, regional, and global questions
+    without rescanning (precompute once, merge many ways). Rows-only
+    check (sketch estimates are DataSketches-specific);
+    tests/test_text_ops.py pins estimate-vs-exact relative error."""
+    ev = load_table(spark, sf_dir, "events")
+    part = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    per_group = part.select(
+        "event_type",
+        "exact_users",
+        F.hll_sketch_estimate("sk").alias("hll_users"),
+    )
+    total = (
+        part.agg(
+            F.hll_union_agg("sk").alias("merged"),
+            F.sum("exact_users").alias("_ignore"),
+        )
+        .crossJoin(
+            F.broadcast(ev.agg(F.count_distinct("user_id").alias("exact_users")))
+        )
+        .select(
+            F.lit("ALL").alias("event_type"),
+            F.col("exact_users"),
+            F.hll_sketch_estimate("merged").alias("hll_users"),
+        )
+    )
+    return per_group.unionByName(total)

@@ -144,3 +144,38 @@ def test_sampling_filter_needs_no_shuffle(spark):
     p = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in p
     assert "*(1)" in p  # the star marks the WholeStageCodegen span
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark):
+    """With broadcast off (as when both sides are 100TB-large), the
+    optimizer should inject a bloom_filter_agg runtime filter from the
+    selective build side into the probe-side scan — rows that can't
+    join die before the shuffle, not after it."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

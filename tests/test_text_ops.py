@@ -47,3 +47,18 @@ def test_pii_redact_counts_and_placeholders(spark):
     # near-misses: wrong phone grouping, email without TLD dot
     assert out[3]["n_emails"] == 0 and out[3]["n_phones"] == 0
     assert out[3]["redacted"] == out[3]["text"]
+
+
+def test_sketch_rollup_union_error_bound(spark):
+    from ingest_spark.queries import QUERIES
+
+    rows = QUERIES["sketch_rollup_union"](spark, "/root/testdata/sf0.01").collect()
+    by_type = {r["event_type"]: r for r in rows}
+    assert "ALL" in by_type and len(by_type) >= 4
+    for r in rows:
+        rel = abs(r["hll_users"] - r["exact_users"]) / max(r["exact_users"], 1)
+        assert rel < 0.05, (r["event_type"], r["hll_users"], r["exact_users"])
+    # the merged estimate must cover at least the largest group
+    assert by_type["ALL"]["hll_users"] >= max(
+        r["hll_users"] for r in rows if r["event_type"] != "ALL"
+    )
