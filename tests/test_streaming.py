@@ -252,3 +252,55 @@ def test_session_window_native_stream_matches_batch(spark, tmp_path):
     }
     assert got == expect
     assert got[(10, "2024-01-01 00:00:00", "2024-01-01 00:59:00")] == 2
+
+
+def test_transform_with_state_dedup_across_batches(spark, tmp_path):
+    """dedup_stream_tws: first-seen wins within AND across micro-batches
+    (state persists in RocksDB between triggers of the same query)."""
+    import importlib.util
+
+    import pytest
+
+    if importlib.util.find_spec("google") is None:
+        pytest.skip("transformWithState needs the protobuf package (absent here)")
+    from ingest_spark.streaming.pipeline import dedup_stream_tws
+
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        src, sink, ckpt = tmp_path / "src", str(tmp_path / "sink"), str(tmp_path / "ckpt")
+        _write_feed(src, _rows("2024-01-01", range(3)) + _rows("2024-01-01", range(2)))
+
+        def run_once():
+            stream = read_file_stream(spark, str(src), SCHEMA, fmt="json")
+            hashed = stream.withColumn(
+                "record_hash",
+                F.sha2(F.to_json(F.struct("HourUTC", "MunicipalityNo", "ConsumptionkWh")), 256),
+            )
+            q = (
+                dedup_stream_tws(hashed, "record_hash")
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run_once()
+        out = spark.read.parquet(sink)
+        assert out.count() == 3  # in-batch duplicates collapsed
+        # replayed + new data in a later run against the same checkpoint:
+        # state store remembers the first 3 hashes
+        _write_feed(src, _rows("2024-01-01", range(2)) + _rows("2024-01-02", range(2)))
+        run_once()
+        got = {r["HourUTC"] for r in spark.read.parquet(sink).collect()}
+        assert len(got) == 5  # 3 original + 2 genuinely new, replays dropped
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
