@@ -3234,3 +3234,96 @@ def sketch_rollup_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_group.unionByName(total)
+
+@q(
+    "scd2_user_state_history",
+    """
+    SELECT user_id, event_type AS state, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           CASE WHEN lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL THEN TRUE ELSE FALSE END AS is_current
+    FROM events
+    WHERE event_type IN ('signup', 'purchase', 'error')
+    """,
+)
+def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 construction: each state-bearing
+    event opens a validity interval [valid_from, valid_to) closed by the
+    user's next state change; the open interval is the current state —
+    the "latest typed view over an append-only topic" (reference Q1/
+    ksqlDB, cluster/README.md:107-118) upgraded to full history. One
+    shuffle on user_id; lead() and the is-current flag share the same
+    sort."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "purchase", "error")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+@q(
+    "funnel_conversion",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t_click FROM events e
+      JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+      JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY e.user_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_viewed,
+           CAST(count(t_click) AS BIGINT) AS n_clicked,
+           CAST(count(t_purchase) AS BIGINT) AS n_purchased
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+           LEFT JOIN p ON c.user_id = p.user_id
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view -> click -> purchase, each step strictly
+    after the previous): the sequential-pattern query SQL lacks
+    MATCH_RECOGNIZE for, built from per-step conditional mins. Each
+    step is one groupBy on user_id over a pre-filtered slice; the step
+    joins are user-key equi-joins AQE plans (step outputs shrink
+    monotonically). A 100 TB funnel keeps the same shape — the
+    event_type filters prune at the scan, and only (user, ts) pairs
+    ever shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_viewed"),
+            F.count("t_click").alias("n_clicked"),
+            F.count("t_purchase").alias("n_purchased"),
+        )
+    )
