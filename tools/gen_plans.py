@@ -1,0 +1,77 @@
+"""Regenerate PLANS.md: formatted physical-plan snapshots for six
+representative headline queries (plan-only — nothing executes).
+
+Usage: python tools/gen_plans.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+PICKS = [
+    ("tpch_q6_forecast_revenue", "filter+agg: predicates and 4-column slice reach the scan"),
+    ("tpch_q10_returned_revenue", "star join: all three dimensions broadcast, fact never join-shuffles"),
+    ("window_topn_per_group", "per-group rank: WindowGroupLimit pushes the limit into the sort"),
+    ("minhash_lsh_neardup", "LSH near-dup: equi-join on band buckets, no cartesian anywhere"),
+    ("hash_split_train_test", "deterministic split: pure projection, zero exchanges"),
+    ("funnel_conversion", "ordered funnel: scan-pruned slices, user-key joins, AQE"),
+]
+
+KEEP_KW = (
+    "Scan parquet", "Exchange", "Join", "ReadSchema", "PushedFilters",
+    "Window", "TakeOrdered",
+)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    import ingest_spark.queries as Q
+    from ingest_spark.session import get_spark
+
+    spark = get_spark("gen-plans")
+    out = open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w")
+    out.write(f"""# PLANS — physical-plan snapshots ({os.path.basename(sf_dir)}, local[32], AQE on)
+
+`.explain("formatted")` captures for six representative headline shapes, as
+evidence the plan-quality invariants in `tests/test_plans.py` describe the
+real plans. Regenerate with `python tools/gen_plans.py` after any
+planner-relevant change.
+
+""")
+    for name, why in PICKS:
+        df = Q.QUERIES[name](spark, sf_dir)
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        plan = df._jdf.queryExecution().explainString(mode)
+        lines = plan.split("\n")
+        tree_end = next((i for i, l in enumerate(lines) if l.startswith("(")), len(lines))
+        tree = "\n".join(lines[:tree_end]).rstrip()
+        # keep only the node details that show scan pushdown, shuffles,
+        # and join strategies — the scale-relevant evidence
+        detail: list[str] = []
+        block: list[str] = []
+        keeping = False
+        for l in lines[tree_end:]:
+            if l.startswith("("):
+                if keeping and block:
+                    detail.extend(block + [""])
+                block = [l]
+                keeping = any(k in l for k in KEEP_KW)
+            else:
+                block.append(l)
+        if keeping and block:
+            detail.extend(block)
+        out.write(
+            f"## {name}\n\n_{why}_\n\n```\n{tree}\n\n"
+            + "\n".join(detail).rstrip()
+            + "\n```\n\n"
+        )
+    out.close()
+    spark.stop()
+    print("PLANS.md written")
+
+
+if __name__ == "__main__":
+    main()
