@@ -41,6 +41,9 @@ HEADLINE = [
     "tfidf_top_terms",
     "simhash_neardup",
     "ivf_topk",
+    "chunk_tokens_windows",
+    "funnel_conversion",
+    "sketch_rollup_union",
 ]
 
 
