@@ -3355,3 +3355,128 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("t_purchase").alias("n_purchased"),
         )
     )
+
+@q(
+    "table_profile",
+    """
+    SELECT 'o_orderkey' AS col,
+           CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_null,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(min(o_orderkey) AS VARCHAR) AS min_v,
+           CAST(max(o_orderkey) AS VARCHAR) AS max_v
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', CAST(count(*) - count(o_custkey) AS BIGINT),
+           CAST(count(DISTINCT o_custkey) AS BIGINT),
+           CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(count(*) - count(o_orderstatus) AS BIGINT),
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+           CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', CAST(count(*) - count(o_totalprice) AS BIGINT),
+           CAST(count(DISTINCT o_totalprice) AS BIGINT),
+           CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR)
+    FROM orders
+    """,
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling sweep (the pre-ingest quality report): per-column
+    null count, distinct count, min/max — ONE scan computing every
+    column's aggregates simultaneously, then an unpivot of the single
+    aggregate row (contrast the oracle's readable-but-4-scan UNION
+    form; Catalyst does not fuse those). At 100 TB swap
+    count_distinct for approx_count_distinct or the HLL-sketch partial
+    (sketch_rollup_union) — exact kept here for the oracle. min/max
+    stringified so heterogeneous column types share one report schema.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__null"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    one = o.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', `{c}__null`, `{c}__distinct`, `{c}__min`, `{c}__max`" for c in cols
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(cols)}, {stack}) AS (col, n_null, n_distinct, min_v, max_v)"
+        )
+    )
+
+
+@q(
+    "contract_validation",
+    """
+    SELECT 'orders_pk_unique' AS rule, CAST((
+        SELECT count(*) FROM (
+          SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
+      ) AS BIGINT) AS n_violations
+    UNION ALL
+    SELECT 'orders_custkey_not_null', CAST((
+        SELECT count(*) FROM orders WHERE o_custkey IS NULL) AS BIGINT)
+    UNION ALL
+    SELECT 'orders_price_positive', CAST((
+        SELECT count(*) FROM orders WHERE o_totalprice <= 0) AS BIGINT)
+    UNION ALL
+    SELECT 'orders_custkey_in_customer', CAST((
+        SELECT count(*) FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        WHERE c_custkey IS NULL) AS BIGINT)
+    UNION ALL
+    SELECT 'orders_status_accepted', CAST((
+        SELECT count(*) FROM orders
+        WHERE o_orderstatus NOT IN ('O', 'F', 'P')) AS BIGINT)
+    """,
+)
+def contract_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract/constraint validation (the reference's registry
+    preflight O2 generalized from "schema exists" to "data obeys the
+    contract"): primary-key uniqueness, not-null, accepted values,
+    value bounds, and referential integrity — each rule one violation
+    count, dbt-test style. The PK check is a groupBy on the key; the
+    FK check anti-joins a broadcast dimension; the scalar rules fold
+    into one scan. A 100 TB run keeps every rule shuffle-free except
+    the PK groupBy (and that one is map-side-combined to near
+    nothing when the key IS unique)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    dup_pk = (
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .select(F.lit("orders_pk_unique").alias("rule"), "n_violations")
+    )
+    scalars = o.agg(
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("null_ck"),
+        F.sum((F.col("o_totalprice") <= 0).cast("long")).alias("bad_price"),
+        F.sum((~F.col("o_orderstatus").isin("O", "F", "P")).cast("long")).alias(
+            "bad_status"
+        ),
+    )
+    nn = scalars.select(
+        F.lit("orders_custkey_not_null").alias("rule"),
+        F.col("null_ck").alias("n_violations"),
+    )
+    price = scalars.select(
+        F.lit("orders_price_positive").alias("rule"),
+        F.col("bad_price").alias("n_violations"),
+    )
+    status = scalars.select(
+        F.lit("orders_status_accepted").alias("rule"),
+        F.col("bad_status").alias("n_violations"),
+    )
+    fk = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .select(F.lit("orders_custkey_in_customer").alias("rule"), "n_violations")
+    )
+    return dup_pk.unionByName(nn).unionByName(price).unionByName(fk).unionByName(status)

@@ -75,3 +75,40 @@ def test_sessionize_matches_python_reference(spark, times):
         )
     want = sorted((sid, n) for sid, n, _, _ in _py_sessions([base + t for t in times], 1_800_000_000))
     assert got == want
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(DOC, min_size=1, max_size=5), st.integers(2, 8))
+def test_chunk_tokens_reconstructs_corpus(spark, docs, size):
+    """With stride == size (no overlap), concatenating a doc's chunks in
+    chunk_id order must reproduce the doc's token sequence exactly —
+    chunking loses nothing and fabricates nothing."""
+    from ingest_spark.operators.text import chunk_tokens
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    out = chunk_tokens(df, size=size, stride=size).collect()
+    rebuilt: dict[int, list[tuple[int, str]]] = {}
+    for r in out:
+        rebuilt.setdefault(r["doc_id"], []).append((r["chunk_id"], r["chunk_text"]))
+    for doc_id, text in enumerate(docs):
+        parts = [t for _, t in sorted(rebuilt[doc_id])]
+        assert " ".join(parts) == text
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(DOC, min_size=1, max_size=5))
+def test_pii_redact_idempotent_and_count_consistent(spark, docs):
+    """redact(redact(x)) == redact(x) (placeholders never re-match), and
+    a clean corpus is returned verbatim with zero counts."""
+    from ingest_spark.operators.text import pii_redact
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    once = pii_redact(df)
+    for r in once.collect():
+        assert r["n_emails"] == 0 and r["n_phones"] == 0
+        assert r["redacted"] == r["text"]
+    again = pii_redact(
+        once.select("doc_id", F.col("redacted").alias("text"))
+    ).collect()
+    for r in again:
+        assert r["redacted"] == r["text"]
