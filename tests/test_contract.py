@@ -40,6 +40,7 @@ def test_oracle_keys_subset_of_queries():
         "approx_distinct_sketch",
         "ivf_topk",
         "approx_percentile_sketch",
+        "sketch_rollup_union",
     }
 
 
