@@ -3480,3 +3480,59 @@ def contract_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("orders_custkey_in_customer").alias("rule"), "n_violations")
     )
     return dup_pk.unionByName(nn).unionByName(price).unionByName(fk).unionByName(status)
+
+@q(
+    "source_reconciliation",
+    """
+    WITH agg AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+             round(sum(o_totalprice), 2) AS total_spend
+      FROM orders GROUP BY o_custkey)
+    SELECT presence, CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(coalesce(sum(n_orders), 0) AS BIGINT) AS n_orders,
+           round(coalesce(sum(total_spend), 0), 2) AS total_spend
+    FROM (
+      SELECT CASE WHEN c_custkey IS NULL THEN 'orders_only'
+                  WHEN o_custkey IS NULL THEN 'customer_only'
+                  ELSE 'both' END AS presence,
+             n_orders, total_spend
+      FROM customer FULL OUTER JOIN agg ON c_custkey = o_custkey)
+    GROUP BY presence
+    """,
+)
+def source_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-vs-sink reconciliation (the audit every ingest pipeline
+    owes its operators): FULL OUTER join of the customer master against
+    per-customer order rollups, classifying every key as both /
+    customer_only / orders_only with volume totals — orphan detection
+    and completeness accounting in one report. The rollup shuffles
+    once on custkey; the full-outer join then co-partitions on the
+    same key (no broadcast: outer sides must both be preserved), and
+    the final classification rollup is trivial. Same plan at 100 TB —
+    both inputs arrive hash-partitioned on the join key."""
+    c = load_table(spark, sf_dir, "customer")
+    agg = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        )
+    )
+    j = c.join(agg, c.c_custkey == agg.o_custkey, "full_outer")
+    presence = (
+        F.when(F.col("c_custkey").isNull(), F.lit("orders_only"))
+        .when(F.col("o_custkey").isNull(), F.lit("customer_only"))
+        .otherwise(F.lit("both"))
+    )
+    return (
+        j.select(presence.alias("presence"), "n_orders", "total_spend")
+        .groupBy("presence")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.coalesce(F.sum("n_orders"), F.lit(0)).cast("long").alias("n_orders"),
+            F.round(F.coalesce(F.sum("total_spend"), F.lit(0)), 2).alias(
+                "total_spend"
+            ),
+        )
+    )
