@@ -3536,3 +3536,185 @@ def source_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+@q(
+    "interpolate_hourly_gaps",
+    """
+    WITH cal AS (
+      SELECT et, CAST(h AS TIMESTAMP) AS hour
+      FROM (SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                                          TIMESTAMP '2024-01-14 23:00:00',
+                                          INTERVAL 1 HOUR)) AS h),
+           (SELECT DISTINCT event_type AS et FROM events)),
+    obs AS (
+      SELECT event_type AS et, date_trunc('hour', ts) AS hour,
+             CAST(round(sum(value * 100)) AS BIGINT)
+               * 100 // count(*) AS v_scaled
+      FROM events GROUP BY 1, 2),
+    g AS (
+      SELECT cal.et, cal.hour, obs.v_scaled,
+             epoch(cal.hour)::BIGINT // 3600 AS t
+      FROM cal LEFT JOIN obs ON cal.et = obs.et AND cal.hour = obs.hour),
+    w AS (
+      SELECT et, hour, v_scaled, t,
+             last_value(v_scaled IGNORE NULLS) OVER
+               (PARTITION BY et ORDER BY hour
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS y0,
+             last_value(CASE WHEN v_scaled IS NOT NULL THEN t END IGNORE NULLS)
+               OVER (PARTITION BY et ORDER BY hour
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t0,
+             first_value(v_scaled IGNORE NULLS) OVER
+               (PARTITION BY et ORDER BY hour
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS y1,
+             first_value(CASE WHEN v_scaled IS NOT NULL THEN t END IGNORE NULLS)
+               OVER (PARTITION BY et ORDER BY hour
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS t1
+      FROM g)
+    SELECT et AS event_type, hour,
+           CAST(v_scaled IS NOT NULL AS BOOLEAN) AS observed,
+           CAST(CAST(CASE
+             WHEN v_scaled IS NOT NULL THEN v_scaled
+             WHEN y0 IS NULL THEN y1
+             WHEN y1 IS NULL THEN y0
+             WHEN t1 = t0 THEN y0
+             ELSE y0 + (y1 - y0) * (t - t0) // (t1 - t0)
+           END AS BIGINT) AS DOUBLE) / 10000 AS value_interp
+    FROM w
+    """,
+)
+def interpolate_hourly_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap repair one step past densify_daily_counts'
+    zero-fill: LINEAR interpolation of missing hourly averages per
+    event type, from the nearest observed neighbors on each side
+    (edges clamp to the available side). The carry is two
+    IGNORE-NULLS window walks over the densified grid — one shuffle
+    on event_type total; the grid is hours x types, never raw events.
+    All interpolation arithmetic is scaled-integer (cents*100), so
+    engines agree bit-for-bit; observed rows pass through their own
+    scaled average unchanged."""
+    # calendar grid restricted to a fixed two-week window; observations
+    # outside the grid drop in the calendar join
+    ev = load_table(spark, sf_dir, "events")
+    cal_hours = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("timestamp"),
+                F.lit("2024-01-14 23:00:00").cast("timestamp"),
+                F.expr("interval 1 hour"),
+            )
+        ).alias("hour")
+    )
+    types = ev.select(F.col("event_type").alias("et")).distinct()
+    cal = cal_hours.crossJoin(F.broadcast(types))
+    obs = ev.groupBy(
+        F.col("event_type").alias("et"), F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.expr("CAST(round(sum(value * 100)) AS BIGINT) * 100 div count(*)").alias(
+            "v_scaled"
+        )
+    )
+    g = cal.join(obs, ["et", "hour"], "left").withColumn(
+        "t", (F.unix_timestamp("hour") / 3600).cast("long")
+    )
+    wb = (
+        Window.partitionBy("et")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("et")
+        .orderBy("hour")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    t_obs = F.when(F.col("v_scaled").isNotNull(), F.col("t"))
+    w = (
+        g.withColumn("y0", F.last("v_scaled", ignorenulls=True).over(wb))
+        .withColumn("t0", F.last(t_obs, ignorenulls=True).over(wb))
+        .withColumn("y1", F.first("v_scaled", ignorenulls=True).over(wf))
+        .withColumn("t1", F.first(t_obs, ignorenulls=True).over(wf))
+    )
+    interp = (
+        F.when(F.col("v_scaled").isNotNull(), F.col("v_scaled"))
+        .when(F.col("y0").isNull(), F.col("y1"))
+        .when(F.col("y1").isNull(), F.col("y0"))
+        .when(F.col("t1") == F.col("t0"), F.col("y0"))
+        .otherwise(
+            F.col("y0")
+            + F.expr("(y1 - y0) * (t - t0) div (t1 - t0)")
+        )
+    )
+    return w.select(
+        F.col("et").alias("event_type"),
+        "hour",
+        F.col("v_scaled").isNotNull().alias("observed"),
+        (interp.cast("long").cast("double") / 10000).alias("value_interp"),
+    )
+
+
+@q(
+    "market_basket_lift",
+    """
+    WITH post AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n_orders AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM post),
+    part_freq AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS f FROM post GROUP BY 1),
+    co AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(count(*) AS BIGINT) AS n_co
+      FROM post a JOIN post b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 3)
+    SELECT part_a, part_b, n_co,
+           CAST(CAST(n_co * n.n * 1000000 // (fa.f * fb.f) AS BIGINT) AS DOUBLE)
+             / 1000000 AS lift
+    FROM co, n_orders n
+    JOIN part_freq fa ON part_a = fa.l_partkey
+    JOIN part_freq fb ON part_b = fb.l_partkey
+    """,
+)
+def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence with lift (the recommendation/
+    affinity primitive): distinct (order, part) postings self-joined
+    on the order key — the same inverted-index shape as
+    ngram_jaccard_neardup, keyed by basket instead of shingle — then
+    lift = P(a,b)/(P(a)P(b)) in scaled-integer arithmetic against
+    broadcast part frequencies. Support floor (>=3 co-orders) prunes
+    the pair tail BEFORE the frequency joins. Baskets are small
+    (1-7 items), so pair fan-out is bounded ~21x postings; at 100 TB
+    the posting self-join co-partitions on the basket key."""
+    post = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = post.agg(F.count_distinct("l_orderkey").alias("n"))
+    freq = post.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("f"))
+    co = (
+        post.alias("a")
+        .join(
+            post.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .filter(F.col("n_co") >= 3)
+    )
+    fa = freq.select(F.col("l_partkey").alias("part_a"), F.col("f").alias("fa"))
+    fb = freq.select(F.col("l_partkey").alias("part_b"), F.col("f").alias("fb"))
+    return (
+        co.crossJoin(F.broadcast(n_orders))
+        .join(F.broadcast(fa), "part_a")
+        .join(F.broadcast(fb), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_co",
+            (
+                F.expr("n_co * n * 1000000 div (fa * fb)").cast("long").cast("double")
+                / 1000000
+            ).alias("lift"),
+        )
+    )
