@@ -3718,3 +3718,54 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+@q(
+    "activity_streaks",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events),
+    isl AS (
+      SELECT user_id, day,
+             CAST(day - CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY day) AS INT) AS DATE) AS island
+      FROM days),
+    streaks AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS streak_days,
+             min(day) AS streak_start
+      FROM isl GROUP BY user_id, island)
+    SELECT user_id, streak_days, streak_start FROM (
+      SELECT user_id, streak_days, streak_start,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY streak_days DESC, streak_start) AS rn
+      FROM streaks) WHERE rn = 1
+    """,
+)
+def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's LONGEST run of consecutive active
+    days. The island key is day - row_number() — constant within a
+    consecutive run, shifts at every gap — turning streak detection
+    into a plain groupBy; no recursion, no self-join, no loop. Two
+    windows and both aggregate steps share ONE user_id shuffle
+    (day-level rows only: the distinct collapses raw events first).
+    The retention/engagement primitive next to retention_cohorts."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = days.withColumn(
+        "island", F.date_sub("day", F.row_number().over(w))
+    )
+    streaks = isl.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("streak_days"),
+        F.min("day").alias("streak_start"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy(
+        F.col("streak_days").desc(), F.col("streak_start")
+    )
+    return (
+        streaks.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "streak_days", "streak_start")
+    )
