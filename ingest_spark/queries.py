@@ -3769,3 +3769,205 @@ def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "streak_days", "streak_start")
     )
+
+@q(
+    "markov_transitions",
+    """
+    WITH seq AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      FROM events),
+    c AS (
+      SELECT src, dst, CAST(count(*) AS BIGINT) AS n_trans
+      FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2),
+    tot AS (SELECT src, CAST(sum(n_trans) AS BIGINT) AS n_src FROM c GROUP BY 1)
+    SELECT c.src, c.dst, c.n_trans,
+           CAST(CAST(c.n_trans * 1000000 // t.n_src AS BIGINT) AS DOUBLE)
+             / 1000000 AS p_trans
+    FROM c JOIN tot t ON c.src = t.src
+    """,
+)
+def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event_type | current event_type). The sequence
+    order is one lead() window on the user_id shuffle (ties broken by
+    event_id so both engines see the same ordering); transition counts
+    are a plain groupBy and the per-source totals join back via
+    broadcast (the matrix is event_types^2 — tiny at any scale).
+    Probabilities are scaled-integer division so engines agree
+    bit-for-bit. The behavioral-model primitive behind next-event
+    prediction features and funnel priors (reference's event shapes,
+    SURVEY.md S1/T9)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    )
+    c = (
+        seq.filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n_trans"))
+    )
+    tot = c.groupBy("src").agg(F.sum("n_trans").alias("n_src"))
+    return c.join(F.broadcast(tot), "src").select(
+        "src",
+        "dst",
+        "n_trans",
+        (
+            F.expr("n_trans * 1000000 div n_src").cast("long").cast("double")
+            / 1000000
+        ).alias("p_trans"),
+    )
+
+
+@q(
+    "spend_deciles",
+    """
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS spend_c
+      FROM orders GROUP BY 1),
+    d AS (
+      SELECT o_custkey, spend_c,
+             CAST(ntile(10) OVER (ORDER BY spend_c DESC, o_custkey) AS INT)
+               AS decile
+      FROM spend)
+    SELECT decile,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(min(spend_c) AS DOUBLE) / 100 AS min_spend,
+           CAST(max(spend_c) AS DOUBLE) / 100 AS max_spend,
+           CAST(sum(spend_c) AS BIGINT) AS total_spend_cents
+    FROM d GROUP BY 1
+    """,
+)
+def spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-value decile table (the classic RFM/LTV cut): rank
+    customers by lifetime spend, split into ten equal-count buckets,
+    report each bucket's population and spend range. Spend is rounded
+    to integer cents BEFORE ranking so the decile boundaries are
+    engine-stable (float sums differ in the last ulp across engines;
+    cents don't), with o_custkey as the total-order tiebreak. The
+    global ntile runs on the customer-grain aggregate — orders of
+    magnitude smaller than the fact table; at 100 TB the same cut
+    computes decile BOUNDARIES via percentile_approx on the aggregate
+    and assigns buckets with a broadcast range join instead of a
+    single-partition window (see SCALING.md)."""
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice") * 100).cast("long").alias("spend_c")
+    )
+    w = Window.orderBy(F.col("spend_c").desc(), F.col("o_custkey"))
+    d = spend.withColumn("decile", F.ntile(10).over(w))
+    return d.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        (F.min("spend_c").cast("double") / 100).alias("min_spend"),
+        (F.max("spend_c").cast("double") / 100).alias("max_spend"),
+        F.sum("spend_c").alias("total_spend_cents"),
+    )
+
+
+@q(
+    "fuzzy_name_match",
+    """
+    SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 4
+    """,
+)
+def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching: part-name pairs within an edit distance
+    of 4, blocked by brand so the quadratic levenshtein only runs
+    inside small same-brand buckets instead of all-pairs (the same
+    blocking idea as the LSH near-dup family, with an exact edit
+    metric). Both engines implement identical Levenshtein semantics.
+    At 100 TB the blocking key would widen to (brand, length bucket)
+    to keep per-bucket pair counts bounded; the join itself is a
+    co-partitioned self-join on the block key."""
+    part = load_table(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("part_a"),
+        F.col("p_name").alias("name_a"),
+    )
+    b = part.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("part_b"),
+        F.col("p_name").alias("name_b"),
+    )
+    return (
+        a.join(b, "brand")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_dist") <= 4)
+        .select("part_a", "part_b", "edit_dist")
+    )
+
+
+@q(
+    "regression_trend_daily",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 -
+               CAST(epoch(DATE '2024-01-01') AS BIGINT) // 86400 AS x,
+             CAST(round(sum(value) * 100) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM daily GROUP BY 1)
+    SELECT event_type, n AS n_days,
+           CAST(CAST((n * sxy - sx * sy) * 10000 //
+                     (n * sxx - sx * sx) AS BIGINT) AS DOUBLE) / 1000000
+             AS slope_per_day,
+           CAST(sy * 100 // n AS DOUBLE) / 10000 AS mean_daily
+    FROM s WHERE n >= 2
+    """,
+)
+def regression_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type linear trend of daily volume: OLS slope computed
+    from the five classic sufficient statistics (n, Σx, Σy, Σxy, Σx²)
+    — one groupBy to daily grain, one groupBy to the per-type sums,
+    zero windows, zero joins. All arithmetic is BIGINT on
+    cent-scaled y and day-index x, so the slope is bit-identical
+    across engines (the textbook float path diverges in the last ulp).
+    The sufficient-statistics shape IS the 100 TB path: each partial
+    aggregates locally and merges associatively — the same pattern as
+    the mergeable sketches in E9 (SURVEY.md §2.2)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type"),
+        (
+            F.unix_timestamp(F.date_trunc("day", "ts")).cast("long") / 86400
+            - F.unix_timestamp(F.lit("2024-01-01").cast("date")).cast("long")
+            / 86400
+        )
+        .cast("long")
+        .alias("x"),
+    ).agg(F.round(F.sum("value") * 100).cast("long").alias("y"))
+    s = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return s.filter(F.col("n") >= 2).select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        (
+            F.expr("(n * sxy - sx * sy) * 10000 div (n * sxx - sx * sx)")
+            .cast("long")
+            .cast("double")
+            / 1000000
+        ).alias("slope_per_day"),
+        (F.expr("sy * 100 div n").cast("double") / 10000).alias("mean_daily"),
+    )

@@ -179,3 +179,36 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_reconciliation_full_outer_copartitions_no_broadcast(spark):
+    """Full-outer must preserve both sides: the join has to be a
+    co-partitioned SMJ/shuffle join, never broadcast."""
+    p = _plan(spark, "source_reconciliation")
+    assert "FullOuter" in p or "full_outer" in p.lower()
+    assert "BroadcastHashJoin FullOuter" not in p
+
+
+def test_market_basket_frequency_joins_broadcast(spark):
+    """The pair->frequency joins are against the (small) part-frequency
+    table: both must broadcast so pair rows never shuffle again after
+    the co-occurrence aggregate."""
+    p = _plan(spark, "market_basket_lift")
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in p
+
+
+def test_interpolation_single_shuffle_for_both_walks(spark):
+    """Both IGNORE-NULLS carry walks (backward + forward) must share
+    one event_type partitioning — exactly one Exchange below the
+    Window operators beyond the grid build."""
+    f = _formatted(spark, "interpolate_hourly_gaps")
+    tree = f.split("\n\n")[0].splitlines()
+    win_ix = [i for i, ln in enumerate(tree) if "Window (" in ln]
+    # two-plus Window nodes (forward + backward walks)...
+    assert len(win_ix) >= 2, tree
+    # ...stacked over ONE shuffle: no Exchange between the topmost and
+    # bottom-most Window node (the only other et-exchange in the plan
+    # feeds the broadcast distinct() of event types, not the walks)
+    between = tree[min(win_ix): max(win_ix) + 1]
+    assert not any("Exchange" in ln for ln in between), between
