@@ -3971,3 +3971,69 @@ def regression_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("slope_per_day"),
         (F.expr("sy * 100 div n").cast("double") / 10000).alias("mean_daily"),
     )
+
+@q(
+    "mad_outliers",
+    """
+    WITH v AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events),
+    med AS (
+      SELECT event_type, CAST(2 * quantile_cont(v, 0.5) AS BIGINT) AS m2
+      FROM v GROUP BY 1),
+    ad AS (
+      SELECT v.event_type, v.v, m.m2, abs(2 * v.v - m.m2) AS ad2
+      FROM v JOIN med m ON v.event_type = m.event_type),
+    mad AS (
+      SELECT event_type, CAST(2 * quantile_cont(ad2, 0.5) AS BIGINT) AS mad4
+      FROM ad GROUP BY 1)
+    SELECT a.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN 2 * a.ad2 * 10000 > 44478 * m.mad4
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(max(a.m2) AS DOUBLE) / 200 AS median_value,
+           CAST(max(m.mad4) AS DOUBLE) / 400 AS mad_value
+    FROM ad a JOIN mad m ON a.event_type = m.event_type
+    GROUP BY 1
+    """,
+)
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type: |value - median| >
+    3 * 1.4826 * MAD (the normal-consistency Hampel filter) — the
+    curation-grade sibling of zscore_by_event_type, immune to the very
+    outliers it hunts. ALL comparisons are integer: values are
+    cent-scaled, the two exact medians are doubled before casting (a
+    two-point interpolation is always .0 or .5, so 2x is exact), and
+    the 1.4826 constant is the rational 14826/10000 — both engines
+    evaluate the same BIGINT inequality, no float tie can flip a row.
+    Two aggregate passes with broadcast joins back (the per-type
+    median table is tiny); at 100 TB the exact medians swap for
+    percentile_approx with the same scaling (see approx_*_sketch)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("v")
+    )
+    med = v.groupBy("event_type").agg(
+        (F.percentile("v", F.lit(0.5)) * 2).cast("long").alias("m2")
+    )
+    ad = v.join(F.broadcast(med), "event_type").withColumn(
+        "ad2", F.abs(2 * F.col("v") - F.col("m2"))
+    )
+    mad = ad.groupBy("event_type").agg(
+        (F.percentile("ad2", F.lit(0.5)) * 2).cast("long").alias("mad4")
+    )
+    return (
+        ad.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(
+                    2 * F.col("ad2") * 10000 > 44478 * F.col("mad4"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+            (F.max("m2").cast("double") / 200).alias("median_value"),
+            (F.max("mad4").cast("double") / 400).alias("mad_value"),
+        )
+    )

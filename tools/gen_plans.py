@@ -1,4 +1,4 @@
-"""Regenerate PLANS.md: formatted physical-plan snapshots for six
+"""Regenerate PLANS.md: formatted physical-plan snapshots for seven
 representative headline queries (plan-only — nothing executes).
 
 Usage: python tools/gen_plans.py [sf_dir]
@@ -18,6 +18,7 @@ PICKS = [
     ("minhash_lsh_neardup", "LSH near-dup: equi-join on band buckets, no cartesian anywhere"),
     ("hash_split_train_test", "deterministic split: pure projection, zero exchanges"),
     ("funnel_conversion", "ordered funnel: scan-pruned slices, user-key joins, AQE"),
+    ("interpolate_hourly_gaps", "gap interpolation: both IGNORE-NULLS walks stacked on ONE shuffle"),
 ]
 
 KEEP_KW = (
@@ -35,7 +36,7 @@ def main() -> None:
     out = open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w")
     out.write(f"""# PLANS — physical-plan snapshots ({os.path.basename(sf_dir)}, local[32], AQE on)
 
-`.explain("formatted")` captures for six representative headline shapes, as
+`.explain("formatted")` captures for seven representative headline shapes, as
 evidence the plan-quality invariants in `tests/test_plans.py` describe the
 real plans. Regenerate with `python tools/gen_plans.py` after any
 planner-relevant change.
