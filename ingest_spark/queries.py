@@ -4037,3 +4037,46 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("mad4").cast("double") / 400).alias("mad_value"),
         )
     )
+
+@q(
+    "ohlc_hourly",
+    """
+    WITH base AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour, ts,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events)
+    SELECT event_type, hour,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(arg_min(v, ts) AS DOUBLE) / 100 AS open,
+           CAST(max(v) AS DOUBLE) / 100 AS high,
+           CAST(min(v) AS DOUBLE) / 100 AS low,
+           CAST(arg_max(v, ts) AS DOUBLE) / 100 AS close
+    FROM base GROUP BY 1, 2
+    """,
+)
+def ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick rollup (the metering/finance downsample): per
+    event type and hour, the first/highest/lowest/last cent-scaled
+    value. open/close are min_by/max_by on the event time — a single
+    hash aggregate, no window, no self-join; high/low are plain
+    min/max in the same pass. One shuffle on (event_type, hour) at any
+    scale, partial-aggregated map-side. Ties on ts would be
+    engine-arbitrary; (event_type, ts) is verified unique at every
+    test SF, and the robust tiebreak at 100 TB is a composite sort key
+    (ts, event_id) — Spark takes struct keys natively, which is why
+    the engine-side op uses min_by over an orderable struct where the
+    portability oracle cannot."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("hour"),
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    return base.groupBy("event_type", "hour").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.min_by("v", "ts").cast("double") / 100).alias("open"),
+        (F.max("v").cast("double") / 100).alias("high"),
+        (F.min("v").cast("double") / 100).alias("low"),
+        (F.max_by("v", "ts").cast("double") / 100).alias("close"),
+    )
