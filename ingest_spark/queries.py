@@ -4080,3 +4080,104 @@ def ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.min("v").cast("double") / 100).alias("low"),
         (F.max_by("v", "ts").cast("double") / 100).alias("close"),
     )
+
+
+@q(
+    "rolling_active_users",
+    """
+    WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+    cov AS (
+      SELECT user_id, CAST(unnest(generate_series(d, d + INTERVAL 6 DAY,
+                                                  INTERVAL 1 DAY)) AS DATE) AS day
+      FROM ud),
+    wau AS (SELECT day, count(DISTINCT user_id) AS wau FROM cov GROUP BY 1),
+    dau AS (SELECT d AS day, count(DISTINCT user_id) AS dau FROM ud GROUP BY 1)
+    SELECT dau.day, CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau
+    FROM dau JOIN wau USING (day)
+    """,
+)
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU rolling-distinct (the engagement dashboard rollup).
+
+    Rolling COUNT(DISTINCT) is not window-expressible in any engine,
+    and the naive day-grid range join fans every active day out to
+    every overlapping window via a join. Instead each distinct
+    (user, day) pair *generates* the <=7 trailing windows it covers
+    (`sequence` + `explode`) — a shuffle-free generate after the big
+    distinct, so the whole query is: one distinct shuffle on the raw
+    events (the only pass over the fact table), a 7x fan-out of the
+    already-tiny (user, day) set, and one count-distinct shuffle on
+    (day). At 100 TB the distinct is partial-aggregated map-side and
+    the fan-out never touches the fact table again; windows past the
+    observed range are dropped by the inner join with DAU (which also
+    keeps day off a single reducer). Reference parity: the consumer
+    dashboards' "active meters this week" rollup (SURVEY §2.2 E11).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    dau = ud.groupBy(F.col("d").alias("day")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    cov = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.col("d"), F.date_add("d", 6))).alias("day"),
+    )
+    wau = cov.groupBy("day").agg(F.countDistinct("user_id").alias("wau"))
+    return dau.join(wau, "day").select("day", "dau", "wau")
+
+
+@q(
+    "ewma_daily_value",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             sum(CAST(round(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2)
+    SELECT c.event_type, c.day,
+           CAST(c.cents AS BIGINT) AS day_cents,
+           sum(p.cents / power(2, date_diff('day', p.day, c.day) + 1))
+             AS ewma_cents
+    FROM daily c
+    JOIN daily p
+      ON p.event_type = c.event_type
+     AND p.day BETWEEN c.day - INTERVAL 6 DAY AND c.day
+    GROUP BY 1, 2, 3
+    """,
+)
+def ewma_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily spend per event
+    type — the smoothed trendline ops dashboards draw over metering
+    data (SURVEY §2.2 E11), truncated to a 7-day horizon.
+
+    Weights are dyadic (1/2^(age+1)): every term is an integer cents
+    value divided by a power of two, so each term AND the sum are
+    exactly representable doubles — no rounding epsilon, hash-exact
+    across engines, which is why alpha=1/2 and not 0.3. The EWMA runs
+    on the *daily aggregate*, not the fact table: the first groupBy
+    crushes cardinality to (event_type x day) — thousands of rows at
+    any SF — so the 7-day self-join that positions the age-dependent
+    weights is a broadcast-scale join at 100 TB, and gap days simply
+    contribute no term (calendar-age weights, not row-position
+    weights). One fact-table shuffle total.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    c, p = daily.alias("c"), daily.alias("p")
+    j = c.join(
+        p,
+        (F.col("p.event_type") == F.col("c.event_type"))
+        & (F.col("p.day") >= F.date_sub(F.col("c.day"), 6))
+        & (F.col("p.day") <= F.col("c.day")),
+    )
+    return j.groupBy(
+        F.col("c.event_type").alias("event_type"),
+        F.col("c.day").alias("day"),
+        F.col("c.cents").alias("day_cents"),
+    ).agg(
+        F.sum(
+            F.col("p.cents")
+            / F.pow(F.lit(2.0), F.datediff(F.col("c.day"), F.col("p.day")) + 1)
+        ).alias("ewma_cents")
+    )
