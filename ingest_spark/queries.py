@@ -4087,13 +4087,15 @@ def ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
     cov AS (
-      SELECT user_id, CAST(unnest(generate_series(d, d + INTERVAL 6 DAY,
-                                                  INTERVAL 1 DAY)) AS DATE) AS day
-      FROM ud),
-    wau AS (SELECT day, count(DISTINCT user_id) AS wau FROM cov GROUP BY 1),
-    dau AS (SELECT d AS day, count(DISTINCT user_id) AS dau FROM ud GROUP BY 1)
-    SELECT dau.day, CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau
-    FROM dau JOIN wau USING (day)
+      SELECT user_id, d,
+             CAST(unnest(generate_series(d, d + INTERVAL 6 DAY,
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+      FROM ud)
+    SELECT day,
+           CAST(count(DISTINCT CASE WHEN d = day THEN user_id END) AS BIGINT) AS dau,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+    FROM cov GROUP BY 1
+    HAVING count(DISTINCT CASE WHEN d = day THEN user_id END) > 0
     """,
 )
 def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4104,26 +4106,37 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     every overlapping window via a join. Instead each distinct
     (user, day) pair *generates* the <=7 trailing windows it covers
     (`sequence` + `explode`) — a shuffle-free generate after the big
-    distinct, so the whole query is: one distinct shuffle on the raw
-    events (the only pass over the fact table), a 7x fan-out of the
-    already-tiny (user, day) set, and one count-distinct shuffle on
-    (day). At 100 TB the distinct is partial-aggregated map-side and
-    the fan-out never touches the fact table again; windows past the
-    observed range are dropped by the inner join with DAU (which also
-    keeps day off a single reducer). Reference parity: the consumer
+    distinct, and ONE aggregation yields both metrics: DAU counts only
+    the offset-0 users via a conditional count-distinct, WAU counts
+    them all (Catalyst's Expand handles the two distinct aggregates
+    over the already-tiny exploded set). A first draft computed DAU
+    and WAU as separate DataFrame branches and the physical plan
+    showed the parquet fact scanned TWICE; this shape is one fact
+    pass, one distinct shuffle, one agg shuffle. At 100 TB the
+    distinct is partial-aggregated map-side and the fan-out never
+    touches the fact table again; synthetic days past the observed
+    range carry dau=0 and are filtered (a real observed day always
+    has dau >= 1 by construction). Reference parity: the consumer
     dashboards' "active meters this week" rollup (SURVEY §2.2 E11).
     """
     ev = load_table(spark, sf_dir, "events")
     ud = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
-    dau = ud.groupBy(F.col("d").alias("day")).agg(
-        F.countDistinct("user_id").alias("dau")
-    )
     cov = ud.select(
         "user_id",
+        "d",
         F.explode(F.sequence(F.col("d"), F.date_add("d", 6))).alias("day"),
     )
-    wau = cov.groupBy("day").agg(F.countDistinct("user_id").alias("wau"))
-    return dau.join(wau, "day").select("day", "dau", "wau")
+    return (
+        cov.groupBy("day")
+        .agg(
+            F.countDistinct(
+                F.when(F.col("d") == F.col("day"), F.col("user_id"))
+            ).alias("dau"),
+            F.countDistinct("user_id").alias("wau"),
+        )
+        .where(F.col("dau") > 0)
+        .select("day", "dau", "wau")
+    )
 
 
 @q(

@@ -19,6 +19,7 @@ PICKS = [
     ("hash_split_train_test", "deterministic split: pure projection, zero exchanges"),
     ("funnel_conversion", "ordered funnel: scan-pruned slices, user-key joins, AQE"),
     ("interpolate_hourly_gaps", "gap interpolation: both IGNORE-NULLS walks stacked on ONE shuffle"),
+    ("rolling_active_users", "rolling distinct: one fact pass, 7x generate on the tiny distinct set"),
 ]
 
 KEEP_KW = (
