@@ -44,6 +44,8 @@ HEADLINE = [
     "chunk_tokens_windows",
     "funnel_conversion",
     "sketch_rollup_union",
+    "markov_transitions",
+    "rolling_active_users",
 ]
 
 
