@@ -4195,3 +4195,51 @@ def ewma_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.pow(F.lit(2.0), F.datediff(F.col("c.day"), F.col("p.day")) + 1)
         ).alias("ewma_cents")
     )
+
+
+@q(
+    "word_entropy",
+    """
+    WITH words AS (
+      SELECT doc_id, w
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> ''),
+    wc AS (SELECT doc_id, w, count(*) AS c FROM words GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_words,
+           CAST(count(*) AS BIGINT) AS distinct_words,
+           round((ln(CAST(sum(c) AS DOUBLE))
+                  - sum(c * ln(CAST(c AS DOUBLE))) / sum(c))
+                 / 0.6931471805599453, 3) AS entropy_bits
+    FROM wc GROUP BY 1
+    """,
+)
+def word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram Shannon entropy in bits — the classic
+    perplexity-proxy quality filter (low entropy = repetitive/spammy,
+    the signal `repetition_ratio` approximates without logs; SURVEY
+    §2.2 E4). Uses H = ln(n) - sum(c*ln c)/n, i.e. one pass over the
+    per-word counts with no per-row probability division, and divides
+    by a shared ln(2) LITERAL so both engines scale by the identical
+    constant. Entropies are transcendental, so a 3-decimal round
+    leaves ulp-level libm differences ~10 orders of magnitude away
+    from any rounding boundary — the only float tolerance accepted
+    anywhere in this registry, and why: no integer-exact entropy
+    exists. Two shuffles ((doc_id, word) count, then doc_id rollup),
+    both partial-aggregated map-side; the explode is a narrow
+    generate, never materialized."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).where(F.col("w") != "")
+    wc = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    n = F.sum("c")
+    return wc.groupBy("doc_id").agg(
+        n.alias("n_words"),
+        F.count(F.lit(1)).alias("distinct_words"),
+        F.round(
+            (F.log(n.cast("double")) - F.sum(F.col("c") * F.log(F.col("c").cast("double"))) / n)
+            / F.lit(0.6931471805599453),
+            3,
+        ).alias("entropy_bits"),
+    )
