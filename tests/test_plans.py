@@ -212,3 +212,24 @@ def test_interpolation_single_shuffle_for_both_walks(spark):
     # feeds the broadcast distinct() of event types, not the walks)
     between = tree[min(win_ix): max(win_ix) + 1]
     assert not any("Exchange" in ln for ln in between), between
+
+
+def test_rolling_actives_single_fact_pass_no_expand(spark):
+    # one parquet scan (DAU folded into the coverage aggregation, not a
+    # second branch) and no Expand (DAU is a conditional plain count, so
+    # the plan stays on the single-distinct aggregate strategy)
+    p = _plan(spark, "rolling_active_users")
+    assert p.count("Scan parquet") == 1, p
+    assert "Expand" not in p, p
+
+
+def test_ewma_self_join_runs_on_post_aggregate_grain(spark):
+    # the age-weighted self-join must join two AGGREGATED sides (daily
+    # grain), never the raw fact against itself: both scans feed a
+    # HashAggregate before any join, and the tiny side broadcasts
+    p = _plan(spark, "ewma_daily_value")
+    assert "BroadcastHashJoin" in p, p          # post-agg side is broadcast-size
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p, p
+    # the broadcast build side is an aggregated daily grain, not raw events
+    build = p.split("BroadcastExchange", 1)[1]
+    assert "HashAggregate" in build.split("Scan parquet", 1)[0], p
