@@ -365,6 +365,38 @@ def session_window_counts(
     )
 
 
+def sliding_active_users(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    event_time_col: str = "ts",
+    window: str = "7 days",
+    slide: str = "1 day",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming sibling of ``queries.rolling_active_users`` (rolling
+    DAU/WAU): trailing-window active-entity counts as a watermarked
+    SLIDING window aggregate. Exact count_distinct is illegal in a
+    streaming aggregation (state would be unbounded per window), so
+    this uses ``approx_count_distinct`` — the HLL±2% answer is the
+    same trade `sketch_rollup_union` makes for batch rollups at 100 TB
+    (SCALING.md §2), and its state per window is a fixed few KB
+    regardless of cardinality. Window count per row is
+    window/slide (7 here) — the streaming analogue of the batch
+    query's 7x coverage explode. The watermark finalizes and evicts
+    windows; batch parity for the same frame is asserted in
+    tests/test_streaming.py."""
+    return (
+        stream.withWatermark(event_time_col, watermark)
+        .groupBy(F.window(event_time_col, window, slide).alias("win"))
+        .agg(F.approx_count_distinct(key_col).alias("active_approx"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "active_approx",
+        )
+    )
+
+
 def dedup_stream_tws(
     stream: DataFrame, hash_col: str = "record_hash", ttl_minutes: int | None = None
 ) -> DataFrame:

@@ -304,3 +304,46 @@ def test_transform_with_state_dedup_across_batches(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
+
+
+def test_sliding_active_users_matches_batch(spark, tmp_path):
+    from ingest_spark.streaming.pipeline import read_file_stream, sliding_active_users
+
+    src = tmp_path / "events_src"
+    # u1 active in two slides, u2 in one; 1h window sliding by 30min
+    _write_feed(
+        src,
+        _event_rows(
+            [
+                ("2024-01-01T00:10:00", 1, "click"),
+                ("2024-01-01T00:20:00", 1, "click"),   # dup user in window
+                ("2024-01-01T00:40:00", 2, "click"),
+                ("2024-01-01T01:10:00", 1, "view"),
+            ]
+        ),
+    )
+    stream = read_file_stream(spark, str(src), EVENT_SCHEMA, fmt="json")
+    q = (
+        sliding_active_users(stream, window="1 hour", slide="30 minutes")
+        .writeStream.format("memory")
+        .queryName("sliding_actives")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        str(r.window_start): r.active_approx
+        for r in spark.sql("SELECT * FROM sliding_actives").collect()
+    }
+    # identical aggregation over the same files in batch mode
+    batch = (
+        spark.read.schema(EVENT_SCHEMA).json(str(src))
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"))
+        .agg(F.approx_count_distinct("user_id").alias("active_approx"))
+    )
+    want = {str(r["win"].start): r.active_approx for r in batch.collect()}
+    assert got == want
+    # at these cardinalities HLL is exact: [00:00,01:00) holds u1+u2
+    assert got["2024-01-01 00:00:00"] == 2
+    assert got["2024-01-01 01:00:00"] == 1
