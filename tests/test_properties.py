@@ -112,3 +112,101 @@ def test_pii_redact_idempotent_and_count_consistent(spark, docs):
     ).collect()
     for r in again:
         assert r["redacted"] == r["text"]
+
+
+# --- newest behavioral queries vs independent Python references ---------
+
+_EV = st.lists(
+    st.tuples(st.integers(min_value=1, max_value=28),   # January day
+              st.integers(min_value=1, max_value=5),    # user_id
+              st.integers(min_value=0, max_value=3)),   # event_type idx
+    min_size=1, max_size=30,
+)
+
+
+def _events_df(spark, evs):
+    types = ["view", "click", "purchase", "refund"]
+    rows = [
+        (i, f"2024-01-{d:02d} 12:00:{i % 60:02d}", u, types[t], float(i % 7) + 0.25)
+        for i, (d, u, t) in enumerate(evs)
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+
+
+def _query_sf(spark, tmp, df, table):
+    df.write.mode("overwrite").parquet(f"{tmp}/{table}.parquet")
+    return tmp
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_EV)
+def test_rolling_actives_matches_python_reference(spark, tmp_path_factory, evs):
+    from ingest_spark.queries import rolling_active_users
+
+    sf = _query_sf(spark, str(tmp_path_factory.mktemp("rau")),
+                   _events_df(spark, evs), "events")
+    got = {r["day"].day: (r["dau"], r["wau"])
+           for r in rolling_active_users(spark, sf).collect()}
+
+    active = {}  # day -> set(users)
+    for d, u, _ in evs:
+        active.setdefault(d, set()).add(u)
+    want = {
+        d: (len(us), len(set().union(*(active.get(p, set())
+                                       for p in range(d - 6, d + 1)))))
+        for d, us in active.items()
+    }
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_EV)
+def test_ewma_matches_python_reference(spark, tmp_path_factory, evs):
+    from ingest_spark.queries import ewma_daily_value
+
+    types = ["view", "click", "purchase", "refund"]
+    sf = _query_sf(spark, str(tmp_path_factory.mktemp("ewma")),
+                   _events_df(spark, evs), "events")
+    got = {(r["event_type"], r["day"].day): (r["day_cents"], r["ewma_cents"])
+           for r in ewma_daily_value(spark, sf).collect()}
+
+    cents = {}  # (type, day) -> cents
+    for i, (d, u, t) in enumerate(evs):
+        v = round(((i % 7) + 0.25) * 100)
+        k = (types[t], d)
+        cents[k] = cents.get(k, 0) + v
+    want = {
+        (ty, d): (c, sum(cents[(ty, p)] / 2 ** (d - p + 1)
+                         for p in range(d - 6, d + 1) if (ty, p) in cents))
+        for (ty, d), c in cents.items()
+    }
+    assert got == want  # dyadic weights: float equality is EXACT here
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(DOC, min_size=1, max_size=5))
+def test_word_entropy_matches_python_reference(spark, tmp_path_factory, docs):
+    import math
+    from collections import Counter
+
+    from ingest_spark.queries import word_entropy
+
+    df = spark.createDataFrame(
+        [(i, t, "en", "prop", len(t)) for i, t in enumerate(docs)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = _query_sf(spark, str(tmp_path_factory.mktemp("ent")), df, "documents")
+    got = {r["doc_id"]: (r["n_words"], r["distinct_words"], r["entropy_bits"])
+           for r in word_entropy(spark, sf).collect()}
+
+    for i, t in enumerate(docs):
+        c = Counter(w for w in t.split(" ") if w)
+        n = sum(c.values())
+        h = (math.log(n) - sum(v * math.log(v) for v in c.values()) / n) \
+            / 0.6931471805599453
+        assert got[i][:2] == (n, len(c))
+        assert abs(got[i][2] - round(h, 3)) < 1e-9
+        # bounds: 0 <= H <= log2(distinct)
+        assert -1e-9 <= got[i][2] <= math.log2(len(c)) + 1e-3
