@@ -13,7 +13,7 @@ BASELINE.json-mandated extension for LLM-training-data pipelines.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ingest_spark.functions.hashing import normalized_fingerprint
@@ -237,6 +237,135 @@ def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
         ),
     )
+
+
+def gopher_filters(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style document quality gate (Rae et al. 2021, table A1,
+    adapted to thresholds that discriminate on word-token corpora):
+    word-count bounds, mean-word-length bounds, minimum distinct
+    stopwords, and a repetition (type-token) floor, each surfaced as
+    its own flag plus a combined ``keep``. Unlike ``quality_score``
+    (one blended scalar) this is the hard PASS/FAIL cascade a curation
+    pipeline applies before spending money on dedup or training.
+
+    All four rules are narrow codegen'd projections over one split()
+    — no shuffle, scan-bound at 100 TB. Ratios use scaled-integer
+    division (exact midpoints, portable across engines)."""
+    t = F.col(text_col)
+    words = F.split(t, " ")
+    n_words = F.size(words)
+    # single-space corpora: total word chars = chars - (words - 1)
+    mean_wlen_c = ((F.length(t) - n_words + 1) * 10000 / n_words).cast("long")
+    ttr_c = (F.size(F.array_distinct(words)) * 10000 / n_words).cast("long")
+    n_stop_distinct = sum(
+        ((_occurrences(t, w) > 0).cast("int") for w in EN_STOPWORDS),
+        F.lit(0),
+    )
+    out = df.withColumns(
+        {
+            "n_words": n_words,
+            "mean_word_len": mean_wlen_c.cast("double") / 10000,
+            "type_token_ratio": ttr_c.cast("double") / 10000,
+            "n_stop_distinct": n_stop_distinct,
+            "pass_word_count": (n_words >= 20) & (n_words <= 1000),
+            "pass_mean_word_len": (mean_wlen_c >= 20000) & (mean_wlen_c <= 120000),
+            "pass_stopwords": n_stop_distinct >= 2,
+            "pass_repetition": ttr_c >= 2500,
+        }
+    )
+    return out.withColumn(
+        "keep",
+        F.col("pass_word_count")
+        & F.col("pass_mean_word_len")
+        & F.col("pass_stopwords")
+        & F.col("pass_repetition"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    tokens_col: str = "n_tokens",
+    part_col: str = "source",
+    order_col: str = "doc_id",
+    budget: int = 2048,
+) -> DataFrame:
+    """LLM sequence packing (concat-and-chunk): documents are laid end
+    to end in ``order_col`` order within each ``part_col`` shard and
+    cut into ``budget``-token training sequences; a document belongs to
+    the bin where its first token lands. Returns per-bin occupancy —
+    the planning table for how many fixed-shape samples a corpus yields
+    and how full each is.
+
+    Plan: ONE shuffle (hash by shard), then a running sum inside each
+    shard partition and a map-side-combinable group-by — the window is
+    partitioned by shard, so no single-partition collapse; at 100 TB
+    shards (source/domain/date) are the natural packing unit and the
+    cumsum never crosses executors. Generalizes the reference's
+    flush.size record-batching (cluster/configuration.json:8-9) from
+    record counts to token budgets."""
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    toks = F.col(tokens_col).cast("long")
+    packed = df.withColumn("_cum", F.sum(toks).over(w)).withColumn(
+        "bin", F.floor((F.col("_cum") - toks) / F.lit(budget))
+    )
+    return packed.groupBy(part_col, "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(toks).alias("total_tokens"),
+        F.min(order_col).alias("first_doc"),
+        F.max(order_col).alias("last_doc"),
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: tuple[str, ...],
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 relevance of every document to a fixed term query — the
+    retrieval scorer behind corpus search / RAG pre-selection. Term
+    frequencies are exact token-filter counts (adjacent-repeat safe);
+    document frequency and average doc length come from ONE corpus-wide
+    scalar aggregate that is broadcast back onto the scan, so the whole
+    scorer costs one pass over the corpus plus a 1-row broadcast — no
+    per-term join, no inverted-index shuffle. At 100 TB the scalar agg
+    is a partial-merge reduce of ~(len(terms)+2) longs per partition.
+
+    The score formula runs in doubles (idf = ln(1 + (N-df+.5)/(df+.5)),
+    Robertson-Sparck-Jones '+1' variant, always positive) with a fixed
+    term-summation order, so any IEEE-754 engine reproduces it bit-for-
+    bit up to the final rounding."""
+    t = F.col(text_col)
+    n_words = F.size(F.split(t, " "))
+    tf_cols = {f"_tf_{i}": _occurrences(t, w) for i, w in enumerate(query_terms)}
+    scored = df.withColumns(tf_cols).withColumn("_dl", n_words)
+    stats = scored.agg(
+        F.count(F.lit(1)).alias("_n_docs"),
+        F.avg("_dl").alias("_avgdl"),
+        *[
+            F.sum((F.col(c) > 0).cast("long")).alias(f"_df_{i}")
+            for i, c in enumerate(tf_cols)
+        ],
+    )
+    joined = scored.crossJoin(F.broadcast(stats))
+    score = F.lit(0.0)
+    for i in range(len(query_terms)):
+        tf = F.col(f"_tf_{i}").cast("double")
+        dfreq = F.col(f"_df_{i}").cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("_n_docs") - dfreq + 0.5) / (dfreq + 0.5)
+        )
+        denom = tf + F.lit(k1) * (
+            F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.col("_avgdl")
+        )
+        score = score + idf * (tf * F.lit(k1 + 1.0)) / denom
+    return joined.withColumn("bm25", F.round(score, 6))
 
 
 def ngram_contamination(

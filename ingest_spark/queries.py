@@ -4243,3 +4243,194 @@ def word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             3,
         ).alias("entropy_bits"),
     )
+
+
+# ==================================== round-3 curation/retrieval surfaces
+
+
+@q(
+    "gopher_quality_gate",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len({WORDS}) AS INT) AS n_words,
+             CAST((length(text) - len({WORDS}) + 1) * 10000
+                  // len({WORDS}) AS BIGINT) AS mwl_c,
+             CAST(len(list_distinct({WORDS})) * 10000
+                  // len({WORDS}) AS BIGINT) AS ttr_c,
+             ({" + ".join(
+                 f"CASE WHEN list_contains({WORDS}, '{w}') THEN 1 ELSE 0 END"
+                 for w in text.EN_STOPWORDS
+             )}) AS n_stop_distinct
+      FROM documents)
+    SELECT doc_id, n_words,
+           CAST(mwl_c AS DOUBLE) / 10000 AS mean_word_len,
+           CAST(ttr_c AS DOUBLE) / 10000 AS type_token_ratio,
+           CAST(n_stop_distinct AS INT) AS n_stop_distinct,
+           n_words BETWEEN 20 AND 1000 AS pass_word_count,
+           mwl_c BETWEEN 20000 AND 120000 AS pass_mean_word_len,
+           n_stop_distinct >= 2 AS pass_stopwords,
+           ttr_c >= 2500 AS pass_repetition,
+           (n_words BETWEEN 20 AND 1000) AND (mwl_c BETWEEN 20000 AND 120000)
+             AND n_stop_distinct >= 2 AND ttr_c >= 2500 AS keep
+    FROM d
+    """,
+)
+def gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style hard quality cascade (E4/E10): per-rule PASS/FAIL
+    flags + combined keep — the gate run before any money is spent on
+    dedup or training. Pure narrow projection, scan-bound at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.gopher_filters(docs).select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "type_token_ratio",
+        "n_stop_distinct",
+        "pass_word_count",
+        "pass_mean_word_len",
+        "pass_stopwords",
+        "pass_repetition",
+        "keep",
+    )
+
+
+@q(
+    "pack_sequence_bins",
+    f"""
+    WITH d AS (SELECT source, doc_id,
+                      CAST(len({WORDS}) AS BIGINT) AS toks FROM documents),
+    c AS (SELECT *, sum(toks) OVER (PARTITION BY source ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS cum FROM d)
+    SELECT source, CAST((cum - toks) // 2048 AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(toks) AS BIGINT) AS total_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM c GROUP BY 1, 2
+    """,
+)
+def pack_sequence_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM sequence packing (concat-and-chunk, E10): per-shard
+    token-budget bins with occupancy. One shard-keyed shuffle; the
+    running sum is partitioned (no WindowExec collapse)."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.size(F.split("text", " ")).cast("long")
+    )
+    return text.pack_sequences(
+        docs, "n_tokens", "source", "doc_id", budget=2048
+    )
+
+
+@q(
+    "duplicate_passages",
+    f"""
+    WITH s AS (SELECT doc_id, {sql_shingles(5)} AS sh FROM documents),
+    g AS (SELECT doc_id, unnest(sh) AS gram FROM s),
+    freq AS (SELECT gram, CAST(count(*) AS BIGINT) AS n_docs
+             FROM g GROUP BY gram HAVING count(*) >= 2)
+    SELECT gram, n_docs FROM freq
+    ORDER BY n_docs DESC, gram LIMIT 100
+    """,
+)
+def duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicated-passage detector (E2 family): 5-gram
+    passages appearing in >= 2 distinct documents, heaviest first —
+    the boilerplate/template report that tells you WHAT to strip
+    before near-dup dedup. Shingles are distinct-per-doc, so a plain
+    count is the document frequency (no countDistinct shuffle);
+    orderBy+limit compiles to TakeOrderedAndProject (per-partition
+    top-k heaps — the full gram table never moves to one node)."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(dedup.shingles("text", 5)).alias("gram")
+    )
+    freq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        freq.filter(F.col("n_docs") >= 2)
+        .orderBy(F.col("n_docs").desc(), "gram")
+        .limit(100)
+    )
+
+
+BM25_QUERY = ("spark", "table", "hash")
+
+
+@q(
+    "bm25_retrieval",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len({WORDS}) AS DOUBLE) AS dl,
+             {", ".join(
+                 f"CAST({sql_occurrences('text', w)} AS DOUBLE) AS tf_{i}"
+                 for i, w in enumerate(BM25_QUERY)
+             )}
+      FROM documents),
+    stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl,
+             {", ".join(
+                 f"CAST(sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE)"
+                 f" AS df_{i}"
+                 for i in range(len(BM25_QUERY))
+             )}
+      FROM d)
+    SELECT doc_id,
+           round({" + ".join(
+               f"ln(1.0 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5))"
+               f" * (tf_{i} * 2.2)"
+               f" / (tf_{i} + 1.2 * (0.25 + 0.75 * dl / avgdl))"
+               for i in range(len(BM25_QUERY))
+           )}, 6) AS bm25
+    FROM d, stats
+    ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+)
+def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for a fixed 3-term query (the RAG/corpus-search
+    scorer, E4): exact tf counts + ONE broadcast scalar agg for
+    df/avgdl — a single corpus pass, no inverted-index shuffle.
+    TakeOrderedAndProject keeps only the head."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text.bm25_scores(docs, BM25_QUERY, "text", k1=1.2, b=0.75)
+    return (
+        scored.select("doc_id", "bm25")
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+@q(
+    "corpus_composition",
+    f"""
+    WITH d AS (SELECT lang, source,
+                      CAST(len({WORDS}) AS BIGINT) AS toks FROM documents),
+    g AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(toks) AS BIGINT) AS tokens
+          FROM d GROUP BY 1, 2),
+    t AS (SELECT CAST(sum(tokens) AS BIGINT) AS total FROM g)
+    SELECT lang, source, n_docs, tokens,
+           CAST(tokens * 1000000 // total AS DOUBLE) / 1000000 AS token_share
+    FROM g, t
+    """,
+)
+def corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix report (E10): docs + tokens per (lang, source)
+    cell with each cell's share of the corpus token budget — the
+    table a data-mixture design starts from. One map-side-combined
+    aggregate; the 1-row total is broadcast back (same pattern as
+    vocab_coverage). Scaled-integer share (portable midpoints)."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", F.size(F.split("text", " ")).cast("long")
+    )
+    g = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("toks").alias("tokens"),
+    )
+    total = g.agg(F.sum("tokens").alias("total"))
+    return g.crossJoin(F.broadcast(total)).select(
+        "lang",
+        "source",
+        "n_docs",
+        "tokens",
+        ((F.col("tokens") * 1000000 / F.col("total")).cast("long").cast("double") / 1000000).alias("token_share"),
+    )

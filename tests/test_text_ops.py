@@ -62,3 +62,55 @@ def test_sketch_rollup_union_error_bound(spark):
     assert by_type["ALL"]["hll_users"] >= max(
         r["hll_users"] for r in rows if r["event_type"] != "ALL"
     )
+
+
+def test_gopher_filters_rules(spark):
+    from ingest_spark.operators.text import gopher_filters
+
+    long_good = "the and of to is in " + " ".join(f"w{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [
+            (1, long_good),            # passes everything
+            (2, "the and short doc"),  # fails word-count floor (4 words)
+            (3, "the " * 25 + "and"),  # repetitive: ttr 2/51 < 0.25
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in gopher_filters(df).collect()}
+    assert rows[1]["keep"] is True
+    assert rows[2]["pass_word_count"] is False and rows[2]["keep"] is False
+    assert rows[3]["pass_repetition"] is False and rows[3]["keep"] is False
+    # per-rule flags stay independently reported
+    assert rows[2]["pass_stopwords"] is True
+
+
+def test_pack_sequences_bin_boundaries(spark):
+    from ingest_spark.operators.text import pack_sequences
+
+    # budget 10: docs of 4,4,4 tokens -> starts 0,4,8 -> bins 0,0,0;
+    # doc 4 starts at 12 -> bin 1; second shard packs independently
+    df = spark.createDataFrame(
+        [("a", 1, 4), ("a", 2, 4), ("a", 3, 4), ("a", 4, 4), ("b", 1, 25)],
+        "source string, doc_id long, n_tokens long",
+    )
+    rows = {(r["source"], r["bin"]): r for r in pack_sequences(df, budget=10).collect()}
+    assert rows[("a", 0)]["n_docs"] == 3 and rows[("a", 0)]["total_tokens"] == 12
+    assert rows[("a", 1)]["n_docs"] == 1 and rows[("a", 1)]["first_doc"] == 4
+    # an oversized doc still lands in the bin of its first token
+    assert rows[("b", 0)]["n_docs"] == 1 and rows[("b", 0)]["total_tokens"] == 25
+
+
+def test_bm25_ranks_term_matches_first(spark):
+    from ingest_spark.operators.text import bm25_scores
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark table hash join merge"),
+            (2, "spark spark spark row row row"),
+            (3, "row scan sort filter agg window"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["bm25"] for r in bm25_scores(df, ("spark", "table")).collect()}
+    # doc 1 matches both terms, doc 2 one term, doc 3 none
+    assert rows[1] > rows[2] > rows[3] == 0.0
