@@ -43,6 +43,15 @@ def load_table(
     Spark's vectorized reader; they are read as int64 nanos via the
     legacy conf and immediately converted to microsecond timestamps —
     floor-division truncation, exactly how DuckDB reads the same file.
+
+    Every timestamp column is normalized to session-zone TIMESTAMP
+    (LTZ) regardless of parquet physical type — NANOS-as-long, naive
+    timestamp[us] (Spark 4 infers TIMESTAMP_NTZ), or LTZ. The session
+    zone is UTC (session.py), so the NTZ→LTZ cast is lossless and the
+    engine presents ONE timestamp type to every downstream operator
+    (LTZ-only functions like unix_micros included). The ts_after
+    watermark filter is applied on the RAW column, before any cast, so
+    it still reaches the scan as a pushed filter.
     """
     path = table_path(sf_dir, name)
     from pyspark.sql import functions as F
@@ -81,7 +90,20 @@ def load_table(
             raise ValueError(
                 f"load_table: ts_after given but table {name!r} has no 'ts' column"
             )
-        df = df.filter(F.col("ts") > F.lit(ts_after).cast("timestamp"))
+        # compare in the column's own type (NTZ or LTZ) so the
+        # predicate stays on the scan attribute and pushes down
+        df = df.filter(
+            F.col("ts") > F.lit(ts_after).cast(df.schema["ts"].dataType)
+        )
+    ntz_cols = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, T.TimestampNTZType)
+    ]
+    if ntz_cols:
+        df = df.withColumns(
+            {c: F.col(c).cast("timestamp") for c in ntz_cols}
+        )
     return df
 
 

@@ -796,9 +796,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_signatures_df(docs, "doc_id", "text", num_hashes=4, shingle_n=3)
 
 
-@q(
-    "minhash_lsh_neardup",
-    f"""
+_SQL_LSH_PAIRS = f"""
     WITH sig AS ({_sql_minhash_sig()[0]}),
     b AS (
       SELECT doc_id, '0:' || m0 || ',' || m1 AS bucket FROM sig
@@ -807,8 +805,10 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
     FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.doc_id < b2.doc_id
-    """,
-)
+"""
+
+
+@q("minhash_lsh_neardup", _SQL_LSH_PAIRS)
 def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2 scale path: LSH banding (2 bands x 2 rows over the 4-hash
     signature). Only bucket-mates join — the pair space never
@@ -816,6 +816,79 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.minhash_lsh_candidates(
         docs, "doc_id", "text", num_hashes=4, bands=2, shingle_n=3
+    )
+
+
+@q(
+    "dedup_components_clusters",
+    f"""
+    WITH RECURSIVE pairs AS ({_SQL_LSH_PAIRS}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    -- transitive closure: (node, reachable node); UNION dedups, so the
+    -- recursion terminates once no new reachability facts appear
+    walk AS (
+      SELECT src AS id, src AS peer FROM edges
+      UNION
+      SELECT e.src AS id, w.peer
+      FROM edges e JOIN walk w ON e.dst = w.id
+    )
+    SELECT id, min(peer) AS component FROM walk GROUP BY id
+    """,
+)
+def dedup_components_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 final collapse: connected components over the MinHash-LSH
+    near-dup pair graph (iterative min-label propagation,
+    operators/dedup.py:connected_components) — each doc labeled with
+    the min doc_id of its duplicate cluster. This is the step a
+    near-dup pipeline actually ends with (the reference's Redis
+    identity-set collapse, fetch_data_energinet.py:60-65,
+    generalized to a distributed graph); the DuckDB oracle recomputes
+    components exactly via a recursive-CTE transitive closure."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_candidates(
+        docs, "doc_id", "text", num_hashes=4, bands=2, shingle_n=3
+    )
+    return dedup.connected_components(pairs)
+
+
+@q(
+    "neardup_collapse_survivors",
+    f"""
+    WITH RECURSIVE pairs AS ({_SQL_LSH_PAIRS}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    walk AS (
+      SELECT src AS id, src AS peer FROM edges
+      UNION
+      SELECT e.src AS id, w.peer
+      FROM edges e JOIN walk w ON e.dst = w.id
+    ),
+    comps AS (SELECT id, min(peer) AS component FROM walk GROUP BY id)
+    SELECT d.doc_id, d.lang, CAST(length(d.text) AS BIGINT) AS n_chars
+    FROM documents d LEFT JOIN comps c ON d.doc_id = c.id
+    WHERE c.id IS NULL OR d.doc_id = c.component
+    """,
+)
+def neardup_collapse_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-one-per-cluster dedup over the near-dup graph
+    (operators/dedup.py:dedup_by_components): min-id member of each
+    component survives, un-paired docs survive trivially. Pairs + the
+    component map are tiny relative to the corpus, so the final join
+    broadcasts at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_candidates(
+        docs, "doc_id", "text", num_hashes=4, bands=2, shingle_n=3
+    )
+    kept = dedup.dedup_by_components(docs, "doc_id", pairs)
+    return kept.select(
+        "doc_id", "lang", F.length("text").cast("bigint").alias("n_chars")
     )
 
 
