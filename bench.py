@@ -46,6 +46,11 @@ HEADLINE = [
     "sketch_rollup_union",
     "markov_transitions",
     "rolling_active_users",
+    # r4: curation/retrieval additions (VERDICT r3 §Next #5)
+    "gopher_quality_gate",
+    "duplicate_passages",
+    "bm25_retrieval",
+    "dedup_components_clusters",
 ]
 
 

@@ -381,23 +381,25 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("component").alias("n_component"))
         )
-        new_labels = (
+        # the convergence flag rides INSIDE the checkpointed frame, so
+        # each round is exactly one join + one agg + one cheap scan of
+        # already-materialized data — no extra old-vs-new join job
+        stepped = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left_outer")
             .select(
                 "id",
                 F.least(
                     F.col("component"), F.coalesce("n_component", F.col("component"))
                 ).alias("component"),
+                (
+                    F.coalesce("n_component", F.col("component"))
+                    < F.col("component")
+                ).alias("_changed"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter(F.col("_changed")).count()
+        labels = stepped.drop("_changed")
         if changed == 0:
             break
     if changed != 0:

@@ -163,6 +163,45 @@ def embedding_neardup_pairs(
     )
 
 
+def embedding_neardup_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    num_bits: int = 8,
+    dim: int = 64,
+    round_to: int = 4,
+) -> DataFrame:
+    """Scale path for embedding near-dup: candidate pairs are
+    SAME-SIGN-LSH-BUCKET mates only (equi-join on the deterministic
+    hyperplane signature), then the exact cosine threshold — the
+    all-pairs O(n²) of ``embedding_neardup_pairs`` becomes one shuffle
+    on the bucket key with ~n²/2^bits candidate pairs. Recall loss is
+    the standard LSH trade (a >=t pair split across buckets is missed;
+    raise recall with fewer bits or multiple tables); the bucketing is
+    RNG-free, so an oracle replicating the planes reproduces the
+    result exactly."""
+    sig = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        hyperplane_signature(vec_col, num_bits, dim).alias("__bucket"),
+    )
+    a = sig.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "__bucket"
+    )
+    b = sig.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "__bucket"
+    )
+    cos = cosine_similarity("__va", "__vb")
+    return (
+        a.join(b, on="__bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cos >= threshold)  # unrounded: boundary-stable vs oracle
+        .withColumn("cosine_sim", F.round(cos, round_to))
+        .select("id_a", "id_b", "cosine_sim")
+    )
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     id_col: str = "vec_id",

@@ -967,6 +967,41 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_neardup_pairs(emb, threshold=0.35)
 
 
+def _sql_neardup_lsh(threshold: float, num_bits: int = 8, dim: int = 64) -> str:
+    """Same-plane sign-LSH bucketing + exact cosine pair filter — the
+    SQL twin of operators.similarity.embedding_neardup_lsh."""
+    planes = similarity.hyperplane_planes(num_bits, dim, seed=11)
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_inner_product(v, {plane!r}) >= 0 THEN {1 << j} ELSE 0 END)"
+        for j, plane in enumerate(planes)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    sig AS (SELECT vec_id, v, ({bit_terms}) AS bucket FROM e)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_inner_product(a.v, b.v) /
+                 (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))),
+                 4) AS cosine_sim
+    FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE list_inner_product(a.v, b.v) /
+          (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v)))
+          >= {threshold}
+    """
+
+
+@q("embedding_neardup_lsh", _sql_neardup_lsh(0.35))
+def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2/E3 scale path: embedding near-dup restricted to sign-LSH
+    bucket mates — the semantic-dedup shape that survives 100 TB
+    (bucket equi-join, ~n²/2^bits candidates, corpus never cross-
+    joins). The all-pairs `embedding_neardup` stays as the sf-scale
+    recall oracle; this entry's DuckDB oracle replicates the planes
+    bit-for-bit, so the approximation itself is verified exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_neardup_lsh(emb, threshold=0.35, num_bits=8)
+
+
 def _sql_ann_lsh(num_bits: int = 8, dim: int = 64, k: int = 10) -> str:
     """Replicates the sign-LSH bucketing in SQL by embedding the SAME
     LCG-derived hyperplane literals the Spark side uses — dot products

@@ -1,0 +1,306 @@
+"""Executable Avro BINARY serde (T11/T13/K2) — pure Python, no jars.
+
+pip-installed pyspark ships neither the spark-avro datasource nor any
+Python avro library, so ``to_avro``/``from_avro`` stay unavailable
+(session.py gates them). What CAN run everywhere is the wire format
+itself: Avro binary encoding is a small public spec (zigzag-varint
+ints/longs, little-endian IEEE float/double, length-prefixed
+bytes/strings, union-index prefix, block-encoded arrays/maps,
+depth-first records). This module implements that spec for the
+subset the reference's four contracts use — primitives,
+``[null, T]`` unions, records, arrays, maps — giving the engine a
+real byte-level serialize/deserialize path:
+
+- driver/executor-side: ``encode_record`` / ``decode_record`` on
+  plain dicts (used by tests for byte-parity against the Apache Avro
+  JAVA implementation that ships inside Spark's JVM — the oracle);
+- distributed: ``encode_df`` / ``decode_df`` run the codec over
+  Arrow batches via ``mapInPandas`` (binary column in/out), with
+  optional Confluent wire framing (magic 0x00 + big-endian schema
+  id) matching the reference producer's AvroSerializer output
+  (fetch_data_energinet.py:240-244) and the reader-side header strip
+  in ``schemas.avsc.strip_confluent_header``.
+
+At 100 TB this path is the interop/edge format — parquet remains the
+at-rest analytics format; the codec's per-batch Python cost sits only
+on Kafka-facing encode/decode, the same place the reference pays it.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+from collections.abc import Iterator
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ingest_spark.schemas.avsc import avsc_to_struct, normalize_avsc
+
+# ------------------------------------------------------------ primitives
+
+
+def _zigzag_encode(n: int) -> int:
+    return (n << 1) ^ (n >> 63)
+
+
+def _zigzag_decode(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def _write_long(buf: bytearray, n: int) -> None:
+    z = _zigzag_encode(n) & 0xFFFFFFFFFFFFFFFF
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            buf.append(b | 0x80)
+        else:
+            buf.append(b)
+            return
+
+
+def _read_long(data: bytes, pos: int) -> tuple[int, int]:
+    shift = 0
+    acc = 0
+    while True:
+        b = data[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return _zigzag_decode(acc), pos
+        shift += 7
+        if shift > 70:
+            raise ValueError("malformed varint")
+
+
+# ------------------------------------------------------------ schema walk
+
+
+def _parse(schema: dict | str) -> dict:
+    if isinstance(schema, str):
+        schema = json.loads(schema)
+    if schema.get("type") != "record":
+        raise ValueError("top-level avro schema must be a record")
+    return normalize_avsc(schema)
+
+
+def _encode_value(buf: bytearray, t: Any, v: Any, path: str) -> None:
+    if isinstance(t, list):  # union: index, then value
+        if v is None:
+            if "null" not in t:
+                raise ValueError(f"{path}: null for non-nullable union {t}")
+            _write_long(buf, t.index("null"))
+            return
+        branch = next(i for i, x in enumerate(t) if x != "null")
+        _write_long(buf, branch)
+        _encode_value(buf, t[branch], v, path)
+        return
+    if isinstance(t, dict):
+        kind = t["type"]
+        if kind == "record":
+            for f in t["fields"]:
+                _encode_value(buf, f["type"], (v or {}).get(f["name"]), f"{path}.{f['name']}")
+            return
+        if kind == "array":
+            if v:
+                _write_long(buf, len(v))
+                for item in v:
+                    _encode_value(buf, t["items"], item, f"{path}[]")
+            _write_long(buf, 0)
+            return
+        if kind == "map":
+            if v:
+                _write_long(buf, len(v))
+                for k, mv in v.items():
+                    _encode_value(buf, "string", k, f"{path}<key>")
+                    _encode_value(buf, t["values"], mv, f"{path}[{k}]")
+            _write_long(buf, 0)
+            return
+        t = kind  # annotated primitive (logicalType): physical type wins
+    if v is None:
+        if t == "null":
+            return
+        raise ValueError(f"{path}: null for non-nullable {t!r} field")
+    if t == "boolean":
+        buf.append(1 if v else 0)
+    elif t in ("int", "long"):
+        _write_long(buf, int(v))
+    elif t == "float":
+        buf += struct.pack("<f", float(v))
+    elif t == "double":
+        buf += struct.pack("<d", float(v))
+    elif t == "string":
+        raw = str(v).encode("utf-8")
+        _write_long(buf, len(raw))
+        buf += raw
+    elif t == "bytes":
+        raw = bytes(v)
+        _write_long(buf, len(raw))
+        buf += raw
+    else:
+        raise ValueError(f"{path}: unsupported avro type {t!r}")
+
+
+def _decode_value(data: bytes, pos: int, t: Any, path: str) -> tuple[Any, int]:
+    if isinstance(t, list):
+        idx, pos = _read_long(data, pos)
+        if not 0 <= idx < len(t):
+            raise ValueError(f"{path}: union index {idx} out of range")
+        return _decode_value(data, pos, t[idx], path)
+    if isinstance(t, dict):
+        kind = t["type"]
+        if kind == "record":
+            out = {}
+            for f in t["fields"]:
+                out[f["name"]], pos = _decode_value(
+                    data, pos, f["type"], f"{path}.{f['name']}"
+                )
+            return out, pos
+        if kind == "array":
+            items = []
+            while True:
+                n, pos = _read_long(data, pos)
+                if n == 0:
+                    return items, pos
+                if n < 0:  # block with byte-size prefix (spec-legal)
+                    n = -n
+                    _, pos = _read_long(data, pos)
+                for _ in range(n):
+                    item, pos = _decode_value(data, pos, t["items"], f"{path}[]")
+                    items.append(item)
+        if kind == "map":
+            out = {}
+            while True:
+                n, pos = _read_long(data, pos)
+                if n == 0:
+                    return out, pos
+                if n < 0:
+                    n = -n
+                    _, pos = _read_long(data, pos)
+                for _ in range(n):
+                    k, pos = _decode_value(data, pos, "string", f"{path}<key>")
+                    out[k], pos = _decode_value(data, pos, t["values"], f"{path}[{k}]")
+        t = kind
+    if t == "null":
+        return None, pos
+    if t == "boolean":
+        return data[pos] != 0, pos + 1
+    if t in ("int", "long"):
+        return _read_long(data, pos)
+    if t == "float":
+        return struct.unpack_from("<f", data, pos)[0], pos + 4
+    if t == "double":
+        return struct.unpack_from("<d", data, pos)[0], pos + 8
+    if t == "string":
+        n, pos = _read_long(data, pos)
+        return data[pos : pos + n].decode("utf-8"), pos + n
+    if t == "bytes":
+        n, pos = _read_long(data, pos)
+        return bytes(data[pos : pos + n]), pos + n
+    raise ValueError(f"{path}: unsupported avro type {t!r}")
+
+
+# ------------------------------------------------------------ public API
+
+
+def encode_record(schema: dict | str, record: dict) -> bytes:
+    """One dict -> Avro binary body (no framing)."""
+    s = _parse(schema)
+    buf = bytearray()
+    _encode_value(buf, {"type": "record", "fields": s["fields"]}, record, s.get("name", "record"))
+    return bytes(buf)
+
+
+def decode_record(schema: dict | str, data: bytes) -> dict:
+    """Avro binary body -> dict; rejects trailing garbage (a wrong
+    schema usually 'succeeds' with leftover bytes — fail loudly)."""
+    s = _parse(schema)
+    out, pos = _decode_value(
+        data, 0, {"type": "record", "fields": s["fields"]}, s.get("name", "record")
+    )
+    if pos != len(data):
+        raise ValueError(f"{len(data) - pos} trailing bytes after record")
+    return out
+
+
+def confluent_frame(body: bytes, schema_id: int) -> bytes:
+    """Magic 0x00 + big-endian uint32 schema id + body — the registry
+    wire format the reference producer emits."""
+    return b"\x00" + struct.pack(">I", schema_id) + body
+
+
+def encode_df(
+    df: DataFrame, schema: dict | str, schema_id: int | None = None
+) -> DataFrame:
+    """Distributed encode: contract columns -> one ``value: binary``
+    column (plus pass-through of any ``key`` column if present), via
+    mapInPandas over Arrow batches. ``schema_id`` adds Confluent
+    framing."""
+    s = _parse(schema)
+    names = [f["name"] for f in s["fields"]]
+    spark_schema = avsc_to_struct(s)
+    missing = [n for n in names if n not in df.columns]
+    if missing:
+        raise ValueError(f"contract violation, missing columns: {missing}")
+    has_key = "key" in df.columns and "key" not in names
+    out_fields = ([T.StructField("key", T.BinaryType())] if has_key else []) + [
+        T.StructField("value", T.BinaryType())
+    ]
+    out_schema = T.StructType(out_fields)
+    aligned = df.select(
+        *(["key"] if has_key else []),
+        *[F.col(n).cast(spark_schema[n].dataType).alias(n) for n in names],
+    )
+
+    def _enc(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            values = [
+                encode_record(
+                    s,
+                    {
+                        n: (None if pd.isna(row[n]) else row[n])
+                        for n in names
+                    },
+                )
+                for _, row in pdf.iterrows()
+            ]
+            if schema_id is not None:
+                values = [confluent_frame(v, schema_id) for v in values]
+            out = {"value": values}
+            if has_key:
+                out = {"key": list(pdf["key"]), **out}
+            yield pd.DataFrame(out)
+
+    return aligned.mapInPandas(_enc, out_schema)
+
+
+def decode_df(
+    df: DataFrame,
+    schema: dict | str,
+    value_col: str = "value",
+    confluent: bool = False,
+) -> DataFrame:
+    """Distributed decode: ``value: binary`` -> typed contract columns
+    (mapInPandas). ``confluent=True`` strips the 5-byte header first —
+    the reader-side interop the reference consumer got wrong
+    (consumer.py:27-33 parsed wire-framed bytes as a container file)."""
+    s = _parse(schema)
+    spark_schema = avsc_to_struct(s)
+    names = [f["name"] for f in s["fields"]]
+
+    def _dec(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for raw in pdf[value_col]:
+                body = bytes(raw)[5:] if confluent else bytes(raw)
+                rows.append(decode_record(s, body))
+            yield pd.DataFrame(rows, columns=names)
+
+    return df.mapInPandas(_dec, spark_schema)

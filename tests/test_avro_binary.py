@@ -1,0 +1,233 @@
+"""Byte-level Avro serde proof (VERDICT r3 §Next #6).
+
+The oracle is the Apache Avro JAVA library that ships inside Spark's
+JVM (avro-1.12.1.jar): for each contract we encode the same record
+with (a) the engine's pure-Python codec and (b) GenericDatumWriter +
+binaryEncoder via py4j, and require byte-for-byte equality. Decode is
+proven by round-trip plus decoding the JAVA-produced bytes with the
+Python codec. Distributed paths (encode_df/decode_df, mapInPandas)
+and Confluent wire framing are exercised on real table data.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import struct
+
+import pytest
+
+from ingest_spark.schemas.avro_binary import (
+    confluent_frame,
+    decode_df,
+    decode_record,
+    encode_df,
+    encode_record,
+)
+from ingest_spark.schemas.avsc import (
+    confluent_schema_id,
+    normalize_avsc,
+    strip_confluent_header,
+)
+from ingest_spark.schemas.contracts import CONTRACTS
+
+# Representative record per contract. Values chosen to exercise:
+# float rounding (0.1 is inexact in binary32), negative zigzag ints,
+# None through a [null, T] union, and the Bil54 §1.4 repaired field.
+SAMPLES = {
+    "ConsumptionIndustry": {
+        "HourUTC": "2024-01-15T07:00:00",
+        "HourDK": "2024-01-15T08:00:00",
+        "MunicipalityNo": "101",
+        "Branche": "Erhverv",
+        "ConsumptionkWh": 0.1,
+    },
+    "ProductionConsumptionSettlement": {
+        **{n: None for n in [f["name"] for f in CONTRACTS["ProductionConsumptionSettlement"]["fields"]]},
+        "HourUTC": "2024-01-15T07:00:00",
+        "PriceArea": "DK1",
+        "CentralPowerMWh": 1234.5,
+        "GrossConsumptionMWh": -42.25,
+    },
+    "Bil54": {
+        "region": "Hovedstaden",
+        "type_of_vehicle": "Personbil",
+        "terms_of_use": "Privat",
+        "propellant": "El",
+        "content_label": None,
+        "unit": "antal",
+        "updated": "2024-01-15T07:00:00.000",
+        "time": "2024M01",
+        "value": -7,
+        "label": "Bil54",
+        "source": "DST",
+        "documentation": None,  # the §1.4 repaired null-default field
+        "table_id": "BIL54",
+        "decimals": 0,
+    },
+    "Bil52": {
+        "time": "2018M01",
+        "value": 2147483647,
+        "ownership": "Privat",
+        "propellant": "Benzin",
+        "unit": "antal",
+        "label": "Bil52",
+    },
+}
+
+NESTED = {
+    "type": "record",
+    "name": "Nested",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "tags", "type": {"type": "array", "items": "string"}},
+        {"name": "props", "type": {"type": "map", "values": ["null", "double"]}},
+        {
+            "name": "inner",
+            "type": {
+                "type": "record",
+                "name": "Inner",
+                "fields": [
+                    {"name": "flag", "type": "boolean"},
+                    {"name": "blob", "type": "bytes"},
+                ],
+            },
+        },
+    ],
+}
+NESTED_SAMPLE = {
+    "id": -(2**40),
+    "tags": ["a", "ø-unicode", ""],
+    "props": {"x": 1.5, "y": None},
+    "inner": {"flag": True, "blob": b"\x00\xffraw"},
+}
+
+
+def _avro_json(t, v):
+    """Avro's JSON encoding wraps non-null union values as
+    {"branch": value} — build it so the JVM JsonDecoder accepts the
+    same logical record the Python codec encodes."""
+    if isinstance(t, list):
+        if v is None:
+            return None
+        branch = next(x for x in t if x != "null")
+        name = branch if isinstance(branch, str) else branch.get("name", branch["type"])
+        return {name: _avro_json(branch, v)}
+    if isinstance(t, dict):
+        kind = t["type"]
+        if kind == "record":
+            return {
+                f["name"]: _avro_json(f["type"], (v or {}).get(f["name"]))
+                for f in t["fields"]
+            }
+        if kind == "array":
+            return [_avro_json(t["items"], x) for x in v]
+        if kind == "map":
+            return {k: _avro_json(t["values"], mv) for k, mv in v.items()}
+        t = kind
+    if t == "bytes":
+        return v.decode("latin-1")  # avro JSON spec: ISO-8859-1 string
+    return v
+
+
+def _jvm_encode(spark, schema: dict, record: dict) -> bytes:
+    jvm = spark.sparkContext._jvm
+    jschema = jvm.org.apache.avro.Schema.Parser().parse(json.dumps(schema))
+    reader = jvm.org.apache.avro.generic.GenericDatumReader(jschema)
+    record_json = json.dumps(
+        _avro_json({"type": "record", "fields": schema["fields"]}, record)
+    )
+    decoder = jvm.org.apache.avro.io.DecoderFactory.get().jsonDecoder(
+        jschema, record_json
+    )
+    rec = reader.read(None, decoder)
+    writer = jvm.org.apache.avro.generic.GenericDatumWriter(jschema)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    encoder = jvm.org.apache.avro.io.EncoderFactory.get().binaryEncoder(baos, None)
+    writer.write(rec, encoder)
+    encoder.flush()
+    return bytes(baos.toByteArray())
+
+
+def _approx_equal(a, b):
+    if isinstance(a, float) and isinstance(b, float):
+        return math.isclose(a, b, rel_tol=1e-6) or (math.isnan(a) and math.isnan(b))
+    return a == b
+
+
+@pytest.mark.parametrize("name", sorted(SAMPLES))
+def test_byte_parity_with_java_avro(spark, name):
+    schema = normalize_avsc(CONTRACTS[name])
+    record = SAMPLES[name]
+    ours = encode_record(schema, record)
+    theirs = _jvm_encode(spark, schema, record)
+    assert ours == theirs, f"{name}: python codec diverges from Apache Avro Java"
+    # and the Java-produced bytes decode with the Python codec
+    back = decode_record(schema, theirs)
+    for k, v in record.items():
+        if isinstance(v, float):
+            # float fields pass through binary32 — compare at that width
+            assert _approx_equal(back[k], struct.unpack("<f", struct.pack("<f", v))[0]) or _approx_equal(back[k], v)
+        else:
+            assert back[k] == v, k
+
+
+def test_byte_parity_nested_array_map_record(spark):
+    ours = encode_record(NESTED, NESTED_SAMPLE)
+    theirs = _jvm_encode(spark, NESTED, NESTED_SAMPLE)
+    assert ours == theirs
+    assert decode_record(NESTED, ours) == NESTED_SAMPLE
+
+
+def test_round_trip_all_contracts():
+    for name, record in SAMPLES.items():
+        schema = CONTRACTS[name]  # raw (§1.4 quirks included) — codec normalizes
+        back = decode_record(schema, encode_record(schema, record))
+        for k, v in record.items():
+            if isinstance(v, float):
+                assert _approx_equal(
+                    back[k], struct.unpack("<f", struct.pack("<f", v))[0]
+                ) or _approx_equal(back[k], v)
+            else:
+                assert back[k] == v, (name, k)
+
+
+def test_decode_rejects_trailing_bytes():
+    schema = CONTRACTS["Bil52"]
+    body = encode_record(schema, SAMPLES["Bil52"])
+    with pytest.raises(ValueError, match="trailing"):
+        decode_record(schema, body + b"\x00")
+
+
+def test_distributed_encode_decode_with_confluent_framing(spark):
+    schema = CONTRACTS["ConsumptionIndustry"]
+    rows = [
+        ("2024-01-15T07:00:00", "2024-01-15T08:00:00", "101", "A", 1.5),
+        ("2024-01-15T08:00:00", "2024-01-15T09:00:00", "155", "B", 2.25),
+    ]
+    df = spark.createDataFrame(
+        rows, ["HourUTC", "HourDK", "MunicipalityNo", "Branche", "ConsumptionkWh"]
+    )
+    framed = encode_df(df, schema, schema_id=42)
+    got = framed.collect()
+    assert all(bytes(r["value"])[0] == 0 for r in got)  # magic byte
+    ids = framed.select(confluent_schema_id("value")).collect()
+    assert {r["schema_id"] for r in ids} == {42}
+
+    # strip via the Column helper, then decode the plain body
+    stripped = framed.select(strip_confluent_header("value").alias("value"))
+    decoded = decode_df(stripped, schema)
+    back = {r["MunicipalityNo"]: r for r in decoded.collect()}
+    assert back["101"]["ConsumptionkWh"] == 1.5
+    assert back["155"]["Branche"] == "B"
+
+    # and the one-shot confluent=True path agrees
+    decoded2 = decode_df(framed.select("value"), schema, confluent=True)
+    assert sorted(map(str, decoded2.collect())) == sorted(map(str, decoded.collect()))
+
+    # driver-side framing helper agrees with the distributed path
+    one = encode_record(schema, dict(zip(
+        ["HourUTC", "HourDK", "MunicipalityNo", "Branche", "ConsumptionkWh"],
+        rows[0],
+    )))
+    assert confluent_frame(one, 42) in {bytes(r["value"]) for r in got}

@@ -53,10 +53,26 @@ def test_knn_broadcasts_queries_never_cartesian(spark):
 
 
 def test_lsh_candidates_join_on_equi_buckets(spark):
-    for name in ("minhash_lsh_neardup", "simhash_neardup", "ann_lsh_topk"):
+    for name in (
+        "minhash_lsh_neardup",
+        "simhash_neardup",
+        "ann_lsh_topk",
+        "embedding_neardup_lsh",
+    ):
         p = _plan(spark, name)
         assert "CartesianProduct" not in p, name
         assert "BroadcastNestedLoopJoin" not in p, name  # equi-join only
+
+
+def test_connected_components_rounds_are_equi_joins(spark):
+    # the iterative CC collapse must stay equi-join + hash-agg per
+    # round — a cartesian anywhere would explode at cluster scale
+    from ingest_spark.queries import QUERIES
+
+    df = QUERIES["dedup_components_clusters"](spark, "/root/testdata/sf0.001")
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
 
 
 def test_flagship_aggregates_have_map_side_combine(spark):
