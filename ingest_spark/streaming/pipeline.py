@@ -103,6 +103,43 @@ def write_stream_parquet(
     return writer.start()
 
 
+def write_stream_avro_containers(
+    df: DataFrame,
+    schema: dict | str,
+    path: str,
+    checkpoint: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """K2, Avro flavor: checkpointed streaming sink writing standard
+    Avro Object Container Files (one ``batch-N/part-*.avro`` rollup
+    per micro-batch) via the engine's pure-Python codec — the
+    reference's Connect HDFS AvroFormat sink
+    (cluster/configuration.json:10) without the spark-avro jar. File
+    roll = one file per partition per trigger (cadence-governed, not
+    the reference's flush.size=3 small-file anti-pattern); the files
+    are readable by any Avro tooling (DataFileReader interop is
+    asserted in tests) and by ``schemas.avro_binary.scan_container_dir``."""
+    import os
+
+    from ingest_spark.schemas.avro_binary import write_container_dir
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        write_container_dir(
+            batch_df, schema, os.path.join(path, f"batch-{batch_id}")
+        )
+
+    writer = (
+        df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def foreach_batch_upsert(
     sink_path: str, key_col: str = "record_hash", prune_col: str | None = None
 ):

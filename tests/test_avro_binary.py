@@ -23,6 +23,10 @@ from ingest_spark.schemas.avro_binary import (
     decode_record,
     encode_df,
     encode_record,
+    read_container,
+    scan_container_dir,
+    write_container,
+    write_container_dir,
 )
 from ingest_spark.schemas.avsc import (
     confluent_schema_id,
@@ -231,3 +235,113 @@ def test_distributed_encode_decode_with_confluent_framing(spark):
         rows[0],
     )))
     assert confluent_frame(one, 42) in {bytes(r["value"]) for r in got}
+
+
+def test_container_round_trip_and_java_datafilereader(spark, tmp_path):
+    """The container file must be readable by the canonical Apache
+    Avro Java DataFileReader — interop proof, not just self-consistency
+    (the reference's consumer/sink disagree on framing, SURVEY §1.4;
+    this asserts ours IS the standard at-rest framing)."""
+    schema = normalize_avsc(CONTRACTS["ConsumptionIndustry"])
+    records = [
+        {
+            "HourUTC": f"2024-01-15T{h:02d}:00:00",
+            "HourDK": f"2024-01-15T{h + 1:02d}:00:00",
+            "MunicipalityNo": "101",
+            "Branche": "A",
+            "ConsumptionkWh": h + 0.5,
+        }
+        for h in range(5)
+    ]
+    blob = write_container(schema, records)
+
+    back_schema, back = read_container(blob)
+    assert back_schema["name"] == "ConsumptionIndustry"
+    assert [r["HourUTC"] for r in back] == [r["HourUTC"] for r in records]
+
+    f = tmp_path / "sample.avro"
+    f.write_bytes(blob)
+    jvm = spark.sparkContext._jvm
+    jfile = jvm.java.io.File(str(f))
+    reader = jvm.org.apache.avro.file.DataFileReader(
+        jfile, jvm.org.apache.avro.generic.GenericDatumReader()
+    )
+    assert json.loads(reader.getSchema().toString())["name"] == "ConsumptionIndustry"
+    got = []
+    while reader.hasNext():
+        got.append(reader.next())
+    reader.close()
+    assert len(got) == 5
+    assert str(got[0].get("HourUTC")) == "2024-01-15T00:00:00"
+    assert float(str(got[4].get("ConsumptionkWh"))) == 4.5
+
+
+def test_container_dir_write_scan_round_trip(spark, tmp_path):
+    schema = CONTRACTS["Bil52"]
+    df = spark.createDataFrame(
+        [(f"2018M{m:02d}", m * 10, "Privat", "Benzin", "antal", "Bil52") for m in range(1, 13)],
+        ["time", "value", "ownership", "propellant", "unit", "label"],
+    ).repartition(3)
+    path = str(tmp_path / "avro_sink")
+    n_files = write_container_dir(df, schema, path)
+    assert 1 <= n_files <= 3
+
+    back = scan_container_dir(spark, path, schema)
+    assert [f.name for f in back.schema.fields] == [
+        "time", "value", "ownership", "propellant", "unit", "label",
+    ]
+    rows = {r["time"]: r["value"] for r in back.collect()}
+    assert rows == {f"2018M{m:02d}": m * 10 for m in range(1, 13)}
+
+
+def test_container_detects_corruption():
+    schema = CONTRACTS["Bil52"]
+    blob = bytearray(write_container(schema, [SAMPLES["Bil52"]]))
+    blob[-1] ^= 0xFF  # flip a sync-marker byte
+    with pytest.raises(ValueError, match="sync"):
+        read_container(bytes(blob))
+    with pytest.raises(ValueError, match="magic"):
+        read_container(b"PAR1" + bytes(blob))
+
+
+def test_streaming_avro_container_sink(spark, tmp_path):
+    """File stream -> Avro container sink (foreachBatch) -> scan back:
+    the reference's Kafka->HDFS-Avro landing path end to end."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from ingest_spark.streaming.pipeline import (
+        read_file_stream,
+        write_stream_avro_containers,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [
+        {"time": f"2018M{m:02d}", "value": m, "ownership": "Privat",
+         "propellant": "El", "unit": "antal", "label": "Bil52"}
+        for m in range(1, 7)
+    ]
+    (src / "feed.json").write_text("\n".join(_json.dumps(r) for r in rows))
+    schema = T.StructType([
+        T.StructField("time", T.StringType()),
+        T.StructField("value", T.IntegerType()),
+        T.StructField("ownership", T.StringType()),
+        T.StructField("propellant", T.StringType()),
+        T.StructField("unit", T.StringType()),
+        T.StructField("label", T.StringType()),
+    ])
+    stream = read_file_stream(spark, str(src), schema, fmt="json")
+    sink = tmp_path / "avro_sink"
+    q = write_stream_avro_containers(
+        stream, CONTRACTS["Bil52"], str(sink), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+
+    batches = sorted(sink.glob("batch-*"))
+    assert batches, "no batch directory written"
+    back = scan_container_dir(spark, str(batches[0]), CONTRACTS["Bil52"])
+    assert {r["time"]: r["value"] for r in back.collect()} == {
+        f"2018M{m:02d}": m for m in range(1, 7)
+    }

@@ -1,4 +1,4 @@
-"""Regenerate PLANS.md: formatted physical-plan snapshots for seven
+"""Regenerate PLANS.md: formatted physical-plan snapshots for
 representative headline queries (plan-only — nothing executes).
 
 Usage: python tools/gen_plans.py [sf_dir]
@@ -20,6 +20,8 @@ PICKS = [
     ("funnel_conversion", "ordered funnel: scan-pruned slices, user-key joins, AQE"),
     ("interpolate_hourly_gaps", "gap interpolation: both IGNORE-NULLS walks stacked on ONE shuffle"),
     ("rolling_active_users", "rolling distinct: one fact pass, 7x generate on the tiny distinct set"),
+    ("embedding_neardup_lsh", "semantic near-dup scale path: sign-LSH bucket equi-join, no cross product"),
+    ("duplicate_passages", "passage report: distinct-per-doc shingles, map-side combine, TakeOrdered head"),
 ]
 
 KEEP_KW = (
@@ -37,7 +39,7 @@ def main() -> None:
     out = open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w")
     out.write(f"""# PLANS — physical-plan snapshots ({os.path.basename(sf_dir)}, local[32], AQE on)
 
-`.explain("formatted")` captures for seven representative headline shapes, as
+`.explain("formatted")` captures for {len(PICKS)} representative headline shapes, as
 evidence the plan-quality invariants in `tests/test_plans.py` describe the
 real plans. Regenerate with `python tools/gen_plans.py` after any
 planner-relevant change.
