@@ -3372,6 +3372,28 @@ def sketch_rollup_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_group.unionByName(total)
 
 @q(
+    "heavy_hitters_event_types",
+    """
+    SELECT event_type AS item, CAST(count(*) AS BIGINT) AS est_count
+    FROM events GROUP BY event_type
+    """,
+)
+def heavy_hitters_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable Misra-Gries heavy hitters (operators/sketches.py) run
+    in its EXACT regime: distinct event types (5) <= k (16), so no
+    counter ever compresses and the sketch must equal the exact
+    histogram — which is precisely what the SQL oracle asserts. The
+    shuffle after the partial stage carries <= partitions x k rows
+    regardless of input size; the compressed regime (vocabulary-scale
+    cardinality) is exercised with its n/(k+1) error bound in
+    tests/test_text_ops.py."""
+    from ingest_spark.operators import sketches
+
+    ev = load_table(spark, sf_dir, "events")
+    return sketches.heavy_hitters(ev, "event_type", k=16)
+
+
+@q(
     "scd2_user_state_history",
     """
     SELECT user_id, event_type AS state, ts AS valid_from,
@@ -3969,6 +3991,60 @@ def spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(F.col("spend_c").desc(), F.col("o_custkey"))
     d = spend.withColumn("decile", F.ntile(10).over(w))
     return d.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        (F.min("spend_c").cast("double") / 100).alias("min_spend"),
+        (F.max("spend_c").cast("double") / 100).alias("max_spend"),
+        F.sum("spend_c").alias("total_spend_cents"),
+    )
+
+
+@q(
+    "spend_deciles_scale",
+    """
+    WITH spend AS (
+      SELECT o_custkey, CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS spend_c
+      FROM orders GROUP BY o_custkey),
+    b AS (
+      SELECT quantile_cont(spend_c, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs
+      FROM spend),
+    assigned AS (
+      SELECT o_custkey, spend_c,
+             CAST(1 + len(list_filter(qs, q -> spend_c > q)) AS INT) AS bucket
+      FROM spend, b)
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(min(spend_c) AS DOUBLE) / 100 AS min_spend,
+           CAST(max(spend_c) AS DOUBLE) / 100 AS max_spend,
+           CAST(sum(spend_c) AS BIGINT) AS total_spend_cents
+    FROM assigned GROUP BY bucket
+    """,
+)
+def spend_deciles_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB decile cut `spend_deciles`'s docstring promises:
+    VALUE-boundary buckets from one exact-percentile aggregate,
+    assignment by a broadcast array filter — NO global window, no
+    single-partition sort, nothing in the plan whose cost grows
+    superlinearly with customers. (Equal-count ntile and value-boundary
+    buckets differ only in tie handling at the boundaries; cent-scaled
+    longs make the boundaries engine-stable, and Spark's `percentile`
+    interpolates identically to DuckDB's quantile_cont.) At true scale
+    swap `percentile` for `percentile_approx` — same plan shape, and
+    the only change is boundary precision."""
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice") * 100).cast("long").alias("spend_c")
+    )
+    bounds = spend.agg(
+        F.percentile("spend_c", F.array(*[F.lit(i / 10) for i in range(1, 10)])).alias("qs")
+    )
+    assigned = spend.crossJoin(F.broadcast(bounds)).withColumn(
+        "bucket",
+        (
+            F.lit(1)
+            + F.size(F.filter("qs", lambda q: F.col("spend_c") > q))
+        ).cast("int"),
+    )
+    return assigned.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_customers"),
         (F.min("spend_c").cast("double") / 100).alias("min_spend"),
         (F.max("spend_c").cast("double") / 100).alias("max_spend"),

@@ -103,6 +103,43 @@ def write_stream_parquet(
     return writer.start()
 
 
+def neardup_stream(
+    stream: DataFrame,
+    text_col: str = "text",
+    event_time_col: str | None = None,
+    watermark: str = "1 hour",
+    num_hashes: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Streaming near-dup gate (E2 x streaming): first document per
+    MinHash signature passes; later signature-identical documents are
+    dropped. The signature is the pure-Column HOF form (no aggregate —
+    legal inside a streaming projection); state is the signature key
+    only, watermark-bounded when ``event_time_col`` is given
+    (dropDuplicatesWithinWatermark — same eviction contract as the
+    exact-dedup stream).
+
+    This is deliberately the CONSERVATIVE gate: it fires only when all
+    ``num_hashes`` mins collide (signature-identical ~ Jaccard near 1),
+    i.e. high precision / reduced recall vs the batch LSH banding,
+    which ORs over bands. Per-band OR semantics in a stream needs
+    multi-key state (transformWithState ValueState per band) — the
+    batch `minhash_lsh_candidates` + `connected_components` pipeline
+    remains the recall path, run as a periodic compaction over the
+    stream's sink."""
+    from ingest_spark.operators import dedup
+
+    sig = dedup.minhash_signature(text_col, num_hashes, shingle_n)
+    key = F.sha2(F.concat_ws("-", F.transform(sig, lambda m: m.cast("string"))), 256)
+    out = stream.withColumn("__sig_key", key)
+    if event_time_col is not None:
+        out = out.withWatermark(event_time_col, watermark)
+        out = out.dropDuplicatesWithinWatermark(["__sig_key"])
+    else:
+        out = out.dropDuplicates(["__sig_key"])
+    return out.drop("__sig_key")
+
+
 def write_stream_avro_containers(
     df: DataFrame,
     schema: dict | str,

@@ -64,6 +64,15 @@ def test_lsh_candidates_join_on_equi_buckets(spark):
         assert "BroadcastNestedLoopJoin" not in p, name  # equi-join only
 
 
+def test_scale_deciles_have_no_window(spark):
+    # the 100TB bucket-assignment path: percentile agg + broadcast
+    # array filter — a WindowExec anywhere means the single-partition
+    # ntile crept back in
+    p = _plan(spark, "spend_deciles_scale")
+    assert "Window" not in p
+    assert "BroadcastExchange" in p  # 1-row boundary frame broadcast
+
+
 def test_connected_components_rounds_are_equi_joins(spark):
     # the iterative CC collapse must stay equi-join + hash-agg per
     # round — a cartesian anywhere would explode at cluster scale

@@ -347,3 +347,53 @@ def test_sliding_active_users_matches_batch(spark, tmp_path):
     # at these cardinalities HLL is exact: [00:00,01:00) holds u1+u2
     assert got["2024-01-01 00:00:00"] == 2
     assert got["2024-01-01 01:00:00"] == 1
+
+
+def test_neardup_stream_gates_on_signature(spark, tmp_path):
+    """Streaming MinHash gate: signature-identical docs collapse to
+    the first seen; distinct docs pass. Batch parity: same survivors
+    as a batch dropDuplicates on the same signature key."""
+    from ingest_spark.operators.dedup import minhash_signature
+    from ingest_spark.streaming.pipeline import neardup_stream, read_file_stream
+
+    doc_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog again and again",
+        2: "the quick brown fox jumps over the lazy dog again and again",  # dup of 1
+        3: "completely different content about spark structured streaming state",
+        4: "completely different content about spark structured streaming state",  # dup of 3
+        5: "a third unique document with its own vocabulary and phrasing",
+    }
+    src = tmp_path / "docs"
+    src.mkdir()
+    (src / "batch.json").write_text(
+        "\n".join(json.dumps({"doc_id": i, "text": t}) for i, t in texts.items())
+    )
+
+    stream = read_file_stream(spark, str(src), doc_schema, fmt="json")
+    gated = neardup_stream(stream, "text")
+    sink = tmp_path / "out"
+    q = (
+        gated.writeStream.format("parquet")
+        .option("path", str(sink))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(str(sink))
+    survivors = {r["text"] for r in out.collect()}
+    assert len(survivors) == 3 and out.count() == 3  # one per distinct signature
+
+    batch = spark.createDataFrame(list(texts.items()), doc_schema)
+    expected = (
+        batch.withColumn("k", minhash_signature("text").cast("string"))
+        .dropDuplicates(["k"])
+        .count()
+    )
+    assert expected == 3

@@ -114,3 +114,45 @@ def test_bm25_ranks_term_matches_first(spark):
     rows = {r["doc_id"]: r["bm25"] for r in bm25_scores(df, ("spark", "table")).collect()}
     # doc 1 matches both terms, doc 2 one term, doc 3 none
     assert rows[1] > rows[2] > rows[3] == 0.0
+
+
+def test_misra_gries_exact_when_cardinality_under_k(spark):
+    from ingest_spark.operators.sketches import heavy_hitters
+
+    df = spark.createDataFrame(
+        [(x,) for x in ["a"] * 50 + ["b"] * 30 + ["c"] * 20], "item string"
+    ).repartition(4)
+    got = {r["item"]: r["est_count"] for r in heavy_hitters(df, "item", k=8).collect()}
+    assert got == {"a": 50, "b": 30, "c": 20}  # no compression => exact
+
+
+def test_misra_gries_error_bound_compressed_regime(spark):
+    """Vocabulary-scale input with k << cardinality: every true heavy
+    hitter (freq > n/(k+1)) must survive, and every reported estimate
+    must satisfy est <= true <= est + n/(k+1) — the PODS'12 mergeable-
+    summaries guarantee, measured against exact counts."""
+    from pyspark.sql import functions as F
+
+    from ingest_spark.catalog import load_table
+    from ingest_spark.operators.sketches import heavy_hitters
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("w")).repartition(8)
+    k = 32
+    n = words.count()
+    exact = {
+        r["w"]: r["c"]
+        for r in words.groupBy("w").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    est = {
+        r["item"]: r["est_count"]
+        for r in heavy_hitters(words, "w", k=k).collect()
+    }
+    assert len(est) <= k
+    bound = n / (k + 1)
+    for item, e in est.items():
+        true = exact[item]
+        assert e <= true <= e + bound, (item, e, true, bound)
+    for item, true in exact.items():
+        if true > bound:
+            assert item in est, f"true heavy hitter {item!r} ({true} > {bound:.0f}) missing"
