@@ -33,6 +33,7 @@ def brute_force_topk(
     vec_col: str = "embedding",
     k: int = 10,
     round_to: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k: (query_id, neighbor_id, cosine_sim, rank).
 
@@ -50,7 +51,7 @@ def brute_force_topk(
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
-            "cosine_sim", F.round(cosine_similarity("__qvec", "__cvec"), round_to)
+            "cosine_sim", F.round(cosine_similarity("__qvec", "__cvec", dim), round_to)
         )
         .drop("__qvec", "__cvec")
     )
@@ -80,19 +81,18 @@ def hyperplane_planes(num_bits: int = 16, dim: int = 64, seed: int = 11) -> list
 
 def hyperplane_signature(vec_col: str, num_bits: int = 16, dim: int = 64, seed: int = 11):
     """Deterministic sign-LSH signature: bit_j = sign(v . h_j); no RNG
-    at runtime, reproducible across engines (dot products are
-    sequential double sums in both)."""
+    at runtime, reproducible across engines. Each projection is an
+    UNROLLED left-to-right sum of element_at products — the exact IEEE
+    order of a sequential fold (so the SQL oracle's list_inner_product
+    matches bit-for-bit) but made of plain Multiply/Add expressions,
+    which whole-stage codegen compiles; the HOF zip_with/aggregate form
+    this replaces evaluated interpreted, per row, per bit."""
+    v = F.col(vec_col)
     bits = []
     for j, plane in enumerate(hyperplane_planes(num_bits, dim, seed)):
-        proj = F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.array(*[F.lit(p) for p in plane]),
-                lambda x, h: x.cast("double") * h,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+        proj = F.element_at(v, 1).cast("double") * F.lit(plane[0])
+        for i in range(1, dim):
+            proj = proj + F.element_at(v, i + 1).cast("double") * F.lit(plane[i])
         bits.append(F.when(proj >= 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long")))
     sig = bits[0]
     for b in bits[1:]:
@@ -130,7 +130,7 @@ def lsh_topk(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cosine_sim",
-            F.round(cosine_similarity("__query_id_vec", "__neighbor_id_vec"), round_to),
+            F.round(cosine_similarity("__query_id_vec", "__neighbor_id_vec", dim), round_to),
         )
         .select("query_id", "neighbor_id", "cosine_sim")
     )
@@ -146,13 +146,14 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     round_to: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, sim >= t).
     Exact all-pairs — the sf-test oracle; at scale run lsh_topk per
     item instead (same scoring expression)."""
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
-    cos = cosine_similarity("__va", "__vb")
+    cos = cosine_similarity("__va", "__vb", dim)
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         # filter on the UNROUNDED value (boundary-stable vs the oracle),
@@ -192,7 +193,13 @@ def embedding_neardup_lsh(
     b = sig.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "__bucket"
     )
-    cos = cosine_similarity("__va", "__vb")
+    # NOTE: per-vector norms are deliberately NOT hoisted into the sig
+    # frame. Carrying the norm as a join-input column changed stage
+    # fusion so the huge unrolled projection landed inside the join
+    # stage and whole-stage codegen bailed to interpreted execution
+    # (A/B at 1M x 64d, 12 bits: 73s inline vs >10min hoisted). The
+    # inline cosine below stays fully codegen'd per candidate pair.
+    cos = cosine_similarity("__va", "__vb", dim)
     return (
         a.join(b, on="__bucket")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -355,10 +362,13 @@ def ivf_topk(
     )
     from ingest_spark.functions.vectors import cosine_similarity
 
+    dim = len(cents[0]) if cents else None
     scored = (
         c.join(F.broadcast(probes), "__cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine_sim", F.round(cosine_similarity("__qvec", "__cvec"), round_to))
+        .withColumn(
+            "cosine_sim", F.round(cosine_similarity("__qvec", "__cvec", dim), round_to)
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
     return (
