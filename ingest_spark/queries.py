@@ -942,7 +942,7 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     (zip_with + aggregate), rank via WindowGroupLimit."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.brute_force_topk(
-        emb, emb.filter(F.col("vec_id") < 5), k=10, dim=64
+        emb, emb.filter(F.col("vec_id") < 5), k=10
     ).select("query_id", "neighbor_id", "cosine_sim", "rank")
 
 
@@ -964,7 +964,7 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (threshold tuned to the synthetic
     data's similarity range; max pairwise cosine is ~0.40)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.embedding_neardup_pairs(emb, threshold=0.35, dim=64)
+    return similarity.embedding_neardup_pairs(emb, threshold=0.35)
 
 
 def _sql_neardup_lsh(threshold: float, num_bits: int = 8, dim: int = 64) -> str:
