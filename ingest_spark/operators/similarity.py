@@ -147,6 +147,61 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def lsh_topk_multiprobe(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    num_bits: int = 12,
+    dim: int = 64,
+    round_to: int = 4,
+) -> DataFrame:
+    """Multi-probe sign-LSH top-k: each query searches its own bucket
+    PLUS every bucket at Hamming distance 1 (flip one signature bit) —
+    the standard recall lever (Lv et al., VLDB'07): a >=t neighbor
+    split from the query by one hyperplane is recovered, at the cost
+    of (num_bits+1)x probe rows. The corpus side is untouched (still
+    one bucket per vector, one equi-join); probe buckets per query are
+    distinct, so no pair dedup is needed. Everything stays
+    deterministic — the oracle enumerates the same flipped buckets."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        hyperplane_signature(vec_col, num_bits, dim).alias("__bucket"),
+    )
+    qsig = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        hyperplane_signature(vec_col, num_bits, dim).alias("__qbucket"),
+    )
+    probe_list = F.array(
+        F.col("__qbucket"),
+        *[
+            F.col("__qbucket").bitwiseXOR(F.lit(1 << j).cast("long"))
+            for j in range(num_bits)
+        ],
+    )
+    q = qsig.select(
+        "query_id", "__qvec", F.explode(probe_list).alias("__bucket")
+    )
+    scored = (
+        c.join(F.broadcast(q), on="__bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine_sim",
+            F.round(cosine_similarity("__qvec", "__cvec", dim), round_to),
+        )
+        .select("query_id", "neighbor_id", "cosine_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -1,0 +1,49 @@
+"""bench.py must never ship broken again (round 3 published no bench
+number because one query crashed at analysis time — VERDICT r3 §1).
+Runs the real harness as the driver does, in a subprocess, at the
+smallest SF, and validates the one-line JSON contract.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+
+def test_bench_runs_and_emits_contract_json():
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+               SPARK_GRAFT_CPUS="8")
+    proc = subprocess.run(
+        [sys.executable, "/root/repo/bench.py"],
+        capture_output=True,
+        text=True,
+        timeout=900,
+        env=env,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    json_lines = [
+        ln for ln in proc.stdout.splitlines() if ln.startswith("{")
+    ]
+    assert len(json_lines) == 1, proc.stdout[-2000:]
+    d = json.loads(json_lines[0])
+    assert d["metric"] == "headline_suite_wall_sec"
+    assert d["unit"] == "sec" and d["value"] > 0
+    assert d["sf"] == 0.001
+    import bench
+
+    assert set(d["queries"]) == set(bench.HEADLINE)
+    assert all(v >= 0 for v in d["queries"].values())
+    assert all(v >= 0 for v in d["rows"].values())
+
+
+def test_headline_names_are_declared_queries():
+    sys.path.insert(0, "/root/repo")
+    import bench
+
+    from ingest_spark.queries import QUERIES
+
+    missing = [n for n in bench.HEADLINE if n not in QUERIES]
+    assert not missing, f"bench names not in QUERIES: {missing}"

@@ -129,3 +129,29 @@ def test_multimodal_pipeline_shapes(spark):
     )
     topk = sim.brute_force_topk(emb, emb.limit(2), k=3)
     assert topk.count() == 6
+
+
+def test_multiprobe_recall_dominates_single_probe(spark):
+    """Hamming-1 probing must recover a superset of the single-bucket
+    candidates, so its recall vs brute force can only improve."""
+    from ingest_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.brute_force_topk(emb, queries, k=10).collect()
+    }
+    single = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.lsh_topk(emb, queries, k=10, num_bits=8).collect()
+    }
+    multi = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.lsh_topk_multiprobe(emb, queries, k=10, num_bits=8).collect()
+    }
+    r_single = len(exact & single) / len(exact)
+    r_multi = len(exact & multi) / len(exact)
+    assert r_multi >= r_single, (r_multi, r_single)
+    # multi-probe must return a full k list per query on this corpus
+    assert len(multi) == len(exact)
