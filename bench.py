@@ -50,7 +50,7 @@ HEADLINE = [
     "gopher_quality_gate",
     "duplicate_passages",
     "bm25_retrieval",
-    "dedup_components_clusters",
+    "neardup_components",
 ]
 
 

@@ -820,42 +820,6 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
-    "dedup_components_clusters",
-    f"""
-    WITH RECURSIVE pairs AS ({_SQL_LSH_PAIRS}),
-    edges AS (
-      SELECT id_a AS src, id_b AS dst FROM pairs
-      UNION
-      SELECT id_b AS src, id_a AS dst FROM pairs
-    ),
-    -- transitive closure: (node, reachable node); UNION dedups, so the
-    -- recursion terminates once no new reachability facts appear
-    walk AS (
-      SELECT src AS id, src AS peer FROM edges
-      UNION
-      SELECT e.src AS id, w.peer
-      FROM edges e JOIN walk w ON e.dst = w.id
-    )
-    SELECT id, min(peer) AS component FROM walk GROUP BY id
-    """,
-)
-def dedup_components_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E2 final collapse: connected components over the MinHash-LSH
-    near-dup pair graph (iterative min-label propagation,
-    operators/dedup.py:connected_components) — each doc labeled with
-    the min doc_id of its duplicate cluster. This is the step a
-    near-dup pipeline actually ends with (the reference's Redis
-    identity-set collapse, fetch_data_energinet.py:60-65,
-    generalized to a distributed graph); the DuckDB oracle recomputes
-    components exactly via a recursive-CTE transitive closure."""
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_candidates(
-        docs, "doc_id", "text", num_hashes=4, bands=2, shingle_n=3
-    )
-    return dedup.connected_components(pairs)
-
-
-@q(
     "neardup_collapse_survivors",
     f"""
     WITH RECURSIVE pairs AS ({_SQL_LSH_PAIRS}),

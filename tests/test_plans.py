@@ -78,7 +78,7 @@ def test_connected_components_rounds_are_equi_joins(spark):
     # round — a cartesian anywhere would explode at cluster scale
     from ingest_spark.queries import QUERIES
 
-    df = QUERIES["dedup_components_clusters"](spark, "/root/testdata/sf0.001")
+    df = QUERIES["neardup_components"](spark, "/root/testdata/sf0.001")
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
