@@ -2,11 +2,17 @@
 sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+   "queries_cold": {...}, "value_cold": N, "sf": ...}
 
-``value`` is total wall time across the headline set (lower is better).
-Each query is collected to the driver (row counts only retained) so the
-measurement includes full plan execution, not lazy declaration.
+``value`` is total STEADY-STATE wall time across the headline set
+(lower is better): each query runs twice, the first (cold) pass timed
+as ``queries_cold`` — plan compilation + codegen/JIT + first data touch
+— and the second timed as ``queries`` — the per-query cost that
+predicts cluster throughput. Both are machine-recorded (VERDICT r4
+§Next #5) so the cold story is data, not prose. Each query is
+collected to the driver (row counts only retained) so the measurement
+includes full plan execution, not lazy declaration.
 """
 
 from __future__ import annotations
@@ -95,20 +101,26 @@ def main() -> None:
         return s
 
     spark.range(1000).select(_warm("id")).collect()
-    # one untimed pass of every measured query at the TARGET sf:
-    # compiles each query's own codegen/JIT (the unrolled vector
-    # expressions cost 1-2s of Janino alone, and IVF embeds
-    # data-dependent centroid literals, so a smaller-SF warm run does
-    # not hit the source cache). The timed pass below then measures
-    # steady-state plan execution — the number that predicts cluster
-    # throughput — not one-time driver-side compilation. Methodology
-    # recorded in BASELINE.md.
+    # Pass 1 (cold, TIMED): each query's own codegen/JIT + first data
+    # touch (the unrolled vector expressions cost 1-2s of Janino alone,
+    # and IVF embeds data-dependent centroid literals, so a smaller-SF
+    # warm run would not hit the source cache). A cold failure is
+    # LOGGED to stderr — never swallowed (VERDICT r4) — and must not
+    # kill the bench; the measured pass below will surface a real
+    # error loudly.
+    cold: dict[str, float] = {}
     for name in HEADLINE:
+        t0 = time.perf_counter()
         try:
             QUERIES[name](spark, sf_dir).collect()
-        except Exception:
-            pass  # warmup must never fail the bench
+            cold[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:
+            cold[name] = -1.0  # sentinel: cold pass failed
+            print(f"bench: cold pass failed for {name}: {exc!r}",
+                  file=sys.stderr)
 
+    # Pass 2 (steady-state, TIMED): plan execution only — the number
+    # that predicts cluster throughput. Methodology in BASELINE.md.
     per_query: dict[str, float] = {}
     rows: dict[str, int] = {}
     for name in HEADLINE:
@@ -118,13 +130,16 @@ def main() -> None:
         rows[name] = len(out)
 
     total = round(sum(per_query.values()), 3)
+    total_cold = round(sum(v for v in cold.values() if v >= 0), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_suite_wall_sec",
                 "value": total,
                 "unit": "sec",
+                "value_cold": total_cold,
                 "queries": per_query,
+                "queries_cold": cold,
                 "rows": rows,
                 "sf": sf,
             }

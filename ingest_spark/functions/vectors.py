@@ -31,7 +31,14 @@ def _col(c: Column | str) -> Column:
 def dot_product(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
     """Sequential-order double-precision dot product of two arrays.
     Pass ``dim`` whenever it is statically known — the unrolled chain
-    stays inside whole-stage codegen (HOFs do not)."""
+    stays inside whole-stage codegen (HOFs do not).
+
+    Contract: ``dim`` MUST equal the actual array length (pin it from
+    the table schema). The unrolled form silently TRUNCATES longer
+    arrays and yields NULL for shorter ones (``element_at`` past the
+    end is NULL, and NULL poisons the sum) — a dim/data mismatch drops
+    rows from threshold filters rather than failing. Use
+    ``assert_dim`` in tests/debug paths to fail loudly instead."""
     ca, cb = _col(a), _col(b)
     if dim is not None:
         terms = [
@@ -45,6 +52,22 @@ def dot_product(a: Column | str, b: Column | str, dim: int | None = None) -> Col
         return acc
     zipped = F.zip_with(ca, cb, lambda x, y: x.cast("double") * y.cast("double"))
     return F.aggregate(zipped, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def assert_dim(a: Column | str, dim: int) -> Column:
+    """Debug/test guard for the unrolled forms' dim contract: returns
+    the array unchanged, or raises at execution time if its length is
+    not exactly ``dim``. Costs one ``size`` per row — wrap hot-path
+    inputs only while validating a new table, then drop it."""
+    ca = _col(a)
+    return F.when(F.size(ca) == dim, ca).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"vector dim mismatch: expected {dim}, got "),
+                F.size(ca).cast("string"),
+            )
+        )
+    )
 
 
 def l2_norm(a: Column | str, dim: int | None = None) -> Column:

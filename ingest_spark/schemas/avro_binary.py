@@ -105,14 +105,16 @@ def _encode_value(buf: bytearray, t: Any, v: Any, path: str) -> None:
                 _encode_value(buf, f["type"], (v or {}).get(f["name"]), f"{path}.{f['name']}")
             return
         if kind == "array":
-            if v:
+            # len() not truthiness: Arrow hands list cells to the codec
+            # as numpy arrays, whose bool() is ambiguous
+            if v is not None and len(v):
                 _write_long(buf, len(v))
                 for item in v:
                     _encode_value(buf, t["items"], item, f"{path}[]")
             _write_long(buf, 0)
             return
         if kind == "map":
-            if v:
+            if v is not None and len(v):
                 _write_long(buf, len(v))
                 for k, mv in v.items():
                     _encode_value(buf, "string", k, f"{path}<key>")
@@ -196,14 +198,28 @@ def _decode_value(data: bytes, pos: int, t: Any, path: str) -> tuple[Any, int]:
         return struct.unpack_from("<d", data, pos)[0], pos + 8
     if t == "string":
         n, pos = _read_long(data, pos)
+        if n < 0:  # negative counts are legal only for array/map blocks
+            raise ValueError(f"{path}: negative string length {n}")
         return data[pos : pos + n].decode("utf-8"), pos + n
     if t == "bytes":
         n, pos = _read_long(data, pos)
+        if n < 0:
+            raise ValueError(f"{path}: negative bytes length {n}")
         return bytes(data[pos : pos + n]), pos + n
     raise ValueError(f"{path}: unsupported avro type {t!r}")
 
 
 # ------------------------------------------------------------ public API
+
+
+def _align_col(df: DataFrame, name: str, target: T.DataType):
+    """Cast a contract column to its Avro-derived Spark type, skipping
+    the cast when only nullability differs (Spark 4 rejects e.g.
+    array<bigint> -> array<bigint> with a containsNull mismatch as
+    CAST_WITHOUT_SUGGESTION)."""
+    if df.schema[name].dataType.simpleString() == target.simpleString():
+        return F.col(name)
+    return F.col(name).cast(target).alias(name)
 
 
 def encode_record(schema: dict | str, record: dict) -> bytes:
@@ -252,21 +268,20 @@ def encode_df(
     out_schema = T.StructType(out_fields)
     aligned = df.select(
         *(["key"] if has_key else []),
-        *[F.col(n).cast(spark_schema[n].dataType).alias(n) for n in names],
+        *[_align_col(df, n, spark_schema[n].dataType) for n in names],
     )
 
     def _enc(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        def _cell(v):
+            # pd.isna on a list/ndarray cell (avro array/map fields)
+            # returns an array — only null-out genuinely scalar NaN/None.
+            return None if (pd.api.types.is_scalar(v) and pd.isna(v)) else v
+
         for pdf in batches:
             values = [
-                encode_record(
-                    s,
-                    {
-                        n: (None if pd.isna(row[n]) else row[n])
-                        for n in names
-                    },
-                )
+                encode_record(s, {n: _cell(row[n]) for n in names})
                 for _, row in pdf.iterrows()
             ]
             if schema_id is not None:
@@ -344,9 +359,13 @@ def read_container(data: bytes) -> tuple[dict, list[dict]]:
             _, pos = _read_long(data, pos)
         for _ in range(n):
             klen, pos = _read_long(data, pos)
+            if klen < 0:
+                raise ValueError(f"negative metadata key length {klen}")
             k = data[pos : pos + klen].decode()
             pos += klen
             vlen, pos = _read_long(data, pos)
+            if vlen < 0:
+                raise ValueError(f"negative metadata value length {vlen}")
             meta[k] = data[pos : pos + vlen]
             pos += vlen
     codec = meta.get("avro.codec", b"null").decode()
@@ -384,9 +403,7 @@ def write_container_dir(
     names = [f["name"] for f in s["fields"]]
     spark_schema = avsc_to_struct(s)
     os.makedirs(path, exist_ok=True)
-    aligned = df.select(
-        *[F.col(n).cast(spark_schema[n].dataType).alias(n) for n in names]
-    )
+    aligned = df.select(*[_align_col(df, n, spark_schema[n].dataType) for n in names])
 
     def _write_partition(rows) -> None:
         from pyspark import TaskContext
@@ -448,7 +465,19 @@ def decode_df(
         for pdf in batches:
             rows = []
             for raw in pdf[value_col]:
-                body = bytes(raw)[5:] if confluent else bytes(raw)
+                raw = bytes(raw)
+                if confluent:
+                    # Validated strip (mirrors avsc.strip_confluent_header):
+                    # blind [5:] turns an unframed payload into confusing
+                    # trailing-byte errors or silently wrong values.
+                    if len(raw) < 5 or raw[0] != 0:
+                        raise ValueError(
+                            "not a Confluent-framed payload (expected magic "
+                            f"0x00 + 4-byte schema id, got {raw[:5]!r})"
+                        )
+                    body = raw[5:]
+                else:
+                    body = raw
                 rows.append(decode_record(s, body))
             yield pd.DataFrame(rows, columns=names)
 

@@ -96,12 +96,15 @@ class KafkaSinkSpec:
     checkpoint_location: str | None = None  # streaming writes
     extra: dict[str, str] = field(default_factory=dict)
 
-    def options(self) -> dict[str, str]:
+    def options(self, streaming: bool = False) -> dict[str, str]:
+        """checkpointLocation is emitted only for the streaming writer:
+        on a batch DataFrameWriter it is a meaningless no-op that can
+        mask a misconfigured streaming sink spec."""
         opts = {
             "kafka.bootstrap.servers": self.bootstrap_servers,
             "topic": self.topic,
         }
-        if self.checkpoint_location is not None:
+        if streaming and self.checkpoint_location is not None:
             opts["checkpointLocation"] = self.checkpoint_location
         opts.update(self.extra)
         return opts
@@ -121,13 +124,13 @@ def read_kafka_batch(spark: SparkSession, spec: KafkaSourceSpec):
 
 def write_kafka(df: DataFrame, spec: KafkaSinkSpec):
     """Batch writer over an encoded (key,value) frame (K1)."""
-    return df.write.format("kafka").options(**spec.options())
+    return df.write.format("kafka").options(**spec.options(streaming=False))
 
 
 def write_kafka_stream(df: DataFrame, spec: KafkaSinkSpec):
     """Streaming writer; checkpoint_location carries the sink's
     exactly-once offset log."""
-    return df.writeStream.format("kafka").options(**spec.options())
+    return df.writeStream.format("kafka").options(**spec.options(streaming=True))
 
 
 def decode_records(

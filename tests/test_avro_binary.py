@@ -203,6 +203,62 @@ def test_decode_rejects_trailing_bytes():
         decode_record(schema, body + b"\x00")
 
 
+def test_decode_rejects_negative_lengths():
+    """A corrupt varint length must raise, not walk pos backwards
+    (ADVICE r4): zigzag(-5) = 9, so b'\\x09' as a string length is -5."""
+    schema = {
+        "type": "record",
+        "name": "S",
+        "fields": [{"name": "s", "type": "string"}],
+    }
+    with pytest.raises(ValueError, match="negative string length"):
+        decode_record(schema, b"\x09")
+    schema_b = {
+        "type": "record",
+        "name": "B",
+        "fields": [{"name": "b", "type": "bytes"}],
+    }
+    with pytest.raises(ValueError, match="negative bytes length"):
+        decode_record(schema_b, b"\x09")
+
+
+def test_decode_df_confluent_rejects_unframed(spark):
+    """confluent=True must validate the 0x00 magic byte instead of
+    blindly slicing 5 bytes off an unframed payload (ADVICE r4)."""
+    schema = CONTRACTS["ConsumptionIndustry"]
+    body = encode_record(
+        schema,
+        dict(zip(
+            ["HourUTC", "HourDK", "MunicipalityNo", "Branche", "ConsumptionkWh"],
+            ("2024-01-15T07:00:00", "2024-01-15T08:00:00", "101", "A", 1.5),
+        )),
+    )
+    assert body[0] != 0  # first field is a string: length prefix > 0
+    df = spark.createDataFrame([(body,)], "value binary")
+    with pytest.raises(Exception, match="Confluent"):
+        decode_df(df, schema, confluent=True).collect()
+
+
+def test_encode_df_handles_array_fields(spark):
+    """encode_df's null guard must be scalar-safe: list-valued cells
+    made pd.isna raise 'truth value of an array is ambiguous'
+    (ADVICE r4)."""
+    schema = {
+        "type": "record",
+        "name": "WithArray",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "xs", "type": {"type": "array", "items": "long"}},
+        ],
+    }
+    df = spark.createDataFrame(
+        [(1, [10, 20, 30]), (2, [])], "id long, xs array<long>"
+    )
+    decoded = decode_df(encode_df(df, schema), schema)
+    back = {r["id"]: list(r["xs"]) for r in decoded.collect()}
+    assert back == {1: [10, 20, 30], 2: []}
+
+
 def test_distributed_encode_decode_with_confluent_framing(spark):
     schema = CONTRACTS["ConsumptionIndustry"]
     rows = [

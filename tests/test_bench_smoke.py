@@ -37,6 +37,12 @@ def test_bench_runs_and_emits_contract_json():
     assert set(d["queries"]) == set(bench.HEADLINE)
     assert all(v >= 0 for v in d["queries"].values())
     assert all(v >= 0 for v in d["rows"].values())
+    # cold pass is machine-recorded alongside steady-state (r4 §Next #5)
+    assert set(d["queries_cold"]) == set(bench.HEADLINE)
+    assert all(v >= 0 for v in d["queries_cold"].values()), (
+        "a cold pass failed (sentinel -1); see bench stderr"
+    )
+    assert d["value_cold"] >= d["value"] * 0.5  # both populated, same unit
 
 
 def test_headline_names_are_declared_queries():

@@ -74,11 +74,18 @@ def test_sink_spec_options():
         topic="clean-events",
         checkpoint_location="/ckpt/kafka-sink",
     )
-    assert spec.options() == {
+    # checkpointLocation only reaches the STREAMING writer; on a batch
+    # DataFrameWriter it is a silent no-op that masks misconfiguration.
+    assert spec.options(streaming=True) == {
         "kafka.bootstrap.servers": "b:9092",
         "topic": "clean-events",
         "checkpointLocation": "/ckpt/kafka-sink",
     }
+    assert spec.options(streaming=False) == {
+        "kafka.bootstrap.servers": "b:9092",
+        "topic": "clean-events",
+    }
+    assert spec.options() == spec.options(streaming=False)
 
 
 def test_builders_construct_kafka_format(spark):
