@@ -1089,10 +1089,40 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E5 decode plumbing: mapInPandas over Arrow batches with the
-    decode stub (deterministic fake features over ASCII payloads, so
-    the oracle can recompute them from code points)."""
+    byte-stat fallback decoder (deterministic features over ASCII
+    payloads, so the oracle can recompute them from code points)."""
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.decode_features(multimodal.attach_payload(docs, "doc_id", "text"))
+
+
+@q(
+    "multimodal_media_decode",
+    """
+    SELECT doc_id,
+           CASE CAST(doc_id % 3 AS INTEGER)
+                WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'opaque' END AS kind,
+           CASE WHEN doc_id % 3 = 0 THEN CAST(1 + doc_id % 16 AS INTEGER) END AS width,
+           CASE WHEN doc_id % 3 = 0 THEN CAST(1 + doc_id % 8 AS INTEGER) END AS height,
+           CASE WHEN doc_id % 3 IN (0, 1) THEN CAST(1 AS INTEGER) END AS channels,
+           CASE WHEN doc_id % 3 = 1 THEN CAST(8000 AS INTEGER) END AS sample_rate,
+           CASE WHEN doc_id % 3 = 1 THEN CAST(1 + doc_id % 64 AS BIGINT) END AS n_samples,
+           CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 256 AS DOUBLE)
+                WHEN doc_id % 3 = 1 THEN CAST((doc_id % 100) * 10 AS DOUBLE)
+           END AS mean_value
+    FROM documents
+    """,
+)
+def multimodal_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 REAL media decode (VERDICT r4 §Next #1): synthesize genuine
+    PNG / WAV / text payloads per doc (parameters closed-form in
+    doc_id), then run the pure-stdlib decoders — zlib inflate +
+    scanline unfilter for PNG, RIFF/PCM parse for WAV — distributed
+    over Arrow batches. The oracle predicts every decoded feature
+    (dimensions, channels, sample counts, exact means) without needing
+    to inflate a PNG, so a hash match proves the decode is real."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_media_payload(docs, "doc_id", "text")
+    return multimodal.decode_media_features(media)
 
 
 # ============================================================ E4/E6 round 2
@@ -1295,15 +1325,54 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("approx_distinct_sketch")
-def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ sketch vs exact distinct count per event type.
-    Rows-only check: sketch estimates are engine-specific by nature
-    (tests assert <5% relative error against the exact count)."""
+def approx_distinct_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group HLL++ estimate next to the exact distinct count —
+    the raw sketch output. Not a `queries()` entry: estimates are
+    engine-specific, so raw values can never hash-match an oracle.
+    The error-bound pytest asserts <5% relative error per group."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
+@q(
+    "approx_distinct_sketch",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(coalesce(sum(CASE WHEN abs(approx_users - exact_users)
+                                       > 0.05 * exact_users
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS n_groups_outside_5pct
+    FROM (SELECT event_type,
+                 approx_count_distinct(user_id) AS approx_users,
+                 count(DISTINCT user_id) AS exact_users
+          FROM events GROUP BY event_type)
+    """,
+)
+def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ sketch accuracy as a DETERMINISTIC check (VERDICT
+    r4 §Next #2): each engine compares its own sketch against its own
+    exact count and reports the number of groups whose estimate falls
+    outside ±5% — expected 0 on both sides, so the row is engine-stable
+    and hash-matchable even though the underlying sketches differ.
+    The sketch is still fully exercised (one HLL per group)."""
+    detail = approx_distinct_detail(spark, sf_dir)
+    return detail.agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.abs(F.col("approx_users") - F.col("exact_users"))
+                    > 0.05 * F.col("exact_users"),
+                    1,
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_groups_outside_5pct"),
     )
 
 

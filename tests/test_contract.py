@@ -35,9 +35,10 @@ def test_oracle_keys_subset_of_queries():
     assert set(os_) <= set(qs)
     assert len(qs) >= 87
     # only genuinely oracle-inexpressible ops may omit an oracle
-    # (HLL sketch estimates are engine-specific by nature)
+    # (HLL sketch estimates are engine-specific by nature;
+    # approx_distinct_sketch gained a deterministic violation-count
+    # output in r5 and is oracle-checked now)
     assert set(qs) - set(os_) == {
-        "approx_distinct_sketch",
         "ivf_topk",
         "approx_percentile_sketch",
         "sketch_rollup_union",
@@ -59,10 +60,16 @@ def test_query_matches_oracle(spark, duck, name):
 
 
 def test_approx_sketch_within_tolerance(spark):
-    df = entry_mod.queries()["approx_distinct_sketch"](spark, SF_DIR)
+    from ingest_spark.queries import approx_distinct_detail
+
+    df = approx_distinct_detail(spark, SF_DIR)
     for r in df.collect():
         rel_err = abs(r["approx_users"] - r["exact_users"]) / r["exact_users"]
         assert rel_err < 0.05, (r["event_type"], rel_err)
+    # and the registered deterministic form reports zero violations
+    agg = entry_mod.queries()["approx_distinct_sketch"](spark, SF_DIR).collect()
+    assert len(agg) == 1 and agg[0]["n_groups_outside_5pct"] == 0
+    assert agg[0]["n_groups"] > 0
 
 
 def test_approx_percentile_within_tolerance(spark):

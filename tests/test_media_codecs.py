@@ -1,0 +1,173 @@
+"""Real-bytes proof for the E5 media decode path (VERDICT r4 §Next #1).
+
+Every fixture is genuine media encoded with the pure-stdlib encoders
+(``encode_png``/``encode_wav``), then decoded back and checked against
+the known parameters — including every PNG filter type (0-4), all four
+supported color types, 8/16-bit mono/stereo WAV, and corrupt-input
+rejection. The distributed path is exercised through the
+``multimodal_media_decode`` query shape on a small in-memory frame.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+
+from ingest_spark.operators import multimodal
+from ingest_spark.operators.media_codecs import (
+    PNG_SIGNATURE,
+    decode_png,
+    decode_wav,
+    encode_png,
+    encode_wav,
+    sniff_mime,
+)
+
+
+def _gradient(width: int, height: int, channels: int) -> bytes:
+    """Non-constant pixels so Sub/Up/Average/Paeth filters actually
+    change the scanline bytes."""
+    return bytes(
+        (3 * x + 5 * y + 7 * c) % 256
+        for y in range(height)
+        for x in range(width)
+        for c in range(channels)
+    )
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("color_type,channels", [(0, 1), (2, 3), (4, 2), (6, 4)])
+def test_png_round_trip_all_filters_and_color_types(filter_type, color_type, channels):
+    w, h = 13, 7  # odd dims: exercises stride edges
+    pixels = _gradient(w, h, channels)
+    blob = encode_png(w, h, pixels, color_type=color_type, filter_type=filter_type)
+    assert sniff_mime(blob) == "image/png"
+    d = decode_png(blob)
+    assert (d["width"], d["height"], d["channels"]) == (w, h, channels)
+    assert d["pixels"] == pixels  # exact reconstruction through the filter
+    assert d["mean_value"] == pytest.approx(sum(pixels) / len(pixels))
+    assert d["n_pixels"] == w * h
+
+
+def test_png_rejects_corruption():
+    blob = encode_png(4, 4, bytes(16))
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"JUNK" + blob)
+    # flip a byte inside IDAT: CRC must catch it
+    idx = blob.index(b"IDAT") + 10
+    corrupt = blob[:idx] + bytes([blob[idx] ^ 0xFF]) + blob[idx + 1 :]
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(corrupt)
+    with pytest.raises(ValueError):
+        decode_png(PNG_SIGNATURE)  # no chunks at all
+
+
+def test_png_rejects_unsupported_shapes():
+    # 16-bit depth and palette color type are out of scope -> loud error
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    chunk = (
+        struct.pack(">I", len(ihdr))
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    with pytest.raises(ValueError, match="bit depth"):
+        decode_png(PNG_SIGNATURE + chunk)
+
+
+@pytest.mark.parametrize("bits", [8, 16])
+@pytest.mark.parametrize("n_channels", [1, 2])
+def test_wav_round_trip(bits, n_channels):
+    lim = 100 if bits == 8 else 20000
+    samples = [((i * 37) % (2 * lim)) - lim for i in range(64 * n_channels)]
+    blob = encode_wav(samples, sample_rate=16000, n_channels=n_channels, bits=bits)
+    assert sniff_mime(blob) == "audio/wav"
+    d = decode_wav(blob)
+    assert d["channels"] == n_channels
+    assert d["sample_rate"] == 16000
+    assert d["bit_depth"] == bits
+    assert d["n_samples"] == 64
+    assert d["mean_value"] == pytest.approx(sum(samples) / len(samples))
+    assert d["duration_sec"] == pytest.approx(64 / 16000)
+    assert d["min_value"] == min(samples) and d["max_value"] == max(samples)
+
+
+def test_wav_rejects_corruption():
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"\x00" * 16)
+    blob = encode_wav([0, 1, 2, 3])
+    # non-PCM format tag
+    idx = blob.index(b"fmt ") + 8
+    bad = blob[:idx] + struct.pack("<H", 3) + blob[idx + 2 :]
+    with pytest.raises(ValueError, match="format tag"):
+        decode_wav(bad)
+
+
+def test_sniff_mime_dispatch():
+    assert sniff_mime(encode_png(1, 1, b"\x7f")) == "image/png"
+    assert sniff_mime(encode_wav([0])) == "audio/wav"
+    assert sniff_mime(b"plain text") is None
+    assert sniff_mime(None) is None
+    assert sniff_mime(b"") is None
+
+
+def test_decode_media_dispatcher_features():
+    png = encode_png(5, 3, bytes([10]) * 15)
+    wav = encode_wav([100] * 7, sample_rate=8000)
+    d_png = multimodal._decode_media(png)
+    assert d_png["kind"] == "png" and (d_png["width"], d_png["height"]) == (5, 3)
+    assert d_png["mean_value"] == 10.0
+    d_wav = multimodal._decode_media(wav)
+    assert d_wav["kind"] == "wav" and d_wav["n_samples"] == 7
+    assert d_wav["sample_rate"] == 8000 and d_wav["mean_value"] == 100.0
+    d_txt = multimodal._decode_media(b"hello")
+    assert d_txt["kind"] == "opaque" and d_txt["width"] is None
+
+
+def test_png_nearest_neighbor_resize_is_real():
+    """resize_images on a genuine PNG must decode real pixels: a half
+    black / half white image resized down keeps both values."""
+    w, h = 8, 8
+    pixels = bytes([0] * (w * h // 2) + [255] * (w * h // 2))
+    src = encode_png(w, h, pixels)
+
+    # drive the pure-python path directly (PIL absent in container)
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession() or SparkSession.builder.master(
+        "local[2]"
+    ).getOrCreate()
+    df = spark.createDataFrame([(1, src)], "doc_id long, payload binary")
+    out = multimodal.resize_images(df, width=4, height=4).collect()[0]
+    resized = decode_png(bytes(out.resized))
+    assert (resized["width"], resized["height"]) == (4, 4)
+    vals = set(resized["pixels"])
+    assert vals == {0, 255}  # top rows black, bottom rows white survived
+
+
+def test_audio_features_from_real_wav(spark):
+    """audio_features over a real WAV must reflect PCM sample values,
+    not raw container bytes: constant amplitude -> constant features."""
+    wav = encode_wav([500] * 64, sample_rate=8000)
+    df = spark.createDataFrame([(1, wav)], "doc_id long, payload binary")
+    feats = multimodal.audio_features(df).collect()[0].features
+    assert len(feats) == multimodal.AUDIO_FEAT_DIM
+    assert all(f == pytest.approx(500.0) for f in feats)
+
+
+def test_distributed_media_decode_mixed_batch(spark):
+    """One Arrow batch containing a PNG, a WAV and opaque text decodes
+    to the right per-kind features (the multimodal_media_decode query
+    shape, minus the parquet source)."""
+    rows = [(0, "alpha"), (1, "beta"), (2, "gamma"), (3, "delta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    media = multimodal.attach_media_payload(df, "doc_id", "text")
+    out = {r.doc_id: r for r in multimodal.decode_media_features(media).collect()}
+    assert out[0].kind == "png" and (out[0].width, out[0].height) == (1, 1)
+    assert out[0].mean_value == 0.0
+    assert out[1].kind == "wav" and out[1].n_samples == 2 and out[1].mean_value == 10.0
+    assert out[2].kind == "opaque" and out[2].width is None
+    assert out[3].kind == "png" and (out[3].width, out[3].height) == (4, 4)
+    assert out[3].mean_value == 3.0
