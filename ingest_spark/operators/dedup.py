@@ -349,18 +349,37 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 20,
+    algorithm: str = "label",
 ) -> DataFrame:
-    """Connected components over a near-dup pair graph by iterative
-    min-label propagation: each node repeatedly takes the minimum label
-    among itself and its neighbors, converging to (node, min id in its
-    component) in O(component diameter) rounds — near-dup clusters are
-    shallow, so this is a handful of shuffles in practice, each a plain
-    equi-join + hash aggregate. ``localCheckpoint`` truncates lineage
-    per round so the plan does not snowball. (At extreme graph sizes
-    swap in the large-star/small-star variant; the interface holds.)
+    """Connected components over a near-dup pair graph. Two scale
+    paths, identical results (``tests/test_dedup.py`` pins equality):
+
+    - ``algorithm="label"`` (default): iterative min-label propagation
+      — each node repeatedly takes the minimum label among itself and
+      its neighbors, converging in O(component diameter) rounds.
+      Near-dup clusters are shallow, so this is a handful of shuffles,
+      each a plain equi-join + hash aggregate. Weakness at web scale:
+      a giant component (the 10^8-member boilerplate cluster) funnels
+      every member's join row through its hub nodes' keys — degree
+      skew in the per-round join.
+    - ``algorithm="star"``: alternating large-star/small-star
+      (Kiveris et al., "Connected Components in MapReduce and Beyond",
+      SoCC 2014) — each round rewires edges toward neighborhood
+      minima with ONLY per-node grouping (min is partial-aggregated
+      map-side, so a 10^6-degree hub never concentrates rows on one
+      reducer) and converges in O(log n) rounds regardless of
+      diameter. The skew-safe choice for giant/deep components; see
+      ``connected_components_star``.
+
+    ``localCheckpoint`` truncates lineage per round so the plan does
+    not snowball in either variant.
 
     Returns (id, component) for every node that appears in ``pairs``.
     """
+    if algorithm == "star":
+        return connected_components_star(pairs, id_a, id_b, max_iterations)
+    if algorithm != "label":
+        raise ValueError(f"unknown algorithm {algorithm!r} (label|star)")
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = (
         edges.union(
@@ -411,6 +430,114 @@ def connected_components(
             "max_iterations (diameter exceeds the round budget)"
         )
     return labels
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round: for every node u, connect each STRICTLY
+    LARGER neighbor to m = min(N(u) ∪ {u}). Emits (v, m) per such
+    neighbor. Grouping is per-node with a min aggregate — map-side
+    partial aggregation absorbs hub-degree skew."""
+    bidir = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    mins = bidir.groupBy("src").agg(
+        F.least(F.min("dst"), F.col("src")).alias("m")
+    )
+    return (
+        bidir.join(mins, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: attach each edge to its LARGER endpoint u
+    with smaller neighbors N(u); connect every v ∈ N(u) ∪ {u} to
+    m = min(N(u)). Same per-node min-aggregate shape as large-star."""
+    directed = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    mins = directed.groupBy("src").agg(F.min("dst").alias("m"))
+    rewired = directed.join(mins, "src").select(
+        F.col("dst").alias("src"), F.col("m").alias("dst")
+    )
+    center = mins.select(F.col("src"), F.col("m").alias("dst"))
+    return (
+        rewired.union(center)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Skew-hardened connected components: alternating large-star /
+    small-star rounds (Kiveris et al. 2014) until the edge set is a
+    fixed point (every surviving edge then points node -> component
+    minimum). Unlike min-label propagation there is NO join keyed by a
+    component label — each round is two per-node groupBy-min passes
+    plus an equi-join on the node id, and the round count is
+    O(log n) in the worst case rather than O(diameter).
+
+    Convergence is detected by an order-insensitive edge-set
+    fingerprint (count + sum of xxhash64(src,dst) — engine-internal,
+    never compared cross-engine), one cheap aggregate per round over
+    the already-checkpointed frame. Non-convergence raises, exactly
+    like the label variant.
+
+    Returns (id, component) for every node that appears in ``pairs``.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    all_nodes = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def fingerprint(e: DataFrame):
+        row = e.agg(
+            F.count("*").alias("n"),
+            # decimal(38,0) sum: a long sum of 64-bit hashes overflows
+            # under ANSI mode
+            F.coalesce(
+                F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("h"),
+        ).first()
+        return row["n"], row["h"]
+
+    fp = fingerprint(edges)
+    converged = False
+    for _ in range(max_iterations):
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        new_fp = fingerprint(edges)
+        if new_fp == fp:
+            converged = True
+            break
+        fp = new_fp
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iterations} "
+            "alternating rounds; raise max_iterations"
+        )
+    # Fixed point: every edge is (member, component-min). Roots (the
+    # minima themselves) have no outgoing edge — they label themselves.
+    member_labels = edges.groupBy("src").agg(F.min("dst").alias("component"))
+    return all_nodes.join(
+        member_labels, all_nodes.id == member_labels.src, "left_outer"
+    ).select("id", F.coalesce("component", F.col("id")).alias("component"))
 
 
 def dedup_by_components(

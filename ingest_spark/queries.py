@@ -2515,6 +2515,27 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "neardup_components_star",
+    ORACLES["neardup_components"],
+)
+def neardup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-hardened connected components (VERDICT r4 §Next #3): the
+    SAME near-dup graph through the alternating large-star/small-star
+    algorithm (Kiveris et al. 2014) — per-node groupBy-min rounds whose
+    map-side partial aggregation absorbs giant-component hub skew, with
+    O(log n) round complexity instead of O(diameter). Shares the label
+    variant's recursive-CTE oracle: both variants must produce
+    identical components."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_candidates(
+        docs, "doc_id", "text", num_hashes=4, bands=2, shingle_n=3
+    )
+    return dedup.connected_components(pairs, algorithm="star").select(
+        F.col("id").alias("doc_id"), "component"
+    )
+
+
+@q(
     "window_rank_variety",
     """
     SELECT o_orderkey, o_custkey,

@@ -151,6 +151,57 @@ def test_connected_components_matches_union_find(spark):
     assert got == _uf_components(pairs)
 
 
+def test_connected_components_star_matches_union_find(spark):
+    """Skew-hardened variant (r5): same ground truth, including a deep
+    chain (diameter > log-round count) and a hub star (the skew shape
+    the variant exists for)."""
+    pairs = (
+        [(i, i + 1) for i in range(1, 9)]        # chain 1..9, diameter 8
+        + [(100, v) for v in range(101, 112)]    # 11-spoke hub
+        + [(200, 201), (202, 201), (203, 202)]   # zigzag ordering
+    )
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    expect = _uf_components(pairs)
+    got = {
+        r.id: r.component
+        for r in dedup.connected_components_star(df).collect()
+    }
+    assert got == expect
+    # and through the flag on the public entry point
+    got2 = {
+        r.id: r.component
+        for r in dedup.connected_components(df, algorithm="star").collect()
+    }
+    assert got2 == expect
+
+
+def test_connected_components_variants_agree_on_lsh_graph(spark):
+    """Label vs star on the REAL near-dup candidate graph (the driver's
+    minhash pairs at sf0.001): identical components, node for node."""
+    from ingest_spark.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    pairs = dedup.minhash_lsh_candidates(
+        docs, "doc_id", "text", num_hashes=4, bands=2, shingle_n=3
+    ).localCheckpoint()
+    label = {
+        (r.id, r.component) for r in dedup.connected_components(pairs).collect()
+    }
+    star = {
+        (r.id, r.component)
+        for r in dedup.connected_components_star(pairs).collect()
+    }
+    assert label == star and len(label) > 0
+
+
+def test_connected_components_rejects_unknown_algorithm(spark):
+    df = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown algorithm"):
+        dedup.connected_components(df, algorithm="turbo")
+
+
 def test_dedup_by_components_keeps_one_per_cluster(spark):
     docs = spark.createDataFrame(
         [(i, f"doc {i}") for i in range(8)], "doc_id long, text string"

@@ -84,6 +84,18 @@ def test_connected_components_rounds_are_equi_joins(spark):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_connected_components_star_rounds_are_equi_joins(spark):
+    # the large-star/small-star variant must be equi-join + per-node
+    # hash-agg only as well (its whole point is skew-safety)
+    from ingest_spark.queries import QUERIES
+
+    df = QUERIES["neardup_components_star"](spark, "/root/testdata/sf0.001")
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "HashAggregate" in p  # per-node min with partial aggregation
+
+
 def test_flagship_aggregates_have_map_side_combine(spark):
     p = _plan(spark, "flagship_event_rollup")
     # partial + final pairs: dedup agg and rollup agg
