@@ -167,3 +167,84 @@ def test_decode_encode_round_trip(spark):
     assert {
         (r["key"], r["user_id"], r["event_type"]) for r in redecoded.collect()
     } == {("u1", 1, "click"), ("u2", 2, "view")}
+
+
+def test_avro_serde_chain_under_checkpointed_streaming(spark, tmp_path):
+    """VERDICT r4 §Next #4: the full Kafka serde chain — Confluent-
+    framed Avro-binary values in a KAFKA_RECORD_SCHEMA frame ->
+    decode_df -> transform -> to_kafka_frame — executed by a REAL
+    checkpointed StreamingQuery, killed after the first file and
+    RESUMED from the checkpoint for the second: every record processed
+    exactly once across the restart. No broker is involved, but
+    everything the broker would feed/receive (frame schema in, encoded
+    key/value contract out) runs under streaming execution, not batch.
+    """
+    from ingest_spark.schemas.avro_binary import decode_df, encode_df
+    from ingest_spark.schemas.contracts import CONTRACTS
+
+    schema = CONTRACTS["ConsumptionIndustry"]
+    cols = ["HourUTC", "HourDK", "MunicipalityNo", "Branche", "ConsumptionkWh"]
+    src_dir, ckpt, sink = (
+        str(tmp_path / "src"), str(tmp_path / "ckpt"), str(tmp_path / "sink")
+    )
+
+    def write_source_file(batch_no: int, hours: range) -> None:
+        rows = [
+            (f"2024-01-15T{h:02d}:00:00", f"2024-01-15T{h + 1:02d}:00:00",
+             str(100 + h), "Erhverv", float(h) + 0.25)
+            for h in hours
+        ]
+        typed = spark.createDataFrame(rows, ", ".join(f"{c} string" for c in cols[:4]) + ", ConsumptionkWh double")
+        framed = encode_df(typed, schema, schema_id=7)  # Confluent framing ON
+        kafka_shaped = framed.select(
+            F.lit(None).cast("binary").alias("key"),
+            "value",
+            F.lit("ConsumptionIndustry").alias("topic"),
+            F.lit(0).alias("partition"),
+            F.monotonically_increasing_id().alias("offset"),
+            F.current_timestamp().alias("timestamp"),
+            F.lit(0).alias("timestampType"),
+        )
+        kafka_shaped.write.mode("append").parquet(src_dir)
+
+    def start_query():
+        stream = (
+            spark.readStream.schema(KAFKA_RECORD_SCHEMA).parquet(src_dir)
+        )
+        decoded = decode_df(stream, schema, confluent=True)
+        transformed = decoded.withColumn(
+            "kwh_scaled", F.round(F.col("ConsumptionkWh") * 1000, 1)
+        ).filter(F.col("MunicipalityNo").isNotNull())
+        out = encode_records(transformed, "HourUTC")
+        return (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    write_source_file(0, range(0, 5))
+    q = start_query()
+    q.awaitTermination(120)
+    assert not q.isActive  # availableNow drained file 1 and stopped
+
+    # "kill": query object is gone; add more source data, then RESUME
+    # from the same checkpoint
+    write_source_file(1, range(5, 12))
+    q2 = start_query()
+    q2.awaitTermination(120)
+
+    got = spark.read.parquet(sink)
+    assert [f.name for f in got.schema.fields] == ["key", "value"]
+    body = got.select(
+        F.col("key").cast("string").alias("k"),
+        F.get_json_object(F.col("value").cast("string"), "$.kwh_scaled").alias("kwh"),
+        F.get_json_object(F.col("value").cast("string"), "$.MunicipalityNo").alias("muni"),
+    ).collect()
+    # exactly once: 12 distinct hours, no replays of file 1 after resume
+    assert len(body) == 12
+    assert {r["k"] for r in body} == {f"2024-01-15T{h:02d}:00:00" for h in range(12)}
+    assert {(r["muni"], r["kwh"]) for r in body} == {
+        (str(100 + h), str(h * 1000 + 250.0)) for h in range(12)
+    }
