@@ -57,6 +57,10 @@ HEADLINE = [
     "duplicate_passages",
     "bm25_retrieval",
     "neardup_components",
+    # r5: the composed curation pipeline + multi-query retrieval
+    # (VERDICT r4 §Next #6/#8)
+    "curation_e2e",
+    "bm25_multiquery",
 ]
 
 

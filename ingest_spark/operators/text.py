@@ -368,6 +368,96 @@ def bm25_scores(
     return joined.withColumn("bm25", F.round(score, 6))
 
 
+def bm25_multiquery(
+    docs: DataFrame,
+    queries: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> DataFrame:
+    """BM25 top-k per query for a TABLE of multi-term queries
+    (VERDICT r4 §Next #6) — the production retrieval shape, vs
+    ``bm25_scores``'s single fixed query.
+
+    ``queries`` is (query_id, term), one row per term. Plan, designed
+    for a 100 TB corpus against a small query table:
+
+    1. **Doc-frequency pruning at the scan**: corpus tokens join the
+       BROADCAST query-term table immediately after the explode, so
+       every token not used by any query dies before the first
+       shuffle — the inverted index is built only for query terms.
+    2. One hash aggregate builds per-(query,doc,term) tf with the doc
+       length riding along (it is constant per doc, so it groups for
+       free — no separate doc-length join).
+    3. Per-term document frequencies (count of distinct docs per
+       term) and the corpus-wide (n_docs, avgdl) scalar are tiny
+       aggregates, broadcast back onto the matched set.
+    4. Per-term scores are fixed to integer micros
+       (``round(score*1e6) -> long``) BEFORE the per-(query,doc) sum:
+       integer addition is order-independent, so the cross-row sum is
+       deterministic in any engine — the repo's integer-arithmetic
+       rule applied to additive scoring.
+    5. Top-k per query is a window partitioned BY QUERY (row_number
+       <= k) — many queries spread across partitions, never a global
+       single-partition sort.
+
+    Returns (query_id, doc_id, bm25_micros, bm25, rank).
+    """
+    t = F.col(text_col)
+    words = docs.select(
+        F.col(id_col),
+        F.size(F.split(t, " ")).cast("double").alias("_dl"),
+        F.explode(F.split(t, " ")).alias("term"),
+    )
+    matched = words.join(F.broadcast(queries), "term")
+    tf = matched.groupBy("query_id", id_col, "term", "_dl").agg(
+        F.count(F.lit(1)).cast("double").alias("_tf")
+    )
+    dfreq = (
+        tf.groupBy("term")
+        .agg(F.countDistinct(id_col).cast("double").alias("_df"))
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("_n_docs"),
+        F.avg(F.size(F.split(t, " "))).alias("_avgdl"),
+    )
+    idf = F.log(
+        F.lit(1.0) + (F.col("_n_docs") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+    )
+    denom = F.col("_tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.col("_avgdl")
+    )
+    term_score = idf * (F.col("_tf") * F.lit(k1 + 1.0)) / denom
+    per_term = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            id_col,
+            F.round(term_score * 1_000_000).cast("long").alias("_micros"),
+        )
+    )
+    summed = per_term.groupBy("query_id", id_col).agg(
+        F.sum("_micros").alias("bm25_micros")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("bm25_micros").desc(), F.col(id_col)
+    )
+    return (
+        summed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "query_id",
+            id_col,
+            "bm25_micros",
+            (F.col("bm25_micros").cast("double") / 1_000_000).alias("bm25"),
+            "rank",
+        )
+    )
+
+
 def ngram_contamination(
     corpus: DataFrame,
     benchmark: DataFrame,

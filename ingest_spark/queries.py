@@ -774,7 +774,7 @@ def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_minhash_sig() -> tuple[str, list[tuple[int, int]]]:
+def _sql_minhash_sig(source: str = "documents") -> tuple[str, list[tuple[int, int]]]:
     params = dedup._perm_params(4)
     h = H28.format("s")
     cols = ", ".join(
@@ -782,7 +782,7 @@ def _sql_minhash_sig() -> tuple[str, list[tuple[int, int]]]:
         for i, (a, b) in enumerate(params)
     )
     return (
-        f"SELECT doc_id, {cols} FROM (SELECT doc_id, {sql_shingles(3)} AS sh FROM documents)",
+        f"SELECT doc_id, {cols} FROM (SELECT doc_id, {sql_shingles(3)} AS sh FROM {source})",
         params,
     )
 
@@ -4634,6 +4634,111 @@ def duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "curation_e2e",
+    f"""
+    WITH RECURSIVE gated AS (
+      SELECT doc_id, text, source FROM (
+        SELECT doc_id, text, source,
+               CAST(len({WORDS}) AS INT) AS n_words,
+               CAST((length(text) - len({WORDS}) + 1) * 10000
+                    // len({WORDS}) AS BIGINT) AS mwl_c,
+               CAST(len(list_distinct({WORDS})) * 10000
+                    // len({WORDS}) AS BIGINT) AS ttr_c,
+               ({" + ".join(
+                   f"CASE WHEN list_contains({WORDS}, '{w}') THEN 1 ELSE 0 END"
+                   for w in text.EN_STOPWORDS
+               )}) AS n_stop
+        FROM documents)
+      WHERE n_words BETWEEN 20 AND 1000 AND mwl_c BETWEEN 20000 AND 120000
+        AND n_stop >= 2 AND ttr_c >= 2500),
+    exact AS (
+      SELECT doc_id, text, source FROM (
+        SELECT *, row_number() OVER (PARTITION BY sha256(text)
+                                     ORDER BY doc_id) AS rn
+        FROM gated) WHERE rn = 1),
+    sig AS ({_sql_minhash_sig("exact")[0]}),
+    b AS (
+      SELECT doc_id, '0:' || m0 || ',' || m1 AS bucket FROM sig
+      UNION ALL
+      SELECT doc_id, '1:' || m2 || ',' || m3 AS bucket FROM sig),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+      FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.doc_id < b2.doc_id),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    walk AS (
+      SELECT src AS id, src AS peer FROM edges
+      UNION
+      SELECT e.src AS id, w.peer FROM edges e JOIN walk w ON e.dst = w.id),
+    comps AS (SELECT id, min(peer) AS component FROM walk GROUP BY id),
+    kept AS (
+      SELECT e.doc_id, e.text, e.source FROM exact e
+      LEFT JOIN comps c ON e.doc_id = c.id
+      WHERE c.id IS NULL OR e.doc_id = c.component),
+    ch AS (
+      SELECT doc_id, source, w,
+             unnest(generate_series(1, greatest(len(w), 1), 8)) AS start
+      FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM kept)),
+    chunks AS (
+      SELECT source, doc_id * 100000 + CAST((start - 1) // 8 AS BIGINT) AS okey,
+             CAST(len(list_slice(w, start, start + 15)) AS BIGINT) AS toks
+      FROM ch),
+    c3 AS (
+      SELECT *, sum(toks) OVER (PARTITION BY source ORDER BY okey
+                                ROWS UNBOUNDED PRECEDING) AS cum
+      FROM chunks)
+    SELECT source, CAST((cum - toks) // 512 AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(toks) AS BIGINT) AS total_tokens,
+           min(okey) AS first_key, max(okey) AS last_key
+    FROM c3 GROUP BY 1, 2
+    """,
+)
+def curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE training-data curation pipeline as one composed plan
+    (VERDICT r4 §Next #8): Gopher quality gate -> exact content-hash
+    dedup (min-id survivor) -> MinHash-LSH candidate pairs ->
+    connected-components collapse (one survivor per near-dup cluster)
+    -> 16/8 token chunking -> 512-token sequence packing, ending in
+    the per-(source, bin) occupancy rollup. This is the pipeline a
+    training-data user actually runs end-to-end; benching it as one
+    entry makes round deltas track the composition, not just the
+    pieces. Every stage is the already-oracle-checked operator; the
+    oracle replays the full chain including the recursive-CTE
+    transitive closure."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    gated = text.gopher_filters(docs).filter("keep").select("doc_id", "text", "source")
+    exact = dedup.keep_best(
+        gated.withColumn("__h", F.sha2(F.col("text"), 256)),
+        "__h",
+        [F.col("doc_id")],
+    ).drop("__h")
+    pairs = dedup.minhash_lsh_candidates(
+        exact, "doc_id", "text", num_hashes=4, bands=2, shingle_n=3
+    )
+    kept = dedup.dedup_by_components(exact, "doc_id", pairs)
+    chunks = text.chunk_tokens(kept, size=16, stride=8)
+    seq = (
+        chunks.join(kept.select("doc_id", "source"), "doc_id")
+        .select(
+            "source",
+            (F.col("doc_id") * 100000 + F.col("chunk_id")).alias("okey"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )
+    packed = text.pack_sequences(seq, "n_tokens", "source", "okey", budget=512)
+    return packed.select(
+        "source",
+        "bin",
+        F.col("n_docs").alias("n_chunks"),
+        "total_tokens",
+        F.col("first_doc").alias("first_key"),
+        F.col("last_doc").alias("last_key"),
+    )
+
+
 BM25_QUERY = ("spark", "table", "hash")
 
 
@@ -4679,6 +4784,68 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(20)
     )
+
+
+# (query_id, term) rows for the multi-query BM25 retrieval shape;
+# terms drawn from the synthetic corpus vocabulary
+BM25_MULTI = (
+    ("q_engine", "spark"), ("q_engine", "table"), ("q_engine", "hash"),
+    ("q_vec", "vector"), ("q_vec", "window"),
+    ("q_stream", "stream"), ("q_stream", "batch"),
+    ("q_stream", "merge"), ("q_stream", "slow"),
+)
+
+
+@q(
+    "bm25_multiquery",
+    f"""
+    WITH q(query_id, term) AS (VALUES {", ".join(f"('{q_}', '{t_}')" for q_, t_ in BM25_MULTI)}),
+    w AS (
+      SELECT doc_id, CAST(len({WORDS}) AS DOUBLE) AS dl, unnest({WORDS}) AS term
+      FROM documents),
+    m AS (
+      SELECT q.query_id, w.doc_id, w.term, w.dl,
+             CAST(count(*) AS DOUBLE) AS tf
+      FROM w JOIN q ON w.term = q.term
+      GROUP BY 1, 2, 3, 4),
+    dfreq AS (
+      SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS dft
+      FROM m GROUP BY 1),
+    stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             avg(CAST(len({WORDS}) AS DOUBLE)) AS avgdl
+      FROM documents),
+    per_term AS (
+      SELECT m.query_id, m.doc_id,
+             CAST(round(
+               ln(1.0 + (n_docs - dft + 0.5) / (dft + 0.5))
+               * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+               * 1000000) AS BIGINT) AS micros
+      FROM m JOIN dfreq ON m.term = dfreq.term CROSS JOIN stats),
+    summed AS (
+      SELECT query_id, doc_id, CAST(sum(micros) AS BIGINT) AS bm25_micros
+      FROM per_term GROUP BY 1, 2),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY bm25_micros DESC, doc_id)
+             AS INTEGER) AS rank
+      FROM summed)
+    SELECT query_id, doc_id, bm25_micros,
+           CAST(bm25_micros AS DOUBLE) / 1000000 AS bm25, rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def bm25_multiquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-term BM25 retrieval with doc-frequency pruning (VERDICT
+    r4 §Next #6): a broadcast query-term table prunes the exploded
+    corpus tokens BEFORE the first shuffle, one hash aggregate builds
+    the (query, doc, term) inverted index, per-term scores fix to
+    integer micros before the order-independent per-(query,doc) sum,
+    and top-10 per query is a query-partitioned window. See
+    operators/text.py:bm25_multiquery for the full plan rationale."""
+    docs = load_table(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(list(BM25_MULTI), "query_id string, term string")
+    return text.bm25_multiquery(docs, queries, "text", "doc_id", k1=1.2, b=0.75, top_k=10)
 
 
 @q(

@@ -116,6 +116,48 @@ def test_bm25_ranks_term_matches_first(spark):
     assert rows[1] > rows[2] > rows[3] == 0.0
 
 
+def test_bm25_multiquery_agrees_with_single_query_scorer(spark):
+    """bm25_multiquery's inverted-index formulation must reproduce the
+    one-pass bm25_scores exactly (to the micro) for each query, and
+    rank within each query independently."""
+    from ingest_spark.operators.text import bm25_multiquery, bm25_scores
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark table hash join merge"),
+            (2, "spark spark spark row row row"),
+            (3, "row scan sort filter agg window"),
+            (4, "table table window spark scan"),
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [("qa", "spark"), ("qa", "table"), ("qb", "window")],
+        "query_id string, term string",
+    )
+    multi = bm25_multiquery(df, queries, top_k=10).collect()
+    by_query = {}
+    for r in multi:
+        by_query.setdefault(r["query_id"], {})[r["doc_id"]] = r
+
+    for qid, terms in [("qa", ("spark", "table")), ("qb", ("window",))]:
+        single = {
+            r["doc_id"]: round(r["bm25"] * 1_000_000)
+            for r in bm25_scores(df, terms).collect()
+            if r["bm25"] > 0
+        }
+        got = {d: r["bm25_micros"] for d, r in by_query[qid].items()}
+        assert got == single, (qid, got, single)
+        # ranks: descending micros, doc_id tiebreak, 1-based contiguous
+        ranked = sorted(
+            by_query[qid].values(), key=lambda r: (-r["bm25_micros"], r["doc_id"])
+        )
+        assert [r["rank"] for r in ranked] == list(range(1, len(ranked) + 1))
+
+    # zero-match docs are absent (df pruning), not present with 0.0
+    assert 3 not in by_query["qa"] and 1 not in by_query["qb"]
+
+
 def test_misra_gries_exact_when_cardinality_under_k(spark):
     from ingest_spark.operators.sketches import heavy_hitters
 
