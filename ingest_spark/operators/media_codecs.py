@@ -287,6 +287,74 @@ def encode_wav(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+# --------------------------------------------------------------- BMP
+
+
+def decode_bmp(data: bytes) -> dict:
+    """Uncompressed 24-bit BI_RGB Windows BMP -> dims + pixel stats.
+    Rows are stored bottom-up with 4-byte padding; output pixel bytes
+    are top-down RGB (converted from the file's BGR)."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP (bad signature)")
+    if len(data) < 54:
+        raise ValueError("BMP truncated before headers")
+    (data_offset,) = struct.unpack_from("<I", data, 10)
+    (hdr_size, width, height) = struct.unpack_from("<Iii", data, 14)
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    planes, bpp = struct.unpack_from("<HH", data, 26)
+    (compression,) = struct.unpack_from("<I", data, 30)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    top_down = height < 0
+    height = abs(height)
+    row_size = (width * 3 + 3) & ~3  # 4-byte aligned
+    pixels = bytearray(width * height * 3)
+    for y in range(height):
+        src_row = y if top_down else height - 1 - y
+        base = data_offset + src_row * row_size
+        row = data[base : base + width * 3]
+        if len(row) < width * 3:
+            raise ValueError("BMP truncated inside pixel data")
+        for x in range(width):
+            b_, g, r = row[x * 3 : x * 3 + 3]
+            pixels[(y * width + x) * 3 : (y * width + x) * 3 + 3] = bytes((r, g, b_))
+    n = len(pixels)
+    return {
+        "kind": "bmp",
+        "width": width,
+        "height": height,
+        "channels": 3,
+        "bit_depth": 8,
+        "n_pixels": width * height,
+        "mean_value": sum(pixels) / n if n else 0.0,
+        "min_value": min(pixels) if n else 0,
+        "max_value": max(pixels) if n else 0,
+        "pixels": bytes(pixels),
+    }
+
+
+def encode_bmp(width: int, height: int, pixels: bytes) -> bytes:
+    """Top-down RGB bytes -> a complete 24-bit BI_RGB BMP file
+    (bottom-up rows, 4-byte padded, BGR order — the spec layout)."""
+    if len(pixels) != width * height * 3:
+        raise ValueError(f"expected {width * height * 3} pixel bytes, got {len(pixels)}")
+    row_size = (width * 3 + 3) & ~3
+    pad = b"\x00" * (row_size - width * 3)
+    body = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up
+        for x in range(width):
+            r, g, b_ = pixels[(y * width + x) * 3 : (y * width + x) * 3 + 3]
+            body += bytes((b_, g, r))
+        body += pad
+    data_offset = 14 + 40
+    file_size = data_offset + len(body)
+    header = b"BM" + struct.pack("<IHHI", file_size, 0, 0, data_offset)
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body),
+                      2835, 2835, 0, 0)
+    return header + dib + bytes(body)
+
+
 # --------------------------------------------------------------- sniff
 
 
@@ -298,4 +366,6 @@ def sniff_mime(data: bytes | None) -> str | None:
         return "image/png"
     if len(data) >= 12 and data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "audio/wav"
+    if len(data) >= 54 and data[:2] == b"BM":
+        return "image/bmp"
     return None

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ingest_spark.operators.media_codecs import (
+    decode_bmp,
     decode_png,
     decode_wav,
     encode_png,
@@ -118,10 +119,10 @@ def _decode_media(payload: bytes) -> dict:
         "mean_value": None,
     }
     mime = sniff_mime(payload)
-    if mime == "image/png":
-        d = decode_png(payload)
+    if mime in ("image/png", "image/bmp"):
+        d = decode_png(payload) if mime == "image/png" else decode_bmp(payload)
         out.update(
-            kind="png",
+            kind=d["kind"],
             width=d["width"],
             height=d["height"],
             channels=d["channels"],
@@ -282,9 +283,10 @@ def resize_images(df: DataFrame, width: int = 32, height: int = 32) -> DataFrame
         return bytes(payload[(i * len(payload)) // target] for i in range(target))
 
     def _png_resize(payload: bytes) -> bytes:
-        """Nearest-neighbor via the pure codec: real pixels in, real
-        PNG out."""
-        d = decode_png(payload)
+        """Nearest-neighbor via the pure codecs: real pixels in (PNG
+        or BMP), real PNG out."""
+        mime = sniff_mime(payload)
+        d = decode_bmp(payload) if mime == "image/bmp" else decode_png(payload)
         sw, sh, ch = d["width"], d["height"], d["channels"]
         src = d["pixels"]
         out = bytearray()
@@ -314,7 +316,7 @@ def resize_images(df: DataFrame, width: int = 32, height: int = 32) -> DataFrame
     except ImportError:
 
         def _resize(payload: bytes) -> bytes:
-            if sniff_mime(payload) == "image/png":
+            if sniff_mime(payload) in ("image/png", "image/bmp"):
                 try:
                     return _png_resize(bytes(payload))
                 except ValueError:

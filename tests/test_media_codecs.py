@@ -171,3 +171,46 @@ def test_distributed_media_decode_mixed_batch(spark):
     assert out[2].kind == "opaque" and out[2].width is None
     assert out[3].kind == "png" and (out[3].width, out[3].height) == (4, 4)
     assert out[3].mean_value == 3.0
+
+
+def test_bmp_round_trip_including_padding():
+    from ingest_spark.operators.media_codecs import decode_bmp, encode_bmp
+
+    # width 3 -> 9-byte rows padded to 12: exercises the 4-byte
+    # alignment and the bottom-up/BGR round trip
+    w, h = 3, 4
+    pixels = _gradient(w, h, 3)
+    blob = encode_bmp(w, h, pixels)
+    assert sniff_mime(blob) == "image/bmp"
+    d = decode_bmp(blob)
+    assert (d["width"], d["height"], d["channels"]) == (w, h, 3)
+    assert d["pixels"] == pixels
+    assert d["mean_value"] == pytest.approx(sum(pixels) / len(pixels))
+
+
+def test_bmp_rejects_unsupported():
+    from ingest_spark.operators.media_codecs import decode_bmp, encode_bmp
+
+    with pytest.raises(ValueError, match="signature"):
+        decode_bmp(b"XX" + bytes(60))
+    blob = encode_bmp(2, 2, bytes(12))
+    bad = blob[:28] + struct.pack("<H", 8) + blob[30:]  # 8bpp unsupported
+    with pytest.raises(ValueError, match="unsupported BMP"):
+        decode_bmp(bad)
+
+
+def test_bmp_through_dispatcher_and_resize(spark):
+    from ingest_spark.operators.media_codecs import decode_png, encode_bmp
+
+    w, h = 6, 6
+    pixels = bytes([40] * (w * h * 3))
+    blob = encode_bmp(w, h, pixels)
+    d = multimodal._decode_media(blob)
+    assert d["kind"] == "bmp" and (d["width"], d["height"]) == (6, 6)
+    assert d["channels"] == 3 and d["mean_value"] == 40.0
+    # BMP in -> real nearest-neighbor resize -> PNG thumbnail out
+    df = spark.createDataFrame([(1, blob)], "doc_id long, payload binary")
+    out = multimodal.resize_images(df, width=3, height=3).collect()[0]
+    resized = decode_png(bytes(out.resized))
+    assert (resized["width"], resized["height"], resized["channels"]) == (3, 3, 3)
+    assert set(resized["pixels"]) == {40}
