@@ -35,10 +35,13 @@ def dot_product(a: Column | str, b: Column | str, dim: int | None = None) -> Col
 
     Contract: ``dim`` MUST equal the actual array length (pin it from
     the table schema). The unrolled form silently TRUNCATES longer
-    arrays and yields NULL for shorter ones (``element_at`` past the
-    end is NULL, and NULL poisons the sum) — a dim/data mismatch drops
-    rows from threshold filters rather than failing. Use
-    ``assert_dim`` in tests/debug paths to fail loudly instead."""
+    arrays — a too-small dim drops dimensions from every score without
+    failing, which silently weakens threshold filters. A too-large dim
+    raises at runtime under ANSI mode (Spark 4 default,
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT); with ANSI off it instead
+    yields NULL (out-of-range ``element_at`` -> NULL poisons the sum)
+    and rows vanish from filters. Use ``assert_dim`` in tests/debug
+    paths to surface either mismatch loudly."""
     ca, cb = _col(a), _col(b)
     if dim is not None:
         terms = [

@@ -176,19 +176,23 @@ def decode_media_features(df: DataFrame) -> DataFrame:
 
 
 def attach_media_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Synthesize REAL media bytes per row — a PNG, a WAV, or opaque
-    text, cycling on ``id % 3`` — with every media parameter a
+    """Synthesize REAL media bytes per row — a PNG, a WAV, a BMP, or
+    opaque text, cycling on ``id % 4`` — with every media parameter a
     closed-form function of the id, so a SQL oracle can predict the
     decoded features without being able to inflate a PNG:
 
-    - id%3==0 -> greyscale PNG, width=1+id%16, height=1+id%8, every
+    - id%4==0 -> greyscale PNG, width=1+id%16, height=1+id%8, every
       pixel = id%256  => mean_value == id%256 exactly;
-    - id%3==1 -> mono 16-bit 8 kHz WAV, n_samples=1+id%64, every
+    - id%4==1 -> mono 16-bit 8 kHz WAV, n_samples=1+id%64, every
       sample = (id%100)*10  => mean_value == (id%100)*10 exactly;
-    - id%3==2 -> utf-8 text bytes (opaque fallback exercise).
+    - id%4==2 -> 24-bit BMP, width=1+id%8, height=1+id%4, every
+      channel byte = id%256  => mean_value == id%256 exactly;
+    - id%4==3 -> utf-8 text bytes (opaque fallback exercise).
 
     Encoding runs distributed (mapInPandas), so the fixture generation
     itself exercises the Arrow binary-column write path."""
+    from ingest_spark.operators.media_codecs import encode_bmp
+
     src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -197,7 +201,7 @@ def attach_media_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame
             payloads = []
             for doc_id, txt in zip(pdf["doc_id"], pdf["text"]):
                 doc_id = int(doc_id)
-                m = doc_id % 3
+                m = doc_id % 4
                 if m == 0:
                     w, h = 1 + doc_id % 16, 1 + doc_id % 8
                     payloads.append(
@@ -207,6 +211,11 @@ def attach_media_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame
                     n = 1 + doc_id % 64
                     payloads.append(
                         encode_wav([(doc_id % 100) * 10] * n, sample_rate=8000)
+                    )
+                elif m == 2:
+                    w, h = 1 + doc_id % 8, 1 + doc_id % 4
+                    payloads.append(
+                        encode_bmp(w, h, bytes([doc_id % 256]) * (w * h * 3))
                     )
                 else:
                     payloads.append(str(txt).encode("utf-8"))

@@ -1099,15 +1099,19 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_media_decode",
     """
     SELECT doc_id,
-           CASE CAST(doc_id % 3 AS INTEGER)
-                WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'opaque' END AS kind,
-           CASE WHEN doc_id % 3 = 0 THEN CAST(1 + doc_id % 16 AS INTEGER) END AS width,
-           CASE WHEN doc_id % 3 = 0 THEN CAST(1 + doc_id % 8 AS INTEGER) END AS height,
-           CASE WHEN doc_id % 3 IN (0, 1) THEN CAST(1 AS INTEGER) END AS channels,
-           CASE WHEN doc_id % 3 = 1 THEN CAST(8000 AS INTEGER) END AS sample_rate,
-           CASE WHEN doc_id % 3 = 1 THEN CAST(1 + doc_id % 64 AS BIGINT) END AS n_samples,
-           CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 256 AS DOUBLE)
-                WHEN doc_id % 3 = 1 THEN CAST((doc_id % 100) * 10 AS DOUBLE)
+           CASE CAST(doc_id % 4 AS INTEGER)
+                WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
+                WHEN 2 THEN 'bmp' ELSE 'opaque' END AS kind,
+           CASE WHEN doc_id % 4 = 0 THEN CAST(1 + doc_id % 16 AS INTEGER)
+                WHEN doc_id % 4 = 2 THEN CAST(1 + doc_id % 8 AS INTEGER) END AS width,
+           CASE WHEN doc_id % 4 = 0 THEN CAST(1 + doc_id % 8 AS INTEGER)
+                WHEN doc_id % 4 = 2 THEN CAST(1 + doc_id % 4 AS INTEGER) END AS height,
+           CASE WHEN doc_id % 4 IN (0, 1) THEN CAST(1 AS INTEGER)
+                WHEN doc_id % 4 = 2 THEN CAST(3 AS INTEGER) END AS channels,
+           CASE WHEN doc_id % 4 = 1 THEN CAST(8000 AS INTEGER) END AS sample_rate,
+           CASE WHEN doc_id % 4 = 1 THEN CAST(1 + doc_id % 64 AS BIGINT) END AS n_samples,
+           CASE WHEN doc_id % 4 IN (0, 2) THEN CAST(doc_id % 256 AS DOUBLE)
+                WHEN doc_id % 4 = 1 THEN CAST((doc_id % 100) * 10 AS DOUBLE)
            END AS mean_value
     FROM documents
     """,
@@ -5076,5 +5080,150 @@ def contamination_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             shared.alias("shared_ngrams"),
             frac_c.alias("contam_frac_c"),
             (frac_c >= 1000).alias("contaminated"),
+        )
+    )
+
+
+@q(
+    "incremental_dedup_new",
+    f"""
+    WITH sig AS ({_sql_minhash_sig()[0]}),
+    b AS (
+      SELECT doc_id, '0:' || m0 || ',' || m1 AS bucket FROM sig
+      UNION ALL
+      SELECT doc_id, '1:' || m2 || ',' || m3 AS bucket FROM sig),
+    cross_hit AS (
+      SELECT DISTINCT CASE WHEN da.source = 'src1' THEN a.doc_id
+                           ELSE b2.doc_id END AS doc_id
+      FROM b a
+      JOIN b b2 ON a.bucket = b2.bucket AND a.doc_id < b2.doc_id
+      JOIN documents da ON da.doc_id = a.doc_id
+      JOIN documents db ON db.doc_id = b2.doc_id
+      WHERE (da.source = 'src1') <> (db.source = 'src1')),
+    ex AS (
+      SELECT DISTINCT n.doc_id
+      FROM documents n JOIN documents e ON sha256(n.text) = sha256(e.text)
+      WHERE n.source = 'src1' AND e.source <> 'src1')
+    SELECT n.doc_id,
+           n.doc_id IN (SELECT doc_id FROM ex) AS is_exact_dup,
+           n.doc_id IN (SELECT doc_id FROM cross_hit) AS is_near_dup,
+           NOT (n.doc_id IN (SELECT doc_id FROM ex)
+                OR n.doc_id IN (SELECT doc_id FROM cross_hit)) AS kept
+    FROM documents n WHERE n.source = 'src1'
+    """,
+)
+def incremental_dedup_new(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (cross-corpus) dedup — the shape every CONTINUOUS
+    ingestion pipeline runs: a new batch (source = 'src1') checked
+    against the existing corpus, never against itself. Per new doc:
+    exact-duplicate flag (content hash seen in the existing corpus),
+    near-duplicate flag (MinHash-LSH bucket mate on the existing
+    side), and the resulting keep decision.
+
+    Plan: ONE signature pass over the union corpus (the banding is
+    shared work, not per-side), bucket equi-join restricted to
+    cross-side pairs, hash semi-probe for exacts. At 100 TB the
+    existing side's band table is precomputed and stored — each new
+    batch only computes its own signatures and probes; nothing here
+    requires re-signing the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = F.col("source") == "src1"
+    new_docs = docs.filter(is_new)
+    existing = docs.filter(~is_new)
+    exact_hit = (
+        new_docs.select("doc_id", F.sha2("text", 256).alias("__h"))
+        .join(
+            existing.select(F.sha2("text", 256).alias("__h")).distinct(),
+            "__h",
+        )
+        .select("doc_id")
+        .distinct()
+        .withColumn("__exact", F.lit(True))
+    )
+    pairs = dedup.minhash_lsh_candidates(
+        docs, "doc_id", "text", num_hashes=4, bands=2, shingle_n=3
+    )
+    sides = docs.select("doc_id", is_new.alias("__n"))
+    tagged = (
+        pairs.join(sides.withColumnRenamed("doc_id", "id_a").withColumnRenamed("__n", "__na"), "id_a")
+        .join(sides.withColumnRenamed("doc_id", "id_b").withColumnRenamed("__n", "__nb"), "id_b")
+        .filter(F.col("__na") != F.col("__nb"))  # exactly one side is new
+    )
+    near_hit = (
+        tagged.select(
+            F.when(F.col("__na"), F.col("id_a")).otherwise(F.col("id_b")).alias("doc_id")
+        )
+        .distinct()
+        .withColumn("__near", F.lit(True))
+    )
+    return (
+        new_docs.select("doc_id")
+        .join(exact_hit, "doc_id", "left_outer")
+        .join(near_hit, "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            F.coalesce("__exact", F.lit(False)).alias("is_exact_dup"),
+            F.coalesce("__near", F.lit(False)).alias("is_near_dup"),
+            (
+                ~F.coalesce("__exact", F.lit(False))
+                & ~F.coalesce("__near", F.lit(False))
+            ).alias("kept"),
+        )
+    )
+
+
+@q(
+    "unigram_logprob_score",
+    f"""
+    WITH w AS (SELECT doc_id, unnest({WORDS}) AS word FROM documents),
+    freq AS (SELECT word, CAST(count(*) AS DOUBLE) AS c FROM w GROUP BY word),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM w),
+    scored AS (
+      SELECT doc_id, CAST(round(ln(c / t) * 1000000) AS BIGINT) AS lp
+      FROM w JOIN freq USING (word) CROSS JOIN tot)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(lp) AS BIGINT) AS sum_logprob_micros,
+           CAST((-sum(lp)) // count(*) AS BIGINT) AS avg_neg_logprob_micros
+    FROM scored GROUP BY doc_id
+    """,
+)
+def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring — the stand-in for the
+    KenLM-perplexity quality filter (CCNet/Gopher pipelines): train a
+    unigram model ON the corpus itself (word -> ln p(word)), then
+    score each doc by average negative log-probability; high scores =
+    improbable token mixes = filter candidates.
+
+    Determinism: each word's log-probability fixes to integer micros
+    BEFORE the per-doc sum (integer addition is order-independent),
+    and the final average is an integer division — engine-exact with
+    no float-summation-order hazard. Plan: one explode -> vocab
+    aggregate (map-side combined; vocab << corpus) -> broadcast the
+    vocab back onto the words -> per-doc aggregate. Two shuffles
+    total; at 100 TB the vocab table (~1e8 words) hash-joins instead
+    of broadcasting, same plan otherwise."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    freq = words.groupBy("word").agg(F.count(F.lit(1)).cast("double").alias("__c"))
+    total = words.agg(F.count(F.lit(1)).cast("double").alias("__t"))
+    lp = F.round(F.log(F.col("__c") / F.col("__t")) * 1_000_000).cast("long")
+    scored = (
+        words.join(F.broadcast(freq), "word")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", lp.alias("__lp"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("__lp").alias("sum_logprob_micros"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "sum_logprob_micros",
+            F.expr("CAST((-sum_logprob_micros) DIV n_words AS BIGINT)").alias(
+                "avg_neg_logprob_micros"
+            ),
         )
     )

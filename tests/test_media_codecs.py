@@ -158,19 +158,21 @@ def test_audio_features_from_real_wav(spark):
 
 
 def test_distributed_media_decode_mixed_batch(spark):
-    """One Arrow batch containing a PNG, a WAV and opaque text decodes
-    to the right per-kind features (the multimodal_media_decode query
-    shape, minus the parquet source)."""
-    rows = [(0, "alpha"), (1, "beta"), (2, "gamma"), (3, "delta")]
+    """One Arrow batch containing a PNG, a WAV, a BMP and opaque text
+    decodes to the right per-kind features (the multimodal_media_decode
+    query shape, minus the parquet source)."""
+    rows = [(0, "alpha"), (1, "beta"), (2, "gamma"), (3, "delta"), (4, "eps")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     media = multimodal.attach_media_payload(df, "doc_id", "text")
     out = {r.doc_id: r for r in multimodal.decode_media_features(media).collect()}
     assert out[0].kind == "png" and (out[0].width, out[0].height) == (1, 1)
     assert out[0].mean_value == 0.0
     assert out[1].kind == "wav" and out[1].n_samples == 2 and out[1].mean_value == 10.0
-    assert out[2].kind == "opaque" and out[2].width is None
-    assert out[3].kind == "png" and (out[3].width, out[3].height) == (4, 4)
-    assert out[3].mean_value == 3.0
+    assert out[2].kind == "bmp" and (out[2].width, out[2].height) == (3, 3)
+    assert out[2].channels == 3 and out[2].mean_value == 2.0
+    assert out[3].kind == "opaque" and out[3].width is None
+    assert out[4].kind == "png" and (out[4].width, out[4].height) == (5, 5)
+    assert out[4].mean_value == 4.0
 
 
 def test_bmp_round_trip_including_padding():

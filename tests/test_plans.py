@@ -270,3 +270,49 @@ def test_ewma_self_join_runs_on_post_aggregate_grain(spark):
     # the broadcast build side is an aggregated daily grain, not raw events
     build = p.split("BroadcastExchange", 1)[1]
     assert "HashAggregate" in build.split("Scan parquet", 1)[0], p
+
+
+def test_round5_curation_plans_have_no_cartesian(spark):
+    """Every r5 curation/retrieval query must stay equi-join (+ the
+    1-row broadcast-aggregate BNLJ pattern where a scalar is fanned
+    back onto the scan — the only BNLJ shape allowed)."""
+    from ingest_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    one_row_bnlj_ok = {"unigram_logprob_score", "bm25_multiquery"}
+    for name in (
+        "semantic_dedup_survivors",
+        "duplicate_passage_fraction",
+        "incremental_dedup_new",
+        "curation_e2e",
+        "quality_weighted_sample",
+        "contamination_fraction",
+        "unigram_logprob_score",
+        "bm25_multiquery",
+    ):
+        p = QUERIES[name](spark, sf)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in p, name
+        if name not in one_row_bnlj_ok:
+            assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_duplicate_passage_fraction_uses_window_not_join(spark):
+    """The 22.6x win (BASELINE.md): per-gram frequency must come from
+    a window count over the single gram shuffle, not an aggregate
+    joined back (which builds a gram-string hash relation the size of
+    the exploded corpus)."""
+    from ingest_spark.queries import QUERIES
+
+    df = QUERIES["duplicate_passage_fraction"](spark, "/root/testdata/sf0.001")
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in p
+    assert "Join" not in p  # no join of any kind in this plan
+
+
+def test_contamination_fraction_broadcasts_benchmark(spark):
+    from ingest_spark.queries import QUERIES
+
+    df = QUERIES["contamination_fraction"](spark, "/root/testdata/sf0.001")
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p  # benchmark gram side broadcast
+    assert "CartesianProduct" not in p

@@ -25,6 +25,28 @@ def test_zero_vector_cosine_is_null(spark):
     assert df.select(cosine_similarity("a", "b")).first()[0] is None
 
 
+def test_assert_dim_guards_unrolled_contract(spark):
+    """ADVICE r4: the unrolled forms silently truncate/NULL on a dim
+    mismatch — assert_dim is the loud debug guard for that contract."""
+    import pytest
+
+    from ingest_spark.functions.vectors import assert_dim
+
+    ok = spark.createDataFrame([([1.0, 2.0, 3.0],)], "a array<double>")
+    assert ok.select(assert_dim("a", 3).alias("v")).first()["v"] == [1.0, 2.0, 3.0]
+    with pytest.raises(Exception, match="dim mismatch"):
+        ok.select(assert_dim("a", 4)).collect()
+    # and the documented mismatch behaviors the guard exists to expose:
+    # under-dim TRUNCATES SILENTLY (the real hazard); over-dim raises
+    # under ANSI mode (Spark 4 default), NULLs only with ANSI off
+    pair = spark.createDataFrame(
+        [([1.0, 2.0, 3.0], [1.0, 2.0, 3.0])], "a array<double>, b array<double>"
+    )
+    assert pair.select(dot_product("a", "b", dim=2).alias("d")).first()["d"] == 5.0
+    with pytest.raises(Exception, match="INVALID_ARRAY_INDEX|is out of bounds"):
+        pair.select(dot_product("a", "b", dim=4)).collect()
+
+
 def test_brute_force_topk_ranks_correctly(spark):
     vecs = [
         (0, [1.0, 0.0]),
