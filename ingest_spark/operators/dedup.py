@@ -557,3 +557,76 @@ def dedup_by_components(
         )
         .drop("__cc_id", "__cc_component")
     )
+
+
+# ---------------------------------------------------------------- bloom (r5)
+def _bloom_positions(key: Column | str, m: int, k: int) -> Column:
+    """k SHA-256-derived bit positions in [0, m) for one key, as a
+    deduplicated array. Each position is an independent 8-hex-digit
+    (32-bit) slice of the key's SHA-256, mod m — engine-portable (the
+    DuckDB oracle recomputes identical slices), unlike murmur-based
+    library blooms. k <= 8 (sha256 yields eight 32-bit slices)."""
+    if not 1 <= k <= 8:
+        raise ValueError(f"k must be in [1, 8], got {k}")
+    hx = F.sha2(F.col(key) if isinstance(key, str) else key, 256)
+    return F.array_distinct(
+        F.array(
+            *[
+                (F.conv(F.substring(hx, 1 + 8 * i, 8), 16, 10).cast("long") % m)
+                for i in range(k)
+            ]
+        )
+    )
+
+
+def bloom_bits(df: DataFrame, key_col: str, m: int = 1 << 20, k: int = 3) -> DataFrame:
+    """Build side of a declarative Bloom filter: the DISTINCT set bit
+    positions (column ``__pos``) for every key in ``df``. At most
+    ``m`` rows regardless of corpus size — the whole point: corpus
+    membership state compresses to a broadcastable table (m = 2^20 ->
+    <= 8 MB of longs) even when the corpus itself is 100 TB.
+
+    This is Spark's runtime bloom-join idea (InjectRuntimeFilter)
+    expressed declaratively, so it works across engines, survives
+    checkpointing (the bits table is just a DataFrame you can persist
+    and reuse for every future incremental batch), and supports the
+    no-false-negative contract tested in test_dedup.py."""
+    return df.select(
+        F.explode(_bloom_positions(key_col, m, k)).alias("__pos")
+    ).distinct()
+
+
+def bloom_candidates(
+    probe: DataFrame,
+    key_col: str,
+    bits: DataFrame,
+    m: int = 1 << 20,
+    k: int = 3,
+) -> DataFrame:
+    """Probe side: the DISTINCT keys of ``probe`` whose k positions are
+    ALL present in ``bits`` (possible members; false positives at the
+    classic (1-e^{-kn/m})^k rate, never false negatives). Callers
+    exact-confirm candidates with an equi-join — the bloom's job is to
+    shrink that join's probe input by the non-member fraction before
+    any corpus-sized shuffle happens.
+
+    Plan: explode probe positions -> broadcast-join the bits table ->
+    per-key hit count == position count. No corpus-side work at probe
+    time at all."""
+    pos = probe.select(
+        F.col(key_col).alias("__key"),
+        F.explode(_bloom_positions(key_col, m, k)).alias("__pos"),
+    ).distinct()
+    b = bits.withColumnRenamed("__pos", "__bpos")
+    hit = (
+        pos.join(F.broadcast(b), pos["__pos"] == b["__bpos"], "left_outer")
+        .groupBy("__key")
+        .agg(
+            F.count(F.lit(1)).alias("__n_pos"),
+            F.count("__bpos").alias("__n_hit"),
+        )
+    )
+    return (
+        hit.filter(F.col("__n_hit") == F.col("__n_pos"))
+        .select(F.col("__key").alias(key_col))
+    )

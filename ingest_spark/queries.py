@@ -25,7 +25,7 @@ from pyspark.sql import types as T
 
 from ingest_spark.catalog import load_table
 from ingest_spark.functions.hashing import content_hash, normalized_fingerprint
-from ingest_spark.operators import dedup, flatten, multimodal, relational, similarity, text, windows
+from ingest_spark.operators import dedup, flatten, graph, multimodal, relational, similarity, text, windows
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -5225,5 +5225,165 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST((-sum_logprob_micros) DIV n_words AS BIGINT)").alias(
                 "avg_neg_logprob_micros"
             ),
+        )
+    )
+
+
+# --------------------------------------------------------------- graph (r5)
+def _sql_pagerank_iter(prev: str, cur: str) -> str:
+    """One unrolled integer-micro PageRank iteration as a CTE (mirrors
+    operators.graph.pagerank_micro's update rule exactly)."""
+    return (
+        f"{cur} AS (SELECT e.dst AS node, "
+        f"CAST(150000 + (85 * sum({prev}.rank_micro // deg.outdeg)) // 100 "
+        f"AS BIGINT) AS rank_micro "
+        f"FROM e JOIN {prev} ON e.src = {prev}.node "
+        f"JOIN deg ON deg.node = e.src GROUP BY e.dst)"
+    )
+
+
+@q(
+    "pagerank_part_supplier",
+    f"""
+    WITH b AS (SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS s
+               FROM lineitem),
+    e AS (SELECT p AS src, s AS dst FROM b
+          UNION ALL SELECT s AS src, p AS dst FROM b),
+    deg AS (SELECT src AS node, count(*) AS outdeg FROM e GROUP BY src),
+    r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_micro FROM deg),
+    {_sql_pagerank_iter('r0', 'r1')},
+    {_sql_pagerank_iter('r1', 'r2')},
+    {_sql_pagerank_iter('r2', 'r3')}
+    SELECT node, rank_micro, node % 2 = 1 AS is_supplier
+    FROM r3 ORDER BY rank_micro DESC, node LIMIT 20
+    """,
+)
+def pagerank_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (3 rounds, damping 0.85) over the
+    part<->supplier co-purchase graph from lineitem — the link-based
+    importance signal web-corpus curation uses for site-level quality
+    weighting, here exercised on the bipartite supply graph (node id
+    = 2*partkey for parts, 2*suppkey+1 for suppliers; parity keeps
+    the two key spaces disjoint).
+
+    Integer micro-rank arithmetic end-to-end (see operators/graph.py)
+    so the DuckDB oracle hash-matches exactly despite both engines
+    aggregating in different orders. Plan per iteration: edges join
+    ranks + degrees on src (AQE picks broadcast while ranks are
+    small), one shuffle aggregate on dst; degrees computed once; the
+    global top-20 is TakeOrderedAndProject, never a full sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    ).distinct()
+    ranks = graph.pagerank_micro(graph.symmetrize(base), iterations=3)
+    return (
+        ranks.select(
+            "node",
+            "rank_micro",
+            (F.col("node") % 2 == 1).alias("is_supplier"),
+        )
+        .orderBy(F.desc("rank_micro"), "node")
+        .limit(20)
+    )
+
+
+_BLOOM_M = 1 << 18  # 262144 bits: ~23% fill at sf0.01 corpus grams -> ~1% FP
+_BLOOM_POS = (
+    "list_distinct(["
+    + ", ".join(
+        f"('0x' || substr(sha256(gram), {1 + 8 * i}, 8))::BIGINT % {_BLOOM_M}"
+        for i in range(3)
+    )
+    + "])"
+)
+
+
+@q(
+    "bloom_passage_prefilter",
+    f"""
+    WITH g AS (
+      SELECT DISTINCT doc_id, source, gram FROM (
+        SELECT doc_id, source, unnest(list_transform(
+          generate_series(1, greatest(len(w) - 4, 0)),
+          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+               || ' ' || w[i+4])) AS gram
+        FROM (SELECT doc_id, source, {WORDS} AS w FROM documents)
+      )),
+    bits AS (
+      SELECT DISTINCT pos FROM (
+        SELECT unnest({_BLOOM_POS}) AS pos
+        FROM (SELECT DISTINCT gram FROM g WHERE source <> 'src1'))),
+    pp AS (
+      SELECT gram, unnest({_BLOOM_POS}) AS pos
+      FROM (SELECT DISTINCT gram FROM g WHERE source = 'src1')),
+    cand AS (
+      SELECT pp.gram FROM pp LEFT JOIN bits ON pp.pos = bits.pos
+      GROUP BY pp.gram HAVING count(*) = count(bits.pos)),
+    conf AS (
+      SELECT DISTINCT cand.gram FROM cand
+      JOIN (SELECT DISTINCT gram FROM g WHERE source <> 'src1') cg
+        ON cand.gram = cg.gram)
+    SELECT p.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(count(cand.gram) AS BIGINT) AS n_candidate_grams,
+           CAST(count(conf.gram) AS BIGINT) AS n_shared_grams,
+           count(conf.gram) > 0 AS has_shared_passage
+    FROM (SELECT DISTINCT doc_id, gram FROM g WHERE source = 'src1') p
+    LEFT JOIN cand ON p.gram = cand.gram
+    LEFT JOIN conf ON p.gram = conf.gram
+    GROUP BY p.doc_id
+    """,
+)
+def bloom_passage_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered cross-corpus passage dedup — the incremental
+    form of `duplicate_passages`: for each NEW-batch doc (source =
+    'src1'), how many of its distinct 5-gram passages already exist in
+    the corpus. The corpus's membership state is a declarative Bloom
+    filter (dedup.bloom_bits: <= m = 2^18 distinct SHA-derived bit
+    positions), so at probe time the new batch touches ONLY a
+    broadcastable <= 2 MB bits table; the exact-confirm equi-join then
+    runs over the bloom's candidates alone (false positives at the
+    classic rate are removed there; false negatives are impossible).
+
+    Why this matters at 100 TB: corpus grams are O(corpus) and cannot
+    broadcast, but the bits table is capped at m rows FOREVER — each
+    daily batch probes it without re-reading the corpus (the bits
+    DataFrame persists and unions in new days' positions). This is
+    Spark's runtime bloom-join (InjectRuntimeFilter) expressed
+    declaratively. Output counts are engine-exact: positions are
+    SHA-256 slices, so the DuckDB oracle reproduces the same false
+    positives bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = F.col("source") == "src1"
+    pairs = (
+        docs.filter(is_new)
+        .select("doc_id", F.explode(text.word_ngrams("text", 5)).alias("gram"))
+        .distinct()
+    )
+    corpus_grams = (
+        docs.filter(~is_new)
+        .select(F.explode(text.word_ngrams("text", 5)).alias("gram"))
+        .distinct()
+    )
+    bits = dedup.bloom_bits(corpus_grams, "gram", m=_BLOOM_M, k=3)
+    cand = dedup.bloom_candidates(
+        pairs.select("gram").distinct(), "gram", bits, m=_BLOOM_M, k=3
+    ).withColumn("__cand", F.lit(True))
+    conf = (
+        cand.join(corpus_grams, "gram")
+        .select("gram")
+        .withColumn("__conf", F.lit(True))
+    )
+    return (
+        pairs.join(cand, "gram", "left_outer")
+        .join(conf, "gram", "left_outer")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count(F.when(F.col("__cand"), 1)).alias("n_candidate_grams"),
+            F.count(F.when(F.col("__conf"), 1)).alias("n_shared_grams"),
+            (F.count(F.when(F.col("__conf"), 1)) > 0).alias("has_shared_passage"),
         )
     )
