@@ -3,14 +3,18 @@ sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...},
-   "queries_cold": {...}, "value_cold": N, "sf": ...}
+   "queries_median": {...}, "queries_cold": {...}, "value_cold": N,
+   "steady_passes": 3, "sf": ...}
 
 ``value`` is total STEADY-STATE wall time across the headline set
-(lower is better): each query runs twice, the first (cold) pass timed
-as ``queries_cold`` — plan compilation + codegen/JIT + first data touch
-— and the second timed as ``queries`` — the per-query cost that
-predicts cluster throughput. Both are machine-recorded (VERDICT r4
-§Next #5) so the cold story is data, not prose. Each query is
+(lower is better): each query runs once cold (``queries_cold`` — plan
+compilation + codegen/JIT + first data touch), then STEADY_PASSES=3
+measured passes. ``queries`` is the per-query MIN across the steady
+passes — the plan's actual cost, immune to another process stealing
+the box for one pass — and ``queries_median`` the per-query median,
+reported alongside for honesty (VERDICT r5 §Next #2: the driver's r5
+run showed steady>cold inversions that were pure contention; min-of-N
+makes the recorded number a plan property again). Each query is
 collected to the driver (row counts only retained) so the measurement
 includes full plan execution, not lazy declaration.
 """
@@ -123,16 +127,25 @@ def main() -> None:
             print(f"bench: cold pass failed for {name}: {exc!r}",
                   file=sys.stderr)
 
-    # Pass 2 (steady-state, TIMED): plan execution only — the number
-    # that predicts cluster throughput. Methodology in BASELINE.md.
-    per_query: dict[str, float] = {}
+    # Passes 2..2+N (steady-state, TIMED): plan execution only — the
+    # number that predicts cluster throughput. N=3 passes, per-query
+    # MIN reported as `queries` (median alongside): a single pass can
+    # be stolen by box contention; the min of three is the plan's
+    # cost. Methodology in BASELINE.md.
+    STEADY_PASSES = int(os.environ.get("SPARK_GRAFT_STEADY_PASSES", "3"))
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     rows: dict[str, int] = {}
-    for name in HEADLINE:
-        t0 = time.perf_counter()
-        out = QUERIES[name](spark, sf_dir).collect()
-        per_query[name] = round(time.perf_counter() - t0, 3)
-        rows[name] = len(out)
+    for _ in range(STEADY_PASSES):
+        for name in HEADLINE:
+            t0 = time.perf_counter()
+            out = QUERIES[name](spark, sf_dir).collect()
+            samples[name].append(time.perf_counter() - t0)
+            rows[name] = len(out)
 
+    per_query = {n: round(min(s), 3) for n, s in samples.items()}
+    per_query_median = {
+        n: round(sorted(s)[len(s) // 2], 3) for n, s in samples.items()
+    }
     total = round(sum(per_query.values()), 3)
     total_cold = round(sum(v for v in cold.values() if v >= 0), 3)
     print(
@@ -143,7 +156,9 @@ def main() -> None:
                 "unit": "sec",
                 "value_cold": total_cold,
                 "queries": per_query,
+                "queries_median": per_query_median,
                 "queries_cold": cold,
+                "steady_passes": STEADY_PASSES,
                 "rows": rows,
                 "sf": sf,
             }

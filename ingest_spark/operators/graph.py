@@ -67,18 +67,26 @@ def pagerank_micro(
     damping 0.85, integer micro-rank arithmetic (see module docstring
     for the exact update rule and why it is engine-portable).
 
-    Nodes are ``edges.src`` distinct values; callers with dangling
-    nodes should ``symmetrize`` first (a node that never occurs as
-    src contributes nothing and receives only the 0.15 base term).
-    Returns ``(node, rank_micro)``.
+    The node universe is every id appearing as src OR dst, and it is
+    preserved across iterations: a node with no in-edges keeps the
+    0.15 base term (``150_000`` micro) instead of silently vanishing
+    from the output on directed input (ADVICE r5). Dangling nodes
+    (no out-edges) absorb rank without redistributing it — the
+    standard simplification; ``symmetrize`` first if total-mass
+    stability matters. Returns ``(node, rank_micro)``.
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    ranks = deg.select(
-        F.col("src").alias("node"),
-        F.lit(init_micro).cast("long").alias("rank_micro"),
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
     )
+    ranks = nodes.select(
+        "node", F.lit(init_micro).cast("long").alias("rank_micro")
+    )
+    base = F.lit(150_000).cast("long")
     for _ in range(iterations):
         contrib = (
             edges.join(ranks, edges["src"] == ranks["node"])
@@ -88,9 +96,14 @@ def pagerank_micro(
                 F.expr("rank_micro DIV outdeg").alias("__c"),
             )
         )
-        ranks = contrib.groupBy("node").agg(
-            (F.lit(150_000) + F.expr("(85 * sum(__c)) DIV 100"))
+        updated = contrib.groupBy("node").agg(
+            (base + F.expr("(85 * sum(__c)) DIV 100"))
             .cast("long")
             .alias("rank_micro")
+        )
+        # left-join against the stable node universe so in-edge-less
+        # nodes retain the base term every round
+        ranks = nodes.join(updated, "node", "left").select(
+            "node", F.coalesce("rank_micro", base).alias("rank_micro")
         )
     return ranks

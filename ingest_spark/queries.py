@@ -4891,10 +4891,10 @@ def corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ============================================================ round 5 additions
 
-
-@q(
-    "duplicate_passage_fraction",
-    f"""
+# Shared by `duplicate_passage_fraction` and its skew-safe sibling: the
+# oracle is formulation-independent (per-gram doc counts joined back),
+# so one SQL string pins both Spark plans to identical results.
+_DUP_PASSAGE_ORACLE = f"""
     WITH g AS (SELECT doc_id, unnest(sh) AS gram
                FROM (SELECT doc_id, {sql_shingles(5)} AS sh FROM documents)),
     freq AS (SELECT gram, CAST(count(*) AS BIGINT) AS n_docs FROM g GROUP BY gram)
@@ -4908,8 +4908,10 @@ def corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
             // count(*)) < 5000 AS keep
     FROM g JOIN freq ON g.gram = freq.gram
     GROUP BY g.doc_id
-    """,
-)
+    """
+
+
+@q("duplicate_passage_fraction", _DUP_PASSAGE_ORACLE)
 def duplicate_passage_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document boilerplate fraction (Lee et al. 2022, 'Deduplicating
     Training Data Makes Language Models Better'): the share of a doc's
@@ -4922,13 +4924,24 @@ def duplicate_passage_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the aggregate-then-join-back formulation at 2M docs / 72M
     grams (9.0 s vs 203.9 s, BASELINE.md): the window sorts each
     gram partition in place, where the join had to build and probe a
-    72M-row hash relation of gram strings. Scaled-integer fraction
-    (exact midpoints, engine-portable)."""
+    72M-row hash relation of gram strings. The window keys on
+    xxhash64(gram), not the raw string (VERDICT r5 §Next #3): same
+    partitioning, 8-byte sort keys instead of ~30-byte strings
+    (collision odds at 72M grams: ~3e-4 cumulative across the whole
+    corpus — engine-internal, the oracle groups by the string).
+    Scaled-integer fraction (exact midpoints, engine-portable).
+
+    SKEW BOUND: one window partition = one task, so a single
+    boilerplate gram shared by 10^8 docs would serialize through one
+    reducer. This fast path is for corpora whose max gram frequency
+    is task-sized; `duplicate_passage_fraction_skewsafe` is the
+    salted two-level formulation whose per-task row count is bounded
+    by SALT*CAP regardless of gram frequency (see SCALING.md)."""
     docs = load_table(spark, sf_dir, "documents")
     grams = docs.select(
         "doc_id", F.explode(dedup.shingles("text", 5)).alias("gram")
-    )
-    w = Window.partitionBy("gram")
+    ).select("doc_id", F.xxhash64("gram").alias("gh"))
+    w = Window.partitionBy("gh")
     per_doc = (
         grams.withColumn("n_docs", F.count(F.lit(1)).over(w))
         .groupBy("doc_id")
@@ -4936,6 +4949,73 @@ def duplicate_passage_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_grams"),
             F.sum((F.col("n_docs") >= 2).cast("long")).alias("n_dup_grams"),
         )
+    )
+    frac_c = (F.col("n_dup_grams") * 10000 / F.col("n_grams")).cast("long")
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "n_dup_grams",
+        frac_c.alias("dup_frac_c"),
+        (frac_c < 5000).alias("keep"),
+    )
+
+
+@q("duplicate_passage_fraction_skewsafe", _DUP_PASSAGE_ORACLE)
+def duplicate_passage_fraction_skewsafe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Skew-safe `duplicate_passage_fraction` (VERDICT r5 §Next #3):
+    identical semantics and oracle, but NO task ever holds more than
+    SALT*CAP rows of one gram, so a boilerplate passage shared by
+    10^8 documents cannot serialize through a single window reducer.
+
+    Salted two-level count. A row only needs the BOOLEAN "does my
+    gram appear in >= 2 docs", not the exact count, which admits a
+    scheme where the heavy mass never re-converges on one task:
+
+    1. Window over (gh, salt) with salt = xxhash64(doc_id) % SALT:
+       per-salt-bucket partial count `c_p` (any single task holds one
+       bucket, <= 1/SALT of even the heaviest gram) + a row_number to
+       elect one representative row per bucket.
+    2. A bucket with c_p >= CAP (>= 2) proves its rows duplicated —
+       they short-circuit and SKIP level 2 entirely. Heavy grams
+       therefore contribute exactly ONE weighted representative row
+       per bucket (<= SALT rows) to level 2.
+    3. Window over gh on (light rows + heavy representatives):
+       sum(weight) == the gram's exact total doc count; partition
+       size <= SALT*(CAP-1) + SALT rows BY CONSTRUCTION, independent
+       of gram frequency. Light rows flag dup = (total >= 2).
+
+    Cost on unskewed data: two full-data shuffles vs the fast path's
+    one (measured at 2M docs in BASELINE.md) — use this variant when
+    the corpus has mega-grams, the fast path otherwise; the crossover
+    is recorded from a deliberately skewed run (one gram present in
+    every doc)."""
+    SALT, CAP = 32, 1024
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        docs.select("doc_id", F.explode(dedup.shingles("text", 5)).alias("gram"))
+        .select("doc_id", F.xxhash64("gram").alias("gh"))
+        .withColumn("salt", F.pmod(F.xxhash64("doc_id", F.lit(7)), F.lit(SALT)))
+    )
+    w1 = Window.partitionBy("gh", "salt")
+    step1 = grams.withColumn("c_p", F.count(F.lit(1)).over(w1)).withColumn(
+        "rn", F.row_number().over(w1.orderBy("doc_id"))
+    )
+    heavy = F.col("c_p") >= CAP
+    lvl2 = (
+        step1.filter(~heavy | (F.col("rn") == 1))
+        .withColumn("w8", F.when(heavy, F.col("c_p")).otherwise(F.lit(1)))
+        .withColumn("tot", F.sum("w8").over(Window.partitionBy("gh")))
+    )
+    flagged = lvl2.filter(~heavy).select(
+        "doc_id", (F.col("tot") >= 2).alias("is_dup")
+    ).unionByName(
+        step1.filter(heavy).select("doc_id", F.lit(True).alias("is_dup"))
+    )
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.col("is_dup").cast("long")).alias("n_dup_grams"),
     )
     frac_c = (F.col("n_dup_grams") * 10000 / F.col("n_grams")).cast("long")
     return per_doc.select(
@@ -5198,17 +5278,21 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     BEFORE the per-doc sum (integer addition is order-independent),
     and the final average is an integer division — engine-exact with
     no float-summation-order hazard. Plan: one explode -> vocab
-    aggregate (map-side combined; vocab << corpus) -> broadcast the
-    vocab back onto the words -> per-doc aggregate. Two shuffles
-    total; at 100 TB the vocab table (~1e8 words) hash-joins instead
-    of broadcasting, same plan otherwise."""
+    aggregate (map-side combined; vocab << corpus) -> join the vocab
+    back onto the words -> per-doc aggregate. The vocab join strategy
+    is deliberately LEFT TO AQE (VERDICT r5 §Next #4): at bench scale
+    the runtime stats make it a broadcast join (pinned in
+    test_plans.py); at 100 TB a ~1e8-word vocab exceeds any broadcast
+    threshold and AQE falls back to a shuffled hash join — a forced
+    F.broadcast() hint here would be a driver OOM, not a plan choice.
+    The 1-row corpus total stays an explicit broadcast."""
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
     freq = words.groupBy("word").agg(F.count(F.lit(1)).cast("double").alias("__c"))
     total = words.agg(F.count(F.lit(1)).cast("double").alias("__t"))
     lp = F.round(F.log(F.col("__c") / F.col("__t")) * 1_000_000).cast("long")
     scored = (
-        words.join(F.broadcast(freq), "word")
+        words.join(freq, "word")
         .crossJoin(F.broadcast(total))
         .select("doc_id", lp.alias("__lp"))
     )

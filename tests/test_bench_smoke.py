@@ -14,7 +14,7 @@ import sys
 
 def test_bench_runs_and_emits_contract_json():
     env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
-               SPARK_GRAFT_CPUS="8")
+               SPARK_GRAFT_CPUS="8", SPARK_GRAFT_STEADY_PASSES="2")
     proc = subprocess.run(
         [sys.executable, "/root/repo/bench.py"],
         capture_output=True,
@@ -43,6 +43,13 @@ def test_bench_runs_and_emits_contract_json():
         "a cold pass failed (sentinel -1); see bench stderr"
     )
     assert d["value_cold"] >= d["value"] * 0.5  # both populated, same unit
+    # min-of-N steady methodology (r5 §Next #2): median reported
+    # alongside the min, and min <= median per query by construction
+    assert d["steady_passes"] == 2
+    assert set(d["queries_median"]) == set(bench.HEADLINE)
+    assert all(
+        d["queries"][n] <= d["queries_median"][n] + 1e-9 for n in bench.HEADLINE
+    )
 
 
 def test_headline_names_are_declared_queries():

@@ -212,3 +212,56 @@ def test_dedup_by_components_keeps_one_per_cluster(spark):
     # clusters {1,2,5}->1 and {6,7}->6; singletons 0,3,4 survive
     assert ids == [0, 1, 3, 4, 6]
     assert out.columns == ["doc_id", "text"]
+
+
+# ---------------------------------------------------------------- bloom (r5)
+
+
+def test_bloom_candidates_no_false_negatives(spark):
+    """The Bloom contract: every probe key that IS in the corpus must
+    appear in the candidate set (false positives allowed, false
+    negatives never) — at every m, including an absurdly small filter
+    where nearly every position collides."""
+    corpus = spark.createDataFrame(
+        [(f"passage {i}",) for i in range(200)], "gram string"
+    )
+    probe = spark.createDataFrame(
+        [(f"passage {i}",) for i in range(150, 350)], "gram string"
+    )
+    true_members = {f"passage {i}" for i in range(150, 200)}
+    for m in (64, 1 << 12, 1 << 20):
+        bits = dedup.bloom_bits(corpus, "gram", m=m, k=3)
+        cand = {
+            r.gram
+            for r in dedup.bloom_candidates(probe, "gram", bits, m=m, k=3).collect()
+        }
+        assert true_members <= cand, f"false negatives at m={m}"
+        # candidates never invent keys absent from the probe side
+        assert cand <= {f"passage {i}" for i in range(150, 350)}
+
+
+def test_bloom_prunes_nonmembers_at_adequate_m(spark):
+    """At a sanely-sized filter the non-member fraction is actually
+    pruned (the operator's whole purpose) — with m=2^20 over 200 keys
+    the FP rate is ~0, so candidates == true members exactly."""
+    corpus = spark.createDataFrame(
+        [(f"passage {i}",) for i in range(200)], "gram string"
+    )
+    probe = spark.createDataFrame(
+        [(f"passage {i}",) for i in range(150, 350)], "gram string"
+    )
+    bits = dedup.bloom_bits(corpus, "gram", m=1 << 20, k=3)
+    cand = {
+        r.gram
+        for r in dedup.bloom_candidates(probe, "gram", bits, m=1 << 20, k=3).collect()
+    }
+    assert cand == {f"passage {i}" for i in range(150, 200)}
+
+
+def test_bloom_bits_row_count_capped_by_m(spark):
+    """Membership state never exceeds m rows no matter the corpus."""
+    m = 128
+    corpus = spark.createDataFrame(
+        [(f"k{i}",) for i in range(5000)], "gram string"
+    )
+    assert dedup.bloom_bits(corpus, "gram", m=m, k=3).count() <= m

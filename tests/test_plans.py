@@ -307,6 +307,44 @@ def test_duplicate_passage_fraction_uses_window_not_join(spark):
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "Window" in p
     assert "Join" not in p  # no join of any kind in this plan
+    # the window keys on xxhash64(gram), not the raw string: 8-byte
+    # sort keys in the shuffle (VERDICT r5 §Next #3)
+    assert "xxhash64" in p
+
+
+def test_duplicate_passage_fraction_skewsafe_bounded_windows(spark):
+    """The skew-safe variant's contract: exactly two window stages —
+    (gh, salt) then gh-over-bounded-rows — still no join of any kind,
+    and both windows key on the 64-bit gram hash (never the string)."""
+    from ingest_spark.queries import QUERIES
+
+    df = QUERIES["duplicate_passage_fraction_skewsafe"](
+        spark, "/root/testdata/sf0.001"
+    )
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in p
+    assert "CartesianProduct" not in p
+    assert "xxhash64" in p
+    # two distinct window specs: the salted level-1 and the gh level-2
+    import re
+
+    specs = set(re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", p))
+    assert len(specs) >= 2, specs
+
+
+def test_unigram_vocab_join_left_to_aqe_broadcasts_at_bench_scale(spark):
+    """VERDICT r5 §Next #4: no forced F.broadcast on the vocab table —
+    the strategy is AQE's. At bench scale the runtime stats must still
+    land it as a broadcast hash join (no fact-side SortMergeJoin); at
+    100 TB the same code degrades to a shuffled join instead of a
+    driver OOM."""
+    from ingest_spark.queries import QUERIES
+
+    df = QUERIES["unigram_logprob_score"](spark, "/root/testdata/sf0.001")
+    df.collect()  # AQE decides from actual shuffle sizes at runtime
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
 
 
 def test_contamination_fraction_broadcasts_benchmark(spark):
