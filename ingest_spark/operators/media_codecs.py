@@ -1,7 +1,7 @@
 """Pure-stdlib media codecs for the E5 multimodal path.
 
-Real decoders for the two formats whose specs need nothing beyond the
-standard library (VERDICT r4 §Next #1):
+Real decoders for the formats whose specs need nothing beyond the
+standard library (VERDICT r4 §Next #1; GIF added r6 per r5 §Next #5):
 
 - **PNG** (`decode_png`): signature + chunk walk, IHDR parse, IDAT
   concat -> ``zlib`` inflate -> per-scanline UNFILTER (all five filter
@@ -9,6 +9,12 @@ standard library (VERDICT r4 §Next #1):
   8-bit greyscale / RGB / grey+alpha / RGBA (color types 0/2/4/6).
 - **WAV** (`decode_wav`): RIFF chunk walk, fmt parse (PCM only),
   ``struct``-unpacked 8/16-bit samples with per-file stats.
+- **BMP** (`decode_bmp`): uncompressed 24-bit BI_RGB, bottom-up
+  4-byte-padded BGR rows -> top-down RGB.
+- **GIF** (`decode_gif`): GIF87a/89a block walk, hand-built LZW with
+  variable code width (LSB-first packing, clear/end codes, 12-bit
+  ceiling + table-full reset), global/local color table mapping to
+  RGB. First frame; extensions skipped.
 
 Matching encoders (``encode_png`` / ``encode_wav``) exist so tests can
 fabricate REAL media bytes deterministically — no image/audio library
@@ -355,6 +361,244 @@ def encode_bmp(width: int, height: int, pixels: bytes) -> bytes:
     return header + dib + bytes(body)
 
 
+# --------------------------------------------------------------- GIF
+
+_GIF_MAX_WIDTH = 12  # spec: LZW codes never exceed 12 bits
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> bytearray:
+    """GIF-variant LZW decode (spec appendix F): variable code width
+    starting at min_code_size+1, LSB-first bit packing, clear/end
+    codes, width bump when the table reaches the current code range,
+    12-bit ceiling with append-freeze until the next clear."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    table: list[bytes] = []
+    width = min_code_size + 1
+    prev: bytes | None = None
+
+    def reset() -> None:
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        width = min_code_size + 1
+        prev = None
+
+    reset()
+    acc = nbits = 0
+    pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("GIF LZW stream truncated (no end code)")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            reset()
+            continue
+        if code == end:
+            return out
+        if prev is None:  # first code after a clear: literal only
+            if code >= clear:
+                raise ValueError(f"GIF LZW bad first code {code}")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < (1 << _GIF_MAX_WIDTH):
+                table.append(prev + entry[:1])
+        elif code == len(table):  # the KwKwK case
+            entry = prev + prev[:1]
+            if len(table) < (1 << _GIF_MAX_WIDTH):
+                table.append(entry)
+        else:
+            raise ValueError(f"GIF LZW code {code} beyond table {len(table)}")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) and width < _GIF_MAX_WIDTH:
+            width += 1
+
+
+def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """Greedy longest-match GIF LZW encoder (exact inverse of
+    ``_lzw_decode``, including the width-bump timing: the encoder runs
+    one table entry AHEAD of the decoder, so it bumps when next_code
+    reaches (1<<width)+1). Emits a clear + full reset when the table
+    fills at 4096, same as every spec-conforming encoder."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[bytes, int] = {}
+    next_code = 0
+    width = min_code_size + 1
+
+    def reset() -> None:
+        nonlocal table, next_code, width
+        table = {bytes([i]): i for i in range(clear)}
+        next_code = end + 1
+        width = min_code_size + 1
+
+    reset()
+    emit(clear, width)
+    buf = b""
+    for byte in indices:
+        if byte >= clear:
+            raise ValueError(f"pixel index {byte} exceeds palette size {clear}")
+        nb = buf + bytes([byte])
+        if nb in table:
+            buf = nb
+            continue
+        emit(table[buf], width)
+        if next_code < (1 << _GIF_MAX_WIDTH):
+            table[nb] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < _GIF_MAX_WIDTH:
+                width += 1
+        else:  # table full: clear, reset, restart matching
+            emit(clear, width)
+            reset()
+        buf = bytes([byte])
+    if buf:
+        emit(table[buf], width)
+    emit(end, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def decode_gif(data: bytes) -> dict:
+    """GIF87a/89a bytes -> dims + palette-mapped RGB pixel stats
+    (first frame; pure-stdlib LZW — VERDICT r5 §Next #5). Extensions
+    are skipped; interlaced images and frames without any color table
+    raise ValueError — callers dispatch, they don't guess."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF (bad signature)")
+    if len(data) < 13:
+        raise ValueError("GIF truncated before screen descriptor")
+    _sw, _sh, packed, _bg, _aspect = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    global_table = b""
+    if packed & 0x80:
+        n = 3 * (2 << (packed & 0x07))
+        global_table = data[pos : pos + n]
+        if len(global_table) < n:
+            raise ValueError("GIF truncated inside global color table")
+        pos += n
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:  # trailer before any image
+            raise ValueError("GIF contains no image data")
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while pos < len(data) and data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"GIF unknown block 0x{block:02x}")
+        _left, _top, width, height, ipacked = struct.unpack_from("<HHHHB", data, pos)
+        pos += 9
+        if ipacked & 0x40:
+            raise ValueError("interlaced GIF unsupported")
+        table = global_table
+        if ipacked & 0x80:  # local color table takes precedence
+            n = 3 * (2 << (ipacked & 0x07))
+            table = data[pos : pos + n]
+            if len(table) < n:
+                raise ValueError("GIF truncated inside local color table")
+            pos += n
+        if not table:
+            raise ValueError("GIF image has no color table")
+        min_code_size = data[pos]
+        pos += 1
+        lzw = bytearray()
+        while pos < len(data) and data[pos]:
+            n = data[pos]
+            chunk = data[pos + 1 : pos + 1 + n]
+            if len(chunk) < n:
+                raise ValueError("GIF truncated inside image sub-block")
+            lzw += chunk
+            pos += 1 + n
+        indices = _lzw_decode(bytes(lzw), min_code_size)
+        if len(indices) < width * height:
+            raise ValueError(
+                f"GIF decoded {len(indices)} indices for {width}x{height}"
+            )
+        palette_size = len(table) // 3
+        pixels = bytearray(width * height * 3)
+        for i in range(width * height):
+            idx = indices[i]
+            if idx >= palette_size:
+                raise ValueError(f"GIF pixel index {idx} outside palette")
+            pixels[3 * i : 3 * i + 3] = table[3 * idx : 3 * idx + 3]
+        n = len(pixels)
+        return {
+            "kind": "gif",
+            "width": width,
+            "height": height,
+            "channels": 3,
+            "bit_depth": 8,
+            "palette_size": palette_size,
+            "n_pixels": width * height,
+            "mean_value": sum(pixels) / n if n else 0.0,
+            "min_value": min(pixels) if n else 0,
+            "max_value": max(pixels) if n else 0,
+            "pixels": bytes(pixels),
+        }
+    raise ValueError("GIF truncated before image descriptor")
+
+
+def encode_gif(
+    width: int, height: int, indices: bytes, palette: bytes
+) -> bytes:
+    """Indexed pixels + RGB palette -> a complete GIF89a file (global
+    color table, one non-interlaced image, real LZW). ``palette`` is
+    RGB triples; its length is padded up to the next power of two of
+    entries as the spec's size field requires."""
+    if len(indices) != width * height:
+        raise ValueError(f"expected {width * height} indices, got {len(indices)}")
+    if len(palette) % 3 or not palette:
+        raise ValueError("palette must be non-empty RGB triples")
+    n_entries = len(palette) // 3
+    size_field = max(1, (n_entries - 1).bit_length())  # 2^size >= entries, >=2
+    table = palette + b"\x00" * (3 * ((1 << size_field) - n_entries))
+    if max(indices) >= n_entries:
+        raise ValueError("pixel index outside palette")
+    min_code_size = max(2, size_field)
+    lzw = _lzw_encode(indices, min_code_size)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", width, height, 0x80 | ((size_field - 1) & 7), 0, 0)
+        + table
+        + b"\x2c"
+        + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        + bytes([min_code_size])
+        + bytes(blocks)
+        + b"\x3b"
+    )
+
+
 # --------------------------------------------------------------- sniff
 
 
@@ -366,6 +610,8 @@ def sniff_mime(data: bytes | None) -> str | None:
         return "image/png"
     if len(data) >= 12 and data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "audio/wav"
+    if len(data) >= 13 and data[:6] in (b"GIF87a", b"GIF89a"):
+        return "image/gif"
     if len(data) >= 54 and data[:2] == b"BM":
         return "image/bmp"
     return None

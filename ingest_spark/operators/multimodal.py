@@ -27,6 +27,7 @@ from pyspark.sql import types as T
 
 from ingest_spark.operators.media_codecs import (
     decode_bmp,
+    decode_gif,
     decode_png,
     decode_wav,
     encode_png,
@@ -119,8 +120,12 @@ def _decode_media(payload: bytes) -> dict:
         "mean_value": None,
     }
     mime = sniff_mime(payload)
-    if mime in ("image/png", "image/bmp"):
-        d = decode_png(payload) if mime == "image/png" else decode_bmp(payload)
+    if mime in ("image/png", "image/bmp", "image/gif"):
+        d = {
+            "image/png": decode_png,
+            "image/bmp": decode_bmp,
+            "image/gif": decode_gif,
+        }[mime](payload)
         out.update(
             kind=d["kind"],
             width=d["width"],
@@ -175,23 +180,30 @@ def decode_media_features(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(run, MEDIA_DECODED_SCHEMA)
 
 
-def attach_media_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Synthesize REAL media bytes per row — a PNG, a WAV, a BMP, or
-    opaque text, cycling on ``id % 4`` — with every media parameter a
-    closed-form function of the id, so a SQL oracle can predict the
-    decoded features without being able to inflate a PNG:
+GIF_PALETTE = bytes(v for i in range(16) for v in (i * 17,) * 3)  # 16 greys
 
-    - id%4==0 -> greyscale PNG, width=1+id%16, height=1+id%8, every
+
+def attach_media_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Synthesize REAL media bytes per row — a PNG, a WAV, a BMP, a
+    GIF, or opaque text, cycling on ``id % 5`` — with every media
+    parameter a closed-form function of the id, so a SQL oracle can
+    predict the decoded features without being able to inflate a PNG
+    or LZW-decode a GIF:
+
+    - id%5==0 -> greyscale PNG, width=1+id%16, height=1+id%8, every
       pixel = id%256  => mean_value == id%256 exactly;
-    - id%4==1 -> mono 16-bit 8 kHz WAV, n_samples=1+id%64, every
+    - id%5==1 -> mono 16-bit 8 kHz WAV, n_samples=1+id%64, every
       sample = (id%100)*10  => mean_value == (id%100)*10 exactly;
-    - id%4==2 -> 24-bit BMP, width=1+id%8, height=1+id%4, every
+    - id%5==2 -> 24-bit BMP, width=1+id%8, height=1+id%4, every
       channel byte = id%256  => mean_value == id%256 exactly;
-    - id%4==3 -> utf-8 text bytes (opaque fallback exercise).
+    - id%5==3 -> GIF89a over a 16-grey palette (entry i = i*17),
+      width=1+id%12, height=1+id%6, every pixel index = id%16
+      => mean_value == (id%16)*17 exactly;
+    - id%5==4 -> utf-8 text bytes (opaque fallback exercise).
 
     Encoding runs distributed (mapInPandas), so the fixture generation
     itself exercises the Arrow binary-column write path."""
-    from ingest_spark.operators.media_codecs import encode_bmp
+    from ingest_spark.operators.media_codecs import encode_bmp, encode_gif
 
     src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
 
@@ -201,7 +213,7 @@ def attach_media_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame
             payloads = []
             for doc_id, txt in zip(pdf["doc_id"], pdf["text"]):
                 doc_id = int(doc_id)
-                m = doc_id % 4
+                m = doc_id % 5
                 if m == 0:
                     w, h = 1 + doc_id % 16, 1 + doc_id % 8
                     payloads.append(
@@ -216,6 +228,11 @@ def attach_media_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame
                     w, h = 1 + doc_id % 8, 1 + doc_id % 4
                     payloads.append(
                         encode_bmp(w, h, bytes([doc_id % 256]) * (w * h * 3))
+                    )
+                elif m == 3:
+                    w, h = 1 + doc_id % 12, 1 + doc_id % 6
+                    payloads.append(
+                        encode_gif(w, h, bytes([doc_id % 16]) * (w * h), GIF_PALETTE)
                     )
                 else:
                     payloads.append(str(txt).encode("utf-8"))
@@ -292,10 +309,14 @@ def resize_images(df: DataFrame, width: int = 32, height: int = 32) -> DataFrame
         return bytes(payload[(i * len(payload)) // target] for i in range(target))
 
     def _png_resize(payload: bytes) -> bytes:
-        """Nearest-neighbor via the pure codecs: real pixels in (PNG
-        or BMP), real PNG out."""
+        """Nearest-neighbor via the pure codecs: real pixels in (PNG,
+        BMP, or GIF), real PNG out."""
         mime = sniff_mime(payload)
-        d = decode_bmp(payload) if mime == "image/bmp" else decode_png(payload)
+        d = {
+            "image/png": decode_png,
+            "image/bmp": decode_bmp,
+            "image/gif": decode_gif,
+        }[mime](payload)
         sw, sh, ch = d["width"], d["height"], d["channels"]
         src = d["pixels"]
         out = bytearray()
@@ -325,7 +346,7 @@ def resize_images(df: DataFrame, width: int = 32, height: int = 32) -> DataFrame
     except ImportError:
 
         def _resize(payload: bytes) -> bytes:
-            if sniff_mime(payload) in ("image/png", "image/bmp"):
+            if sniff_mime(payload) in ("image/png", "image/bmp", "image/gif"):
                 try:
                     return _png_resize(bytes(payload))
                 except ValueError:

@@ -158,10 +158,11 @@ def test_audio_features_from_real_wav(spark):
 
 
 def test_distributed_media_decode_mixed_batch(spark):
-    """One Arrow batch containing a PNG, a WAV, a BMP and opaque text
-    decodes to the right per-kind features (the multimodal_media_decode
-    query shape, minus the parquet source)."""
-    rows = [(0, "alpha"), (1, "beta"), (2, "gamma"), (3, "delta"), (4, "eps")]
+    """One Arrow batch containing a PNG, a WAV, a BMP, a GIF and
+    opaque text decodes to the right per-kind features (the
+    multimodal_media_decode query shape, minus the parquet source)."""
+    rows = [(0, "alpha"), (1, "beta"), (2, "gamma"), (3, "delta"),
+            (4, "eps"), (5, "zeta")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     media = multimodal.attach_media_payload(df, "doc_id", "text")
     out = {r.doc_id: r for r in multimodal.decode_media_features(media).collect()}
@@ -170,9 +171,11 @@ def test_distributed_media_decode_mixed_batch(spark):
     assert out[1].kind == "wav" and out[1].n_samples == 2 and out[1].mean_value == 10.0
     assert out[2].kind == "bmp" and (out[2].width, out[2].height) == (3, 3)
     assert out[2].channels == 3 and out[2].mean_value == 2.0
-    assert out[3].kind == "opaque" and out[3].width is None
-    assert out[4].kind == "png" and (out[4].width, out[4].height) == (5, 5)
-    assert out[4].mean_value == 4.0
+    assert out[3].kind == "gif" and (out[3].width, out[3].height) == (4, 4)
+    assert out[3].channels == 3 and out[3].mean_value == 3 * 17.0
+    assert out[4].kind == "opaque" and out[4].width is None
+    assert out[5].kind == "png" and (out[5].width, out[5].height) == (6, 6)
+    assert out[5].mean_value == 5.0
 
 
 def test_bmp_round_trip_including_padding():
@@ -216,3 +219,93 @@ def test_bmp_through_dispatcher_and_resize(spark):
     resized = decode_png(bytes(out.resized))
     assert (resized["width"], resized["height"], resized["channels"]) == (3, 3, 3)
     assert set(resized["pixels"]) == {40}
+
+
+# ---------------------------------------------------------------- GIF (r6)
+
+
+def test_lzw_round_trip_width_growth_and_table_reset():
+    """Raw LZW: random index streams long enough to force the code
+    width through every size up to 12 bits and a full-table (4096)
+    clear/reset, at several min-code-sizes."""
+    import random
+
+    from ingest_spark.operators.media_codecs import _lzw_decode, _lzw_encode
+
+    rng = random.Random(1234)
+    for mcs, n in [(2, 10), (2, 30000), (4, 3000), (8, 50000)]:
+        data = bytes(rng.randrange(1 << mcs) for _ in range(n))
+        assert bytes(_lzw_decode(_lzw_encode(data, mcs), mcs)) == data, (mcs, n)
+
+
+def test_gif_round_trip_pixels_exact():
+    from ingest_spark.operators.media_codecs import decode_gif, encode_gif
+
+    import random
+
+    rng = random.Random(7)
+    pal = bytes(v for i in range(16) for v in (i * 17, (i * 31) % 256, i))
+    for w, h in [(1, 1), (16, 8), (61, 37)]:
+        idx = bytes(rng.randrange(16) for _ in range(w * h))
+        d = decode_gif(encode_gif(w, h, idx, pal))
+        assert (d["kind"], d["width"], d["height"]) == ("gif", w, h)
+        assert d["channels"] == 3 and d["palette_size"] == 16
+        assert d["pixels"] == bytes(
+            b for i in idx for b in pal[3 * i : 3 * i + 3]
+        )
+
+
+def test_gif_non_power_of_two_palette_pads():
+    from ingest_spark.operators.media_codecs import decode_gif, encode_gif
+
+    pal5 = bytes(v for i in range(5) for v in (i * 50,) * 3)
+    d = decode_gif(encode_gif(4, 4, bytes([4]) * 16, pal5))
+    assert d["mean_value"] == 200.0 and d["min_value"] == d["max_value"] == 200
+
+
+def test_gif_rejects_corruption():
+    from ingest_spark.operators.media_codecs import decode_gif, encode_gif
+
+    pal = bytes(v for i in range(4) for v in (i * 80,) * 3)
+    good = encode_gif(3, 2, bytes([1]) * 6, pal)
+    with pytest.raises(ValueError, match="signature"):
+        decode_gif(b"NOTAGIF" + good[6:])
+    with pytest.raises(ValueError, match="truncated"):
+        decode_gif(good[:15])
+    # truncate inside the LZW sub-blocks: lose the end code
+    with pytest.raises(ValueError):
+        decode_gif(good[:-3])
+    # interlace flag set
+    bad = bytearray(good)
+    desc = bad.index(0x2C, 6)
+    bad[desc + 9] |= 0x40
+    with pytest.raises(ValueError, match="interlaced"):
+        decode_gif(bytes(bad))
+
+
+def test_gif_through_dispatcher_and_sniff():
+    from ingest_spark.operators.media_codecs import encode_gif
+
+    g = encode_gif(5, 3, bytes([7]) * 15, multimodal.GIF_PALETTE)
+    assert sniff_mime(g) == "image/gif"
+    d = multimodal._decode_media(g)
+    assert d["kind"] == "gif" and (d["width"], d["height"]) == (5, 3)
+    assert d["channels"] == 3 and d["mean_value"] == 7 * 17.0
+
+
+def test_gif_nearest_neighbor_resize_is_real(spark):
+    """resize_images on a genuine GIF: a half-black / half-white
+    palette image resized 2x must keep the split (real pixels, not
+    the byte-stride stub)."""
+    from ingest_spark.operators.media_codecs import decode_png, encode_gif
+    from ingest_spark.operators.multimodal import resize_images
+
+    pal = bytes((0, 0, 0, 255, 255, 255))
+    idx = bytes([0] * 8 + [1] * 8)  # 4x4: top half black, bottom white
+    gif = encode_gif(4, 4, idx, pal)
+    df = spark.createDataFrame([(1, bytearray(gif))], "doc_id long, payload binary")
+    out = resize_images(df, width=8, height=8).collect()[0]
+    d = decode_png(bytes(out.resized))
+    assert (d["width"], d["height"], d["channels"]) == (8, 8, 3)
+    px = d["pixels"]
+    assert set(px[: 8 * 4 * 3]) == {0} and set(px[8 * 4 * 3 :]) == {255}
