@@ -2416,18 +2416,24 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def zscore_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-group normalization (feature scaling before training) as
-    unbounded-frame window aggregates — one shuffle on the group key,
-    no self-join with the stats. tests/test_udf_surface.py proves the
-    grouped-applyInPandas (Arrow) version computes the identical
-    result, so the declarative form is the one that ships."""
+    """Per-group normalization (feature scaling before training).
+
+    NOT a window: event_type has cardinality 3, so an unbounded-frame
+    window over it would drag the entire fact table through three
+    window tasks at scale (the single-partition-window skew class the
+    r6 audit hunts — SCALING.md §7). Instead: map-side-combined
+    3-row stats aggregate, broadcast back onto the scan — the fact
+    table is never sorted and never concentrated on low-cardinality
+    keys. tests/test_udf_surface.py proves the grouped-applyInPandas
+    (Arrow) version computes the identical result."""
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type")
-    return ev.select(
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("__mu"),
+        F.stddev_samp("value").alias("__sd"),
+    )
+    return ev.join(F.broadcast(stats), "event_type").select(
         "event_id",
-        F.round(
-            (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w), 6
-        ).alias("zscore"),
+        F.round((F.col("value") - F.col("__mu")) / F.col("__sd"), 6).alias("zscore"),
     )
 
 
