@@ -65,6 +65,10 @@ HEADLINE = [
     # (VERDICT r4 §Next #6/#8)
     "curation_e2e",
     "bm25_multiquery",
+    # r6: DSIR importance weighting + incremental novelty (two-shuffle
+    # text-aggregate shapes; novelty is the no-join-back formulation)
+    "dsir_importance_weights",
+    "ngram_novelty",
 ]
 
 

@@ -5482,3 +5482,199 @@ def bloom_passage_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(F.when(F.col("__conf"), 1)) > 0).alias("has_shared_passage"),
         )
     )
+
+
+# ============================================================ round 6 additions
+
+
+@q(
+    "dsir_importance_weights",
+    """
+    WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+               FROM documents),
+    tgt AS (SELECT word, CAST(count(*) AS BIGINT) AS ct
+            FROM documents, unnest(string_split(text, ' ')) AS u(word)
+            WHERE lang = 'en' GROUP BY word),
+    raw AS (SELECT word, CAST(count(*) AS BIGINT) AS cr FROM w GROUP BY word),
+    tot AS (SELECT (SELECT CAST(sum(ct) AS BIGINT) FROM tgt) AS tt,
+                   (SELECT CAST(sum(cr) AS BIGINT) FROM raw) AS tr,
+                   (SELECT CAST(count(*) AS BIGINT) FROM raw) AS v),
+    lw AS (SELECT raw.word,
+                  CAST(round((ln(CAST(coalesce(tgt.ct, 0) + 1 AS DOUBLE)
+                              / (tt + v))
+                            - ln(CAST(cr + 1 AS DOUBLE) / (tr + v)))
+                             * 1000000) AS BIGINT) AS lw_micros
+           FROM raw LEFT JOIN tgt ON raw.word = tgt.word, tot)
+    SELECT w.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(lw.lw_micros) AS BIGINT) AS dsir_micros,
+           CAST(sum(lw.lw_micros) // count(*) AS BIGINT) AS avg_dsir_micros
+    FROM w JOIN lw ON w.word = lw.word
+    GROUP BY w.doc_id
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-shaped importance weighting (Xie et al. 2023, 'Data
+    Selection for Language Models via Importance Resampling'): score
+    every document by how target-like its token distribution is,
+    where the TARGET is the English slice of the corpus itself and
+    RAW is the whole corpus. Per word: log-likelihood ratio
+    ln(p_target(w)) - ln(p_raw(w)) under add-one smoothing over the
+    raw vocabulary; per doc: the sum (the importance log-weight that
+    drives resampling toward the target mix) and its per-word mean.
+
+    Determinism: each word's ratio fixes to integer micros BEFORE the
+    per-doc sum, so the result is engine-exact regardless of
+    aggregation order (the unigram_logprob_score trick). Plan: one
+    explode; two vocab-sized aggregates (map-side combined); the
+    1-row totals broadcast; the vocab weight table joins back onto
+    the words with the strategy left to AQE — same scale posture as
+    unigram_logprob_score (broadcast at bench scale, shuffled hash
+    join for a 1e8-word vocab). Two corpus shuffles total.
+
+    Reference parity: no analogue (the reference has no scoring
+    surface) — part of the mandated LLM-pipeline extension (E4/E7)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("word")
+    )
+    tgt = (
+        words.filter(F.col("lang") == "en")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("__ct"))
+    )
+    raw = words.groupBy("word").agg(F.count(F.lit(1)).alias("__cr"))
+    tot = raw.agg(
+        F.sum("__cr").alias("__tr"),
+        F.count(F.lit(1)).alias("__v"),
+    ).crossJoin(F.broadcast(tgt.agg(F.sum("__ct").alias("__tt"))))
+    lw = (
+        raw.join(tgt, "word", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "word",
+            F.round(
+                (
+                    F.log((F.coalesce("__ct", F.lit(0)) + 1)
+                          / (F.col("__tt") + F.col("__v")))
+                    - F.log((F.col("__cr") + 1) / (F.col("__tr") + F.col("__v")))
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("__lw"),
+        )
+    )
+    return (
+        words.join(lw, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("__lw").alias("dsir_micros"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "dsir_micros",
+            F.expr("CAST(dsir_micros DIV n_words AS BIGINT)").alias(
+                "avg_dsir_micros"
+            ),
+        )
+    )
+
+
+@q(
+    "ngram_novelty",
+    f"""
+    WITH g AS (SELECT DISTINCT doc_id, gram FROM (
+        SELECT doc_id, unnest(sh) AS gram
+        FROM (SELECT doc_id, {sql_shingles(3)} AS sh FROM documents))),
+    per_doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+                FROM g GROUP BY doc_id),
+    novel AS (SELECT first_doc AS doc_id, CAST(count(*) AS BIGINT) AS n_novel
+              FROM (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram)
+              GROUP BY first_doc)
+    SELECT p.doc_id, p.n_grams,
+           CAST(coalesce(n.n_novel, 0) AS BIGINT) AS n_novel,
+           CAST(coalesce(n.n_novel, 0) * 10000 // p.n_grams AS BIGINT)
+             AS novelty_frac_c
+    FROM per_doc p LEFT JOIN novel n ON p.doc_id = n.doc_id
+    """,
+)
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental n-gram novelty (the 'how much NEW text does this
+    doc add' curation signal): for each doc, the fraction of its
+    distinct 3-grams whose FIRST corpus occurrence (min doc_id — the
+    ingestion-order stand-in) is this doc. Streams/batches use it to
+    drop late documents that contribute nothing unseen.
+
+    Plan: NO gram-keyed join-back — per-doc totals come from one
+    doc_id aggregate; novel counts come from groupBy(gram).min(doc_id)
+    re-aggregated BY THE WINNING doc_id, so the expensive gram
+    aggregate is map-side combined and its output is doc-sized, never
+    re-joined to the 73M-row gram table (compare SCALING.md §7's
+    duplicate-passage discussion). A mega-gram contributes one row to
+    the min-aggregate like any other gram — no skew path at all.
+    Scaled-integer fraction (exact midpoints)."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id", F.explode(dedup.shingles("text", 3)).alias("gram")
+    )
+    per_doc = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    novel = (
+        g.groupBy("gram")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    out = per_doc.join(novel, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+    )
+    return out.select(
+        "doc_id",
+        "n_grams",
+        "n_novel",
+        F.expr("CAST(n_novel * 10000 DIV n_grams AS BIGINT)").alias(
+            "novelty_frac_c"
+        ),
+    )
+
+
+@q(
+    "bpe_merge_candidates",
+    """
+    WITH b AS (
+      SELECT unnest(list_transform(
+               generate_series(1, greatest(len(w) - 1, 0)),
+               i -> w[i] || ' ' || w[i+1])) AS pair
+      FROM (SELECT string_split(text, ' ') AS w FROM documents))
+    SELECT pair, CAST(count(*) AS BIGINT) AS n
+    FROM b GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT 50
+    """,
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-induction statistics: the 50 most frequent ADJACENT
+    word pairs across the corpus — exactly the count a word-level
+    BPE/WordPiece merge step maximizes each round (the corpus-scale
+    half of tokenizer training; the iterative re-merge loop is
+    driver-side orchestration over this same aggregate). Deterministic
+    tiebreak (count desc, pair asc) so top-50 is engine-exact.
+
+    Plan: positional bigrams via one transform/explode (no
+    self-join), map-side-combined count, global top-50 as
+    TakeOrderedAndProject — never a full sort. The explode carries
+    2x the corpus tokens; the shuffle carries distinct pairs only."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.select(
+        F.explode(text.word_ngrams("text", 2)).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(50)
+    )

@@ -279,7 +279,11 @@ def test_round5_curation_plans_have_no_cartesian(spark):
     from ingest_spark.queries import QUERIES
 
     sf = "/root/testdata/sf0.001"
-    one_row_bnlj_ok = {"unigram_logprob_score", "bm25_multiquery"}
+    one_row_bnlj_ok = {
+        "unigram_logprob_score",
+        "bm25_multiquery",
+        "dsir_importance_weights",
+    }
     for name in (
         "semantic_dedup_survivors",
         "duplicate_passage_fraction",
@@ -289,6 +293,10 @@ def test_round5_curation_plans_have_no_cartesian(spark):
         "contamination_fraction",
         "unigram_logprob_score",
         "bm25_multiquery",
+        # r6 additions
+        "dsir_importance_weights",
+        "ngram_novelty",
+        "bpe_merge_candidates",
     ):
         p = QUERIES[name](spark, sf)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in p, name
@@ -354,3 +362,28 @@ def test_contamination_fraction_broadcasts_benchmark(spark):
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in p  # benchmark gram side broadcast
     assert "CartesianProduct" not in p
+
+
+def test_bpe_merge_candidates_global_topk_is_take_ordered(spark):
+    """Top-50 pairs must be TakeOrderedAndProject (per-partition
+    heaps), never a full global sort of the pair-count table."""
+    from ingest_spark.queries import QUERIES
+
+    df = QUERIES["bpe_merge_candidates"](spark, "/root/testdata/sf0.001")
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in p
+    assert "Sort [" not in p.replace("TakeOrderedAndProject", "")
+
+
+def test_ngram_novelty_never_joins_back_on_gram(spark):
+    """The novelty plan's contract (SCALING.md §7 discussion): the
+    gram aggregate's output re-aggregates by winning doc_id; the only
+    join is doc_id-keyed between two doc-sized tables — the 73M-row
+    gram table is never a join input."""
+    from ingest_spark.queries import QUERIES
+
+    df = QUERIES["ngram_novelty"](spark, "/root/testdata/sf0.001")
+    p = df._jdf.queryExecution().executedPlan().toString()
+    joins = [ln for ln in p.splitlines() if "Join" in ln]
+    assert joins, "expected the doc_id-keyed final join"
+    assert all("doc_id" in ln and "gram" not in ln for ln in joins), joins
