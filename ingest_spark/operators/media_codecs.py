@@ -38,8 +38,9 @@ import zlib
 
 PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
-# color type -> samples per pixel (8-bit depth only)
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+# color type -> samples per pixel (8-bit depth only); type 3 is
+# palette-indexed: 1 byte/pixel in the filtered stream, 3 (RGB) out
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 # --------------------------------------------------------------- PNG
@@ -94,12 +95,15 @@ def _unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytearray:
 def decode_png(data: bytes) -> dict:
     """PNG bytes -> dims + per-image pixel stats. Raises ValueError on
     anything that is not a well-formed 8-bit non-interlaced PNG of
-    color type 0/2/4/6 — callers dispatch, they don't guess."""
+    color type 0/2/3/4/6 — callers dispatch, they don't guess.
+    Palette images (type 3) decode through their PLTE chunk to RGB,
+    so ``pixels``/stats are always real sample values."""
     if data[: len(PNG_SIGNATURE)] != PNG_SIGNATURE:
         raise ValueError("not a PNG (bad signature)")
     pos = len(PNG_SIGNATURE)
     width = height = None
-    channels = bit_depth = None
+    channels = bit_depth = color_type = None
+    palette = None
     idat = bytearray()
     while pos + 8 <= len(data):
         (length,), ctype = struct.unpack(">I", data[pos : pos + 4]), data[pos + 4 : pos + 8]
@@ -123,6 +127,10 @@ def decode_png(data: bytes) -> dict:
             if interlace:
                 raise ValueError("interlaced PNG unsupported")
             channels = _PNG_CHANNELS[color_type]
+        elif ctype == b"PLTE":
+            if length % 3 or length == 0:
+                raise ValueError("PNG PLTE length not a multiple of 3")
+            palette = chunk
         elif ctype == b"IDAT":
             idat += chunk
         elif ctype == b"IEND":
@@ -130,6 +138,17 @@ def decode_png(data: bytes) -> dict:
     if width is None or not idat:
         raise ValueError("PNG missing IHDR or IDAT")
     pixels = _unfilter(zlib.decompress(bytes(idat)), width, height, channels)
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        n_entries = len(palette) // 3
+        rgb = bytearray(width * height * 3)
+        for i, idx in enumerate(pixels):
+            if idx >= n_entries:
+                raise ValueError(f"PNG palette index {idx} outside PLTE")
+            rgb[3 * i : 3 * i + 3] = palette[3 * idx : 3 * idx + 3]
+        pixels = rgb
+        channels = 3
     n = len(pixels)
     total = sum(pixels)
     return {
@@ -177,16 +196,22 @@ def encode_png(
     pixels: bytes,
     color_type: int = 0,
     filter_type: int = 0,
+    palette: bytes | None = None,
 ) -> bytes:
     """Raw 8-bit pixel bytes -> a complete, spec-valid PNG file.
-    ``pixels`` is row-major, ``width*height*channels`` bytes.
-    ``filter_type`` picks the scanline filter (0-4) so tests can force
-    each unfilter branch."""
+    ``pixels`` is row-major, ``width*height*channels`` bytes (palette
+    INDICES for color type 3, which also requires ``palette`` as RGB
+    triples -> a PLTE chunk). ``filter_type`` picks the scanline
+    filter (0-4) so tests can force each unfilter branch."""
     channels = _PNG_CHANNELS[color_type]
     if len(pixels) != width * height * channels:
         raise ValueError(
             f"expected {width * height * channels} pixel bytes, got {len(pixels)}"
         )
+    if (color_type == 3) != (palette is not None):
+        raise ValueError("palette is required for (and only for) color type 3")
+    if palette is not None and (len(palette) % 3 or not palette):
+        raise ValueError("palette must be non-empty RGB triples")
     stride = width * channels
     raw = bytearray()
     prior = bytes(stride)
@@ -205,9 +230,11 @@ def encode_png(
         )
 
     ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    plte = chunk(b"PLTE", palette) if palette is not None else b""
     return (
         PNG_SIGNATURE
         + chunk(b"IHDR", ihdr)
+        + plte
         + chunk(b"IDAT", zlib.compress(bytes(raw)))
         + chunk(b"IEND", b"")
     )

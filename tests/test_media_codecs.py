@@ -65,7 +65,8 @@ def test_png_rejects_corruption():
 
 
 def test_png_rejects_unsupported_shapes():
-    # 16-bit depth and palette color type are out of scope -> loud error
+    # 16-bit depth is out of scope -> loud error (palette color type
+    # is supported since r6, see the PLTE tests below)
     ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
     chunk = (
         struct.pack(">I", len(ihdr))
@@ -309,3 +310,55 @@ def test_gif_nearest_neighbor_resize_is_real(spark):
     assert (d["width"], d["height"], d["channels"]) == (8, 8, 3)
     px = d["pixels"]
     assert set(px[: 8 * 4 * 3]) == {0} and set(px[8 * 4 * 3 :]) == {255}
+
+
+# ------------------------------------------------------ PNG palette (r6)
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 4])
+def test_png_palette_round_trip(filter_type):
+    """Color type 3: indices through PLTE to RGB, under each scanline
+    filter (filters apply to the index bytes, bpp=1)."""
+    import random
+
+    from ingest_spark.operators.media_codecs import decode_png, encode_png
+
+    rng = random.Random(3)
+    pal = bytes(v for i in range(16) for v in (i * 17, 255 - i * 17, i))
+    w, h = 9, 5
+    idx = bytes(rng.randrange(16) for _ in range(w * h))
+    png = encode_png(w, h, idx, color_type=3, filter_type=filter_type, palette=pal)
+    d = decode_png(png)
+    assert (d["width"], d["height"], d["channels"]) == (w, h, 3)
+    assert d["pixels"] == bytes(b for i in idx for b in pal[3 * i : 3 * i + 3])
+
+
+def test_png_palette_validation():
+    from ingest_spark.operators.media_codecs import decode_png, encode_png
+
+    pal = bytes((0, 0, 0, 255, 255, 255))
+    with pytest.raises(ValueError, match="palette is required"):
+        encode_png(2, 2, bytes(4), color_type=3)
+    with pytest.raises(ValueError, match="palette is required"):
+        encode_png(2, 2, bytes(4), color_type=0, palette=pal)
+    # an index beyond the palette is rejected at decode
+    png = encode_png(2, 2, bytes([0, 1, 1, 0]), color_type=3, palette=pal)
+    d = decode_png(png)
+    assert d["mean_value"] == 127.5
+    bad = encode_png(2, 2, bytes([0, 1, 5, 0]), color_type=3, palette=pal)
+    with pytest.raises(ValueError, match="outside PLTE"):
+        decode_png(bad)
+
+
+def test_png_palette_resize_through_codec(spark):
+    from ingest_spark.operators.media_codecs import decode_png, encode_png
+    from ingest_spark.operators.multimodal import resize_images
+
+    pal = bytes((10, 20, 30, 200, 100, 50))
+    png = encode_png(2, 2, bytes([0, 1, 1, 0]), color_type=3, palette=pal)
+    df = spark.createDataFrame([(1, bytearray(png))], "doc_id long, payload binary")
+    out = resize_images(df, width=4, height=4).collect()[0]
+    d = decode_png(bytes(out.resized))
+    assert (d["width"], d["height"], d["channels"]) == (4, 4, 3)
+    # top-left quadrant is palette entry 0
+    assert d["pixels"][:3] == bytes((10, 20, 30))
