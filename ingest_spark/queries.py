@@ -5678,3 +5678,77 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "pair")
         .limit(50)
     )
+
+
+@q(
+    "pmi_collocations",
+    """
+    WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+    uni AS (SELECT word, CAST(count(*) AS BIGINT) AS cu
+            FROM (SELECT unnest(w) AS word FROM w) GROUP BY word),
+    tot AS (SELECT CAST(sum(cu) AS BIGINT) AS n FROM uni),
+    pairs AS (
+      SELECT a || ' ' || b AS pair, a, b, CAST(count(*) AS BIGINT) AS cp
+      FROM (SELECT unnest(list_transform(
+                     generate_series(1, greatest(len(w) - 1, 0)),
+                     i -> [w[i], w[i+1]])) AS p
+            FROM w),
+           LATERAL (SELECT p[1] AS a, p[2] AS b)
+      GROUP BY a, b)
+    SELECT pair, cp AS n_pair,
+           CAST(round(ln((CAST(cp AS DOUBLE) * n) / (ua.cu * ub.cu)) * 1000000)
+                AS BIGINT) AS pmi_micros
+    FROM pairs
+    JOIN uni ua ON pairs.a = ua.word
+    JOIN uni ub ON pairs.b = ub.word, tot
+    WHERE cp >= 50
+    ORDER BY pmi_micros DESC, pair
+    LIMIT 50
+    """,
+)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction by pointwise mutual information — the
+    phrase-mining signal (Mikolov-style phrase joining, quality
+    filters that detect templated text): PMI(a,b) =
+    ln(N * c(a,b) / (c(a) * c(b))) over adjacent word pairs, min
+    support 50, deterministic integer-micro top-50.
+
+    Plan: ONE token explode feeds the unigram aggregate; positional
+    bigrams from the same scan feed the pair aggregate; the unigram
+    table joins onto the pair table twice (AQE broadcasts at bench
+    scale; both joins are vocab-keyed hash joins at 100 TB — pair
+    support >= 50 prunes the long tail before any join). Top-50 is
+    TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("word"))
+    uni = words.groupBy("word").agg(F.count(F.lit(1)).alias("__cu"))
+    tot = uni.agg(F.sum("__cu").alias("__n"))
+    pairs = (
+        docs.select(F.explode(text.word_ngrams("text", 2)).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= 50)
+        .withColumn("__a", F.split("pair", " ")[0])
+        .withColumn("__b", F.split("pair", " ")[1])
+    )
+    ua = uni.select(F.col("word").alias("__a"), F.col("__cu").alias("__ca"))
+    ub = uni.select(F.col("word").alias("__b"), F.col("__cu").alias("__cb"))
+    pmi = (
+        F.round(
+            F.log(
+                (F.col("n_pair").cast("double") * F.col("__n"))
+                / (F.col("__ca") * F.col("__cb"))
+            )
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("pmi_micros")
+    )
+    return (
+        pairs.join(ua, "__a")
+        .join(ub, "__b")
+        .crossJoin(F.broadcast(tot))
+        .select("pair", "n_pair", pmi)
+        .orderBy(F.desc("pmi_micros"), "pair")
+        .limit(50)
+    )

@@ -387,3 +387,24 @@ def test_ngram_novelty_never_joins_back_on_gram(spark):
     joins = [ln for ln in p.splitlines() if "Join" in ln]
     assert joins, "expected the doc_id-keyed final join"
     assert all("doc_id" in ln and "gram" not in ln for ln in joins), joins
+
+
+def test_domain_quota_pushes_group_limit_below_exchange(spark):
+    """The quota plan's skew guard (SCALING.md §7): Spark's
+    WindowGroupLimit must appear on BOTH sides of the shuffle, so each
+    map task forwards <= quota rows per source and a corpus-sized
+    source cannot flood one reducer."""
+    from ingest_spark.queries import QUERIES
+
+    df = QUERIES["domain_quota_rebalance"](spark, "/root/testdata/sf0.001")
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("WindowGroupLimit") >= 2, p[:2000]
+
+
+def test_pmi_collocations_topk_and_no_cartesian(spark):
+    from ingest_spark.queries import QUERIES
+
+    df = QUERIES["pmi_collocations"](spark, "/root/testdata/sf0.001")
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
