@@ -5752,3 +5752,174 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi_micros"), "pair")
         .limit(50)
     )
+
+
+_CM_M = 1 << 12  # count-min width: 4096 columns per hash row
+_CM_K = 3        # depth: three SHA-slice hash rows
+
+
+def _sql_cm_pos(expr: str, i: int) -> str:
+    """Row-i count-min column for a word expression — the same SHA-256
+    32-bit-slice arithmetic as the Bloom operators, so Spark and DuckDB
+    compute identical positions."""
+    return f"('0x' || substr(sha256({expr}), {1 + 8 * i}, 8))::BIGINT % {_CM_M}"
+
+
+@q(
+    "countmin_frequency_estimates",
+    f"""
+    WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+    wc AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM w GROUP BY word),
+    cm AS (
+      SELECT row_i, pos, CAST(sum(c) AS BIGINT) AS cell
+      FROM (
+        {" UNION ALL ".join(
+            f"SELECT {i} AS row_i, {_sql_cm_pos('word', i)} AS pos, c FROM wc"
+            for i in range(_CM_K)
+        )}
+      ) GROUP BY row_i, pos),
+    top AS (SELECT word, c FROM wc ORDER BY c DESC, word LIMIT 20),
+    probe AS (
+      SELECT word, c, row_i, pos FROM (
+        {" UNION ALL ".join(
+            f"SELECT word, c, {i} AS row_i, {_sql_cm_pos('word', i)} AS pos FROM top"
+            for i in range(_CM_K)
+        )})),
+    est AS (
+      SELECT probe.word, probe.c, min(cm.cell) AS est
+      FROM probe JOIN cm ON probe.row_i = cm.row_i AND probe.pos = cm.pos
+      GROUP BY probe.word, probe.c)
+    SELECT word, c AS exact_count, CAST(est AS BIGINT) AS cm_estimate,
+           CAST(est - c AS BIGINT) AS overestimate
+    FROM est
+    ORDER BY exact_count DESC, word
+    """,
+)
+def countmin_frequency_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch, declaratively (completes the mergeable-sketch
+    family E9 next to HLL / Misra-Gries / Bloom): k=3 SHA-slice
+    hash rows x m=4096 columns; cell(i, p) = sum of counts of all
+    words hashing to p in row i. Point-frequency estimate = min over
+    rows — never an underestimate (the CM guarantee, asserted by the
+    oracle's `overestimate >= 0` column being non-negative for every
+    probe). Probes are the corpus's own top-20 words (deterministic
+    tiebreak), so exact-vs-estimate is recorded side by side.
+
+    Determinism: positions are SHA-256 32-bit slices mod m — the same
+    engine-portable trick as dedup.bloom_bits, so even hash COLLISIONS
+    (the source of overestimates) are identical across engines and the
+    oracle hash-matches exactly.
+
+    Scale: the sketch state is <= k*m rows (12k) FOREVER, regardless
+    of corpus size — it broadcasts everywhere, merges by cell-wise sum
+    across batches/partitions (associative), and the probe side never
+    touches the corpus. One corpus shuffle (the word count), then
+    sketch-sized work only."""
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+    def pos(i: int) -> Column:
+        return (
+            F.conv(F.substring(F.sha2("word", 256), 1 + 8 * i, 8), 16, 10)
+            .cast("long") % _CM_M
+        )
+
+    cm = (
+        wc.select(
+            F.explode(
+                F.array(*[
+                    F.struct(F.lit(i).alias("row_i"), pos(i).alias("pos"))
+                    for i in range(_CM_K)
+                ])
+            ).alias("rp"),
+            "c",
+        )
+        .select("rp.row_i", "rp.pos", "c")
+        .groupBy("row_i", "pos")
+        .agg(F.sum("c").alias("cell"))
+    )
+    top = wc.orderBy(F.desc("c"), "word").limit(20)
+    probe = top.select(
+        "word",
+        "c",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("row_i"), pos(i).alias("pos"))
+                for i in range(_CM_K)
+            ])
+        ).alias("rp"),
+    ).select("word", "c", "rp.row_i", "rp.pos")
+    est = (
+        probe.join(F.broadcast(cm), ["row_i", "pos"])
+        .groupBy("word", "c")
+        .agg(F.min("cell").alias("est"))
+    )
+    return est.select(
+        "word",
+        F.col("c").alias("exact_count"),
+        F.col("est").cast("long").alias("cm_estimate"),
+        (F.col("est") - F.col("c")).cast("long").alias("overestimate"),
+    ).orderBy(F.desc("exact_count"), "word")
+
+
+@q(
+    "triangle_count_parts",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM pairs e1
+      JOIN pairs e2 ON e1.v = e2.u
+      JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v)
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles,
+           CAST((SELECT count(*) FROM pairs) AS BIGINT) AS n_edges
+    FROM tri
+    """,
+)
+def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the part co-purchase graph (parts
+    appearing in the same order are adjacent) — the clustering /
+    community-density signal web-graph curation pairs with PageRank.
+    Edges are ORIENTED low-id -> high-id, so each triangle is counted
+    exactly once and the wedge join's fan-out is bounded by the
+    FORWARD degree (compact-forward, Latapy 2008: orienting edges by
+    a total order bounds the wedge count by O(m^1.5) for any graph —
+    a true degree-ordered orientation tightens the hub bound further
+    and is a drop-in replacement for the id order here).
+
+    Plan: the edge list is built by an equi-self-join on l_orderkey
+    (per-order fan-out bounded by order size, <= 7 lineitems in
+    TPC-H); triangles are two equi-joins over the oriented edge list
+    (wedge extension + closure check), all hash joins, no cartesian.
+    At 100 TB the edge list pre-partitions by u and AQE handles the
+    join strategy."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    e1 = pairs
+    e2 = pairs.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    wedges = e1.join(e2, "v").select("u", "v", "w")
+    closure = pairs.select(F.col("u").alias("u"), F.col("v").alias("w"))
+    tri = wedges.join(closure, ["u", "w"])
+    n_edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+        .crossJoin(F.broadcast(n_edges))
+        .select(
+            F.col("n_triangles").cast("long").alias("n_triangles"),
+            F.col("n_edges").cast("long").alias("n_edges"),
+        )
+    )

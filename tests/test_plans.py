@@ -408,3 +408,24 @@ def test_pmi_collocations_topk_and_no_cartesian(spark):
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in p
     assert "CartesianProduct" not in p
+
+
+def test_countmin_sketch_is_broadcast_and_small(spark):
+    """The CM sketch table must broadcast to the probe join (it is
+    <= k*m rows forever) and the whole plan stays equi-join."""
+    from ingest_spark.queries import QUERIES
+
+    df = QUERIES["countmin_frequency_estimates"](spark, "/root/testdata/sf0.001")
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_triangle_count_all_equi_joins(spark):
+    from ingest_spark.queries import QUERIES
+
+    df = QUERIES["triangle_count_parts"](spark, "/root/testdata/sf0.001")
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p
+    # the 1-row edge-count broadcast is the only BNLJ allowed
+    assert p.count("BroadcastNestedLoopJoin") <= 1
