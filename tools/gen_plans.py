@@ -22,6 +22,9 @@ PICKS = [
     ("rolling_active_users", "rolling distinct: one fact pass, 7x generate on the tiny distinct set"),
     ("embedding_neardup_lsh", "semantic near-dup scale path: sign-LSH bucket equi-join, no cross product"),
     ("duplicate_passages", "passage report: distinct-per-doc shingles, map-side combine, TakeOrdered head"),
+    ("duplicate_passage_fraction_skewsafe", "salted two-level window: per-task rows bounded by SALT*CAP for any gram frequency"),
+    ("ngram_novelty", "novelty without join-back: gram aggregate re-aggregates by winning doc_id"),
+    ("countmin_frequency_estimates", "count-min sketch: 12k-row state, broadcast probe join"),
 ]
 
 KEEP_KW = (
