@@ -630,3 +630,55 @@ def bloom_candidates(
         hit.filter(F.col("__n_hit") == F.col("__n_pos"))
         .select(F.col("__key").alias(key_col))
     )
+
+
+# ------------------------------------------------- salted dup flags (r6)
+def salted_dup_flags(
+    rows: DataFrame,
+    key_col: str,
+    id_col: str,
+    salt: int = 32,
+    cap: int = 1024,
+) -> DataFrame:
+    """Per-row "does my key occur >= 2 times" flag with BOUNDED task
+    sizes — the skew-safe core of `duplicate_passage_fraction_skewsafe`
+    (VERDICT r5 §Next #3), parameterized so tests can force the heavy
+    path at tiny cap.
+
+    Two-level salted window count:
+    1. window over (key, salt=hash(id)%salt): per-bucket partial count
+       c_p — no task holds more than ~1/salt of even the heaviest key —
+       plus a row_number electing one representative per bucket.
+    2. Buckets with c_p >= cap (>= 2) are proven duplicated; their
+       rows short-circuit, contributing ONE representative weighted
+       c_p to level 2. Window over key on (light rows + heavy reps):
+       sum(weight) is the key's exact total count; partition size
+       <= salt*(cap-1) + salt BY CONSTRUCTION. Light rows flag
+       dup = (total >= 2).
+
+    Returns the input row set as ``(id_col, is_dup)`` — one output row
+    per input row. Requires cap >= 2 (cap < 2 would mark singleton
+    buckets heavy and break the exact-total accounting)."""
+    if cap < 2:
+        raise ValueError(f"cap must be >= 2, got {cap}")
+    if salt < 1:
+        raise ValueError(f"salt must be >= 1, got {salt}")
+    base = rows.select(
+        F.col(id_col).alias("__id"), F.col(key_col).alias("__key")
+    ).withColumn("__salt", F.pmod(F.xxhash64(F.col("__id"), F.lit(7)), F.lit(salt)))
+    w1 = Window.partitionBy("__key", "__salt")
+    step1 = base.withColumn("__cp", F.count(F.lit(1)).over(w1)).withColumn(
+        "__rn", F.row_number().over(w1.orderBy("__id"))
+    )
+    heavy = F.col("__cp") >= cap
+    lvl2 = (
+        step1.filter(~heavy | (F.col("__rn") == 1))
+        .withColumn("__w", F.when(heavy, F.col("__cp")).otherwise(F.lit(1)))
+        .withColumn("__tot", F.sum("__w").over(Window.partitionBy("__key")))
+    )
+    return (
+        lvl2.filter(~heavy)
+        .select("__id", (F.col("__tot") >= 2).alias("is_dup"))
+        .unionByName(step1.filter(heavy).select("__id", F.lit(True).alias("is_dup")))
+        .withColumnRenamed("__id", id_col)
+    )

@@ -5002,28 +5002,11 @@ def duplicate_passage_fraction_skewsafe(
     the corpus has mega-grams, the fast path otherwise; the crossover
     is recorded from a deliberately skewed run (one gram present in
     every doc)."""
-    SALT, CAP = 32, 1024
     docs = load_table(spark, sf_dir, "documents")
-    grams = (
-        docs.select("doc_id", F.explode(dedup.shingles("text", 5)).alias("gram"))
-        .select("doc_id", F.xxhash64("gram").alias("gh"))
-        .withColumn("salt", F.pmod(F.xxhash64("doc_id", F.lit(7)), F.lit(SALT)))
-    )
-    w1 = Window.partitionBy("gh", "salt")
-    step1 = grams.withColumn("c_p", F.count(F.lit(1)).over(w1)).withColumn(
-        "rn", F.row_number().over(w1.orderBy("doc_id"))
-    )
-    heavy = F.col("c_p") >= CAP
-    lvl2 = (
-        step1.filter(~heavy | (F.col("rn") == 1))
-        .withColumn("w8", F.when(heavy, F.col("c_p")).otherwise(F.lit(1)))
-        .withColumn("tot", F.sum("w8").over(Window.partitionBy("gh")))
-    )
-    flagged = lvl2.filter(~heavy).select(
-        "doc_id", (F.col("tot") >= 2).alias("is_dup")
-    ).unionByName(
-        step1.filter(heavy).select("doc_id", F.lit(True).alias("is_dup"))
-    )
+    grams = docs.select(
+        "doc_id", F.explode(dedup.shingles("text", 5)).alias("gram")
+    ).select("doc_id", F.xxhash64("gram").alias("gh"))
+    flagged = dedup.salted_dup_flags(grams, "gh", "doc_id", salt=32, cap=1024)
     per_doc = flagged.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_grams"),
         F.sum(F.col("is_dup").cast("long")).alias("n_dup_grams"),

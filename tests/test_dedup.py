@@ -265,3 +265,45 @@ def test_bloom_bits_row_count_capped_by_m(spark):
         [(f"k{i}",) for i in range(5000)], "gram string"
     )
     assert dedup.bloom_bits(corpus, "gram", m=m, k=3).count() <= m
+
+
+# ------------------------------------------------- salted dup flags (r6)
+
+
+def _brute_dup_flags(rows):
+    from collections import Counter
+
+    c = Counter(k for _, k in rows)
+    return {(i, k) for i, k in rows if c[k] >= 2}
+
+
+def test_salted_dup_flags_matches_brute_force_across_caps(spark):
+    """Exactness at every cap/salt, INCLUDING caps small enough that
+    the heavy short-circuit path actually fires (the sf-scale oracle
+    corpora never trip cap=1024, so this is the heavy path's direct
+    correctness gate): keys with counts straddling the cap, spread
+    across salt buckets, and a mega-key in every row."""
+    rows = (
+        [(i, "mega") for i in range(200)]
+        + [(1000 + i, f"mid{i % 7}") for i in range(35)]   # counts five
+        + [(2000 + i, f"rare{i}") for i in range(20)]      # singletons
+        + [(3000, "pair"), (3001, "pair")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, key string")
+    expect_dup_ids = {i for i, k in rows if (i, k) in _brute_dup_flags(rows)}
+    for salt, cap in [(1, 2), (2, 2), (2, 3), (4, 8), (32, 1024)]:
+        out = dedup.salted_dup_flags(df, "key", "doc_id", salt=salt, cap=cap)
+        got = out.collect()
+        assert len(got) == len(rows), (salt, cap)  # one row out per row in
+        got_dup = {r.doc_id for r in got if r.is_dup}
+        assert got_dup == expect_dup_ids, (salt, cap)
+
+
+def test_salted_dup_flags_rejects_bad_params(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, key string")
+    with pytest.raises(ValueError, match="cap"):
+        dedup.salted_dup_flags(df, "key", "doc_id", cap=1)
+    with pytest.raises(ValueError, match="salt"):
+        dedup.salted_dup_flags(df, "key", "doc_id", salt=0)
