@@ -177,3 +177,36 @@ def test_multiprobe_recall_dominates_single_probe(spark):
     assert r_multi >= r_single, (r_multi, r_single)
     # multi-probe must return a full k list per query on this corpus
     assert len(multi) == len(exact)
+
+
+def test_pq_topk_recall_vs_bruteforce(spark):
+    from ingest_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = sim.brute_force_topk(emb, queries, k=10)
+    approx = sim.pq_topk(emb, queries, k=10, m=8, codebook_k=16, rerank_factor=8)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # uniform-random embeddings are PQ's worst case too; 8-subspace
+    # codes + 8x re-rank headroom must still recover most neighbors
+    assert recall >= 0.5, recall
+    # survivors re-rank by EXACT cosine
+    exact_scores = {(r.query_id, r.neighbor_id): r.cosine_sim for r in exact.collect()}
+    for r in approx.collect():
+        if (r.query_id, r.neighbor_id) in exact_scores:
+            assert r.cosine_sim == exact_scores[(r.query_id, r.neighbor_id)]
+
+
+def test_pq_encode_codes_shape_and_determinism(spark):
+    from ingest_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(64)
+    books = sim.pq_codebooks(emb, m=8, codebook_k=16)
+    assert len(books) == 8 and all(len(b) <= 16 for b in books)
+    assert all(len(c) == 8 for b in books for c in b)  # 64/8 dims each
+    codes1 = {r.neighbor_id: list(r["__codes"]) for r in sim.pq_encode(emb, books).collect()}
+    codes2 = {r.neighbor_id: list(r["__codes"]) for r in sim.pq_encode(emb, books).collect()}
+    assert codes1 == codes2  # deterministic encode
+    assert all(0 <= c < 16 for v in codes1.values() for c in v)
