@@ -5924,3 +5924,74 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, emb.filter(F.col("vec_id") < 5), k=10, m=8, codebook_k=16,
         rerank_factor=8,
     )
+
+
+@q(
+    "minhash_containment",
+    f"""
+    WITH pairs AS ({_SQL_LSH_PAIRS}),
+    g AS (SELECT DISTINCT doc_id, gram FROM (
+        SELECT doc_id, unnest(sh) AS gram
+        FROM (SELECT doc_id, {sql_shingles(3)} AS sh FROM documents))),
+    sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY doc_id),
+    inter AS (
+      SELECT p.id_a, p.id_b, CAST(count(*) AS BIGINT) AS n_shared
+      FROM pairs p
+      JOIN g ga ON ga.doc_id = p.id_a
+      JOIN g gb ON gb.doc_id = p.id_b AND gb.gram = ga.gram
+      GROUP BY p.id_a, p.id_b)
+    SELECT i.id_a, i.id_b, i.n_shared,
+           CAST(i.n_shared * 10000 // sa.n AS BIGINT) AS containment_a_c,
+           CAST(i.n_shared * 10000 // sb.n AS BIGINT) AS containment_b_c
+    FROM inter i
+    JOIN sz sa ON sa.doc_id = i.id_a
+    JOIN sz sb ON sb.doc_id = i.id_b
+    WHERE i.n_shared * 10000 // sa.n >= 5000
+       OR i.n_shared * 10000 // sb.n >= 5000
+    """,
+)
+def minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard CONTAINMENT over LSH candidates — the asymmetric
+    cousin of resemblance near-dup: |A∩B|/|A| detects docs
+    SUBSUMED by another (quotes, excerpt pages, boilerplate wrappers
+    around shared bodies), which symmetric Jaccard misses when the
+    containing doc is much larger. Pairs come from the SAME 2x2
+    MinHash banding as `minhash_lsh_neardup`; containment is then
+    computed EXACTLY on the candidates only (gram equi-joins on the
+    LSH-pruned pair set, never all pairs), keeping either-side
+    containment >= 50%. Scaled-integer fractions (exact midpoints).
+
+    Scale: candidate count is the LSH-bounded set; the gram
+    intersection joins are keyed on (doc_id, gram) against only the
+    candidate docs (semi-join pushdown via the pair list), so the
+    exact pass never touches non-candidate docs."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_candidates(
+        docs, "doc_id", "text", num_hashes=4, bands=2, shingle_n=3
+    )
+    g = docs.select(
+        "doc_id", F.explode(dedup.shingles("text", 3)).alias("gram")
+    )
+    sz = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ga = g.select(F.col("doc_id").alias("id_a"), "gram")
+    gb = g.select(F.col("doc_id").alias("id_b"), "gram")
+    inter = (
+        pairs.join(ga, "id_a")
+        .join(gb, ["id_b", "gram"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    ca = F.expr("CAST(n_shared * 10000 DIV na AS BIGINT)")
+    cb = F.expr("CAST(n_shared * 10000 DIV nb AS BIGINT)")
+    return (
+        inter.join(sz.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(sz.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            ca.alias("containment_a_c"),
+            cb.alias("containment_b_c"),
+        )
+        .filter((F.col("containment_a_c") >= 5000) | (F.col("containment_b_c") >= 5000))
+    )

@@ -534,3 +534,26 @@ def dedup_stream_tws(
             timeMode="processingTime" if ttl_minutes else "none",
         )
     )
+
+
+# ------------------------------------------------- observed metrics (r6)
+def with_ingest_metrics(
+    df: DataFrame,
+    value_cols: list[str],
+    name: str = "ingest_metrics",
+) -> DataFrame:
+    """Attach `df.observe()` data-quality metrics to a batch OR
+    streaming frame: row count plus per-column null counts, computed
+    BY THE RUNNING QUERY itself (no second scan, no extra action).
+    On streaming queries the metrics surface per micro-batch in
+    `StreamingQueryProgress.observedMetrics[name]` — the
+    zero-overhead replacement for the reference's hand-rolled
+    per-fetch print statistics (fetch_data_energinet.py:173-178's
+    record counters), and the hook a production pipeline alerts on
+    (null spikes, empty batches) without a separate monitoring job.
+    """
+    aggs = [F.count(F.lit(1)).alias("n_rows")] + [
+        F.sum(F.col(c).isNull().cast("long")).alias(f"null_{c}")
+        for c in value_cols
+    ]
+    return df.observe(name, *aggs)

@@ -397,3 +397,48 @@ def test_neardup_stream_gates_on_signature(spark, tmp_path):
         .count()
     )
     assert expected == 3
+
+
+def test_observed_metrics_surface_per_microbatch(spark, tmp_path):
+    """with_ingest_metrics: the running StreamingQuery itself reports
+    row/null counts via observedMetrics — no second scan. Nulls are
+    injected and must be counted exactly."""
+    from ingest_spark.streaming.pipeline import (
+        read_file_stream,
+        with_ingest_metrics,
+    )
+
+    src = str(tmp_path / "src")
+    rows = [(i, None if i % 5 == 0 else float(i)) for i in range(50)]
+    spark.createDataFrame(rows, "id long, value double").coalesce(1).write.json(src)
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("value", T.DoubleType())]
+    )
+    stream = with_ingest_metrics(
+        read_file_stream(spark, src, schema, fmt="json"), ["value"]
+    )
+    q = (
+        stream.writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    observed = [
+        p.observedMetrics["ingest_metrics"]
+        for p in q.recentProgress
+        if "ingest_metrics" in (p.observedMetrics or {})
+    ]
+    assert observed, "no micro-batch reported observed metrics"
+    assert sum(m["n_rows"] for m in observed) == 50
+    assert sum(m["null_value"] for m in observed) == 10
+
+
+def test_observed_metrics_work_on_batch_frames(spark):
+    from ingest_spark.streaming.pipeline import with_ingest_metrics
+
+    df = spark.createDataFrame(
+        [(1, None), (2, 5.0), (3, None)], "id long, value double"
+    )
+    obs = with_ingest_metrics(df, ["value"])
+    assert obs.count() == 3  # observe() is transparent to the data
