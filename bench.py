@@ -152,6 +152,33 @@ def main() -> None:
     }
     total = round(sum(per_query.values()), 3)
     total_cold = round(sum(v for v in cold.values() if v >= 0), 3)
+
+    # Streaming micro-bench rides along (VERDICT r5 §Next #6) so the
+    # per-round record includes the stateful-pipeline throughput; a
+    # failure is logged, never fatal to the batch numbers.
+    streaming: dict | None = None
+    try:
+        import shutil
+        import tempfile
+
+        import bench_streaming as bs
+
+        workdir = tempfile.mkdtemp(prefix="bench_stream_")
+        try:
+            n_rows = int(os.environ.get("SPARK_GRAFT_STREAM_ROWS", "50000"))
+            src = f"{workdir}/events_json"
+            bs.generate_input(spark, src, n_rows, 16)
+            run = bs.run_pipeline(spark, src, workdir)
+            streaming = {
+                "rows_per_sec": round(n_rows / run["wall_sec"], 1),
+                "rows_in": n_rows,
+                "wall_sec": run["wall_sec"],
+                "batches": run["batches"],
+            }
+        finally:
+            shutil.rmtree(workdir, ignore_errors=True)
+    except Exception as exc:  # pragma: no cover - diagnostics only
+        print(f"bench: streaming leg failed: {exc!r}", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -163,6 +190,7 @@ def main() -> None:
                 "queries_median": per_query_median,
                 "queries_cold": cold,
                 "steady_passes": STEADY_PASSES,
+                "streaming": streaming,
                 "rows": rows,
                 "sf": sf,
             }

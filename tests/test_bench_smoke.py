@@ -14,7 +14,8 @@ import sys
 
 def test_bench_runs_and_emits_contract_json():
     env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
-               SPARK_GRAFT_CPUS="8", SPARK_GRAFT_STEADY_PASSES="2")
+               SPARK_GRAFT_CPUS="8", SPARK_GRAFT_STEADY_PASSES="2",
+               SPARK_GRAFT_STREAM_ROWS="5000")
     proc = subprocess.run(
         [sys.executable, "/root/repo/bench.py"],
         capture_output=True,
@@ -50,6 +51,9 @@ def test_bench_runs_and_emits_contract_json():
     assert all(
         d["queries"][n] <= d["queries_median"][n] + 1e-9 for n in bench.HEADLINE
     )
+    # the streaming leg rides along and must report real throughput
+    assert d["streaming"] is not None and d["streaming"]["rows_per_sec"] > 0
+    assert d["streaming"]["rows_in"] == 5000
 
 
 def test_headline_names_are_declared_queries():
