@@ -198,3 +198,27 @@ def test_misra_gries_error_bound_compressed_regime(spark):
     for item, true in exact.items():
         if true > bound:
             assert item in est, f"true heavy hitter {item!r} ({true} > {bound:.0f}) missing"
+
+
+def test_text_operators_survive_null_and_degenerate_docs(spark):
+    """Production corpora contain NULL/empty/whitespace-degenerate
+    texts; the text/dedup operator family must pass them through
+    without throwing (nulls propagate, fallbacks engage) — pinned so
+    a refactor can't regress it."""
+    from ingest_spark.operators import dedup as _dedup
+    from ingest_spark.operators import text
+
+    df = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "word"), (3, "two words"), (4, "a  b"),
+         (5, "normal text with several words here")],
+        "doc_id long, text string",
+    )
+    assert df.select(_dedup.shingles("text", 3)).count() == 6
+    assert df.select(text.word_ngrams("text", 2)).count() == 6
+    assert _dedup.minhash_signatures_df(df, "doc_id", "text", 4, 3).count() == 6
+    assert text.quality_score(df).count() == 6
+    # non-null docs still get real shingles
+    got = {r.doc_id: r.sh for r in df.select(
+        "doc_id", _dedup.shingles("text", 3).alias("sh")).collect()}
+    assert got[5] and all(len(g.split()) == 3 for g in got[5])
+    assert got[2] == ["word"]  # whole-text fallback
