@@ -450,11 +450,16 @@ def _lzw_decode(data: bytes, min_code_size: int) -> bytearray:
 
 
 def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
-    """Greedy longest-match GIF LZW encoder (exact inverse of
-    ``_lzw_decode``, including the width-bump timing: the encoder runs
-    one table entry AHEAD of the decoder, so it bumps when next_code
-    reaches (1<<width)+1). Emits a clear + full reset when the table
-    fills at 4096, same as every spec-conforming encoder."""
+    """Greedy longest-match GIF LZW encoder — exact inverse of
+    ``_lzw_decode``. Code width is driven by MIRRORING the decoder's
+    table-size bookkeeping (``dec_len``), not the encoder's own dict:
+    the decoder appends one entry for every data code after the first
+    post-clear one — including the final flush code, for which the
+    encoder creates no entry of its own. Driving the bump off the
+    encoder dict desynchronizes the two exactly when that flush-side
+    append crosses a power of two (caught by the hypothesis round-trip
+    property). Emits a clear + full reset when the table fills at
+    4096, same as every spec-conforming encoder."""
     clear = 1 << min_code_size
     end = clear + 1
     out = bytearray()
@@ -472,12 +477,31 @@ def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
     table: dict[bytes, int] = {}
     next_code = 0
     width = min_code_size + 1
+    dec_len = 0  # decoder-visible table length
+    first_after_clear = True
 
     def reset() -> None:
-        nonlocal table, next_code, width
+        nonlocal table, next_code, width, dec_len, first_after_clear
         table = {bytes([i]): i for i in range(clear)}
         next_code = end + 1
         width = min_code_size + 1
+        dec_len = end + 1
+        first_after_clear = True
+
+    def emit_data(code: int) -> None:
+        """Emit at the decoder's current width, then advance the
+        decoder model: it appends one entry per data code after the
+        first post-clear one, bumping width when its table reaches
+        the width's capacity."""
+        nonlocal dec_len, first_after_clear, width
+        emit(code, width)
+        if first_after_clear:
+            first_after_clear = False
+            return
+        if dec_len < (1 << _GIF_MAX_WIDTH):
+            dec_len += 1
+            if dec_len == (1 << width) and width < _GIF_MAX_WIDTH:
+                width += 1
 
     reset()
     emit(clear, width)
@@ -489,18 +513,16 @@ def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
         if nb in table:
             buf = nb
             continue
-        emit(table[buf], width)
+        emit_data(table[buf])
         if next_code < (1 << _GIF_MAX_WIDTH):
             table[nb] = next_code
             next_code += 1
-            if next_code == (1 << width) + 1 and width < _GIF_MAX_WIDTH:
-                width += 1
         else:  # table full: clear, reset, restart matching
             emit(clear, width)
             reset()
         buf = bytes([byte])
     if buf:
-        emit(table[buf], width)
+        emit_data(table[buf])
     emit(end, width)
     if nbits:
         out.append(acc & 0xFF)

@@ -210,3 +210,37 @@ def test_word_entropy_matches_python_reference(spark, tmp_path_factory, docs):
         assert abs(got[i][2] - round(h, 3)) < 1e-9
         # bounds: 0 <= H <= log2(distinct)
         assert -1e-9 <= got[i][2] <= math.log2(len(c)) + 1e-3
+
+
+@settings(max_examples=60, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.integers(min_value=2, max_value=8),
+    st.binary(min_size=0, max_size=3000),
+)
+def test_gif_lzw_round_trips_arbitrary_streams(min_code_size, raw):
+    """GIF LZW must round-trip ANY index stream at any min code size
+    (indices clamped into the palette range) — including streams long
+    and repetitive enough to grow the code width and adversarial
+    random ones."""
+    from ingest_spark.operators.media_codecs import _lzw_decode, _lzw_encode
+
+    data = bytes(b % (1 << min_code_size) for b in raw)
+    assert bytes(_lzw_decode(_lzw_encode(data, min_code_size), min_code_size)) == data
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=9),
+    st.integers(min_value=2, max_value=16),
+    st.randoms(use_true_random=False),
+)
+def test_gif_file_round_trips_random_images(w, h, n_colors, rng):
+    from ingest_spark.operators.media_codecs import decode_gif, encode_gif
+
+    pal = bytes(v for i in range(n_colors)
+                for v in (i * 15 % 256, (i * 37) % 256, (i * 91) % 256))
+    idx = bytes(rng.randrange(n_colors) for _ in range(w * h))
+    d = decode_gif(encode_gif(w, h, idx, pal))
+    assert (d["width"], d["height"]) == (w, h)
+    assert d["pixels"] == bytes(b for i in idx for b in pal[3 * i : 3 * i + 3])
