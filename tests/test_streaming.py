@@ -442,3 +442,53 @@ def test_observed_metrics_work_on_batch_frames(spark):
     )
     obs = with_ingest_metrics(df, ["value"])
     assert obs.count() == 3  # observe() is transparent to the data
+
+
+def test_incremental_rollup_equals_full_recompute(spark, tmp_path):
+    """foreach_batch_rollup: after streaming two file batches, the
+    maintained rollup must EQUAL a batch recompute over all data ever
+    streamed (associative-partial merge), and each batch must have
+    merged rather than rebuilt (the second batch sees the first's
+    snapshot)."""
+    from ingest_spark.streaming.pipeline import (
+        foreach_batch_rollup,
+        read_file_stream,
+    )
+
+    src = str(tmp_path / "src")
+    rollup = str(tmp_path / "rollup")
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).json(src)
+
+    def run_stream():
+        q = (
+            read_file_stream(spark, src, schema, fmt="json")
+            .writeStream.foreachBatch(
+                foreach_batch_rollup(rollup, ["k"], ["v"])
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    batch1 = [("a", 1.0), ("a", 2.0), ("b", 10.0)]
+    batch2 = [("a", 4.0), ("c", 7.0), ("b", -1.0), ("b", 0.5)]
+    write_batch(batch1)
+    run_stream()
+    mid = {r.k: (r.n_rows, r.sum_v) for r in spark.read.parquet(rollup).collect()}
+    assert mid == {"a": (2, 3.0), "b": (1, 10.0)}
+
+    write_batch(batch2)
+    run_stream()  # resumes from checkpoint: only batch2 is new
+    got = {r.k: (r.n_rows, r.sum_v) for r in spark.read.parquet(rollup).collect()}
+    assert got == {"a": (3, 7.0), "b": (3, 9.5), "c": (1, 7.0)}
