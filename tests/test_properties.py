@@ -244,3 +244,56 @@ def test_gif_file_round_trips_random_images(w, h, n_colors, rng):
     d = decode_gif(encode_gif(w, h, idx, pal))
     assert (d["width"], d["height"]) == (w, h)
     assert d["pixels"] == bytes(b for i in idx for b in pal[3 * i : 3 * i + 3])
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.integers(min_value=1, max_value=10),
+    st.integers(min_value=1, max_value=8),
+    st.sampled_from([0, 2, 4, 6]),
+    st.sampled_from([0, 1, 2, 3, 4]),
+    st.randoms(use_true_random=False),
+)
+def test_png_round_trips_arbitrary_pixels(w, h, color_type, filter_type, rng):
+    """PNG encode->decode is the identity on ANY 8-bit pixel content,
+    for every color type and scanline filter."""
+    from ingest_spark.operators.media_codecs import decode_png, encode_png
+
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    pixels = bytes(rng.randrange(256) for _ in range(w * h * channels))
+    d = decode_png(encode_png(w, h, pixels, color_type=color_type,
+                              filter_type=filter_type))
+    assert d["pixels"] == pixels
+    assert (d["width"], d["height"], d["channels"]) == (w, h, channels)
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(min_value=-32768, max_value=32767), min_size=1,
+             max_size=200),
+    st.sampled_from([1, 2]),
+)
+def test_wav_round_trips_arbitrary_samples(samples, n_channels):
+    from ingest_spark.operators.media_codecs import decode_wav, encode_wav
+
+    samples = samples[: len(samples) - (len(samples) % n_channels)] or [0]
+    n_channels = 1 if len(samples) < 2 else n_channels
+    d = decode_wav(encode_wav(samples, sample_rate=8000, n_channels=n_channels))
+    assert d["n_samples"] == len(samples) // n_channels
+    assert d["min_value"] == min(samples) and d["max_value"] == max(samples)
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.integers(min_value=1, max_value=9),
+    st.integers(min_value=1, max_value=7),
+    st.randoms(use_true_random=False),
+)
+def test_bmp_round_trips_arbitrary_pixels(w, h, rng):
+    """BMP bottom-up/BGR/4-byte-padding round trip on any content at
+    any width (odd widths exercise the padding)."""
+    from ingest_spark.operators.media_codecs import decode_bmp, encode_bmp
+
+    pixels = bytes(rng.randrange(256) for _ in range(w * h * 3))
+    d = decode_bmp(encode_bmp(w, h, pixels))
+    assert d["pixels"] == pixels and (d["width"], d["height"]) == (w, h)
