@@ -5995,3 +5995,114 @@ def minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("containment_a_c") >= 5000) | (F.col("containment_b_c") >= 5000))
     )
+
+
+@q(
+    "feature_hash_vectors",
+    f"""
+    WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+               FROM documents),
+    h AS (SELECT doc_id,
+                 {H28.format('word')} % 64 AS bucket,
+                 CASE WHEN ({H28.format('word')} // 64) % 2 = 1
+                      THEN 1 ELSE -1 END AS sgn
+          FROM w)
+    SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+           CAST(sum(sgn) AS BIGINT) AS weight
+    FROM h GROUP BY doc_id, bucket
+    HAVING sum(sgn) <> 0
+    """,
+)
+def feature_hash_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (Weinberger et al. 2009): bag-of-words ->
+    fixed-64-dim SIGNED sparse feature vector per doc, the
+    vocabulary-free featurization linear classifiers and quality
+    models use at corpus scale (no vocab table to build, ship, or
+    grow). bucket = h(word) mod 64; sign = the next hash bit, which
+    makes collisions cancel in expectation instead of biasing
+    upward. Output is sparse (doc_id, bucket, weight != 0) rows —
+    at 100 TB the dense-array form is a straight groupBy-pivot of
+    this, and the sparse form feeds both.
+
+    One explode, one map-side-combined aggregate keyed (doc, bucket)
+    — bucket cardinality is fixed at 64, so the shuffle carries at
+    most 64 rows per doc regardless of vocabulary. SHA-derived
+    hashes keep Spark and DuckDB bit-identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    h = stable_hash64("word", hex_digits=7)
+    feats = words.select(
+        "doc_id",
+        (h % 64).alias("bucket"),
+        F.when((h / 64).cast("long") % 2 == 1, F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("sgn"),
+    )
+    return (
+        feats.groupBy("doc_id", "bucket")
+        .agg(F.sum("sgn").alias("weight"))
+        .filter(F.col("weight") != 0)
+        .select("doc_id", "bucket", F.col("weight").cast("long").alias("weight"))
+    )
+
+
+@q(
+    "seasonal_anomaly_hours",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hour,
+             CAST(extract(hour FROM ts) AS BIGINT) AS hod,
+             CAST(round(sum(value * 100)) AS BIGINT) AS v_c
+      FROM events GROUP BY 1, 2),
+    season AS (
+      SELECT hod,
+             CAST(sum(v_c) // count(*) AS BIGINT) AS mu_c,
+             CAST(count(*) AS BIGINT) AS n
+      FROM hourly GROUP BY hod),
+    scored AS (
+      SELECT h.hour, h.hod, h.v_c, s.mu_c,
+             abs(h.v_c - s.mu_c) AS dev_c
+      FROM hourly h JOIN season s ON h.hod = s.hod),
+    spread AS (SELECT CAST(sum(dev_c) // count(*) AS BIGINT) AS mad_c
+               FROM scored)
+    SELECT CAST(hour AS TIMESTAMP) AS hour, v_c, mu_c,
+           CAST(dev_c * 100 // NULLIF(mad_c, 0) AS BIGINT) AS dev_ratio_c
+    FROM scored, spread
+    WHERE dev_c * 100 // NULLIF(mad_c, 0) >= 300
+    """,
+)
+def seasonal_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive anomaly detection on the event stream: hourly
+    totals vs the mean for that HOUR-OF-DAY (the diurnal baseline),
+    flagging hours whose deviation exceeds 3x the corpus's mean
+    absolute deviation — the ops alarm for 'this 3am looks like a
+    2pm'. Integer-cent arithmetic end-to-end (sums, integer-division
+    means, absolute deviations), so the flags are engine-exact with
+    no float-tie hazard.
+
+    Plan: one fact aggregate to hourly grain (map-side combined);
+    the 24-row seasonal table and 1-row spread broadcast back —
+    nothing corpus-sized is ever windowed or re-shuffled (the same
+    de-skew shape as the r6 zscore_by_event_type rewrite)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"),
+        F.hour("ts").cast("long").alias("hod"),
+    ).agg(F.round(F.sum(F.col("value") * 100)).cast("long").alias("v_c"))
+    season = hourly.groupBy("hod").agg(
+        F.expr("CAST(sum(v_c) DIV count(*) AS BIGINT)").alias("mu_c"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    scored = hourly.join(F.broadcast(season.drop("n")), "hod").withColumn(
+        "dev_c", F.abs(F.col("v_c") - F.col("mu_c"))
+    )
+    spread = scored.agg(
+        F.expr("CAST(sum(dev_c) DIV count(*) AS BIGINT)").alias("mad_c")
+    )
+    ratio = F.expr("CAST(dev_c * 100 DIV NULLIF(mad_c, 0) AS BIGINT)")
+    return (
+        scored.crossJoin(F.broadcast(spread))
+        .withColumn("dev_ratio_c", ratio)
+        .filter(F.col("dev_ratio_c") >= 300)
+        .select("hour", "v_c", "mu_c", "dev_ratio_c")
+    )
