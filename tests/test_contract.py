@@ -40,6 +40,7 @@ def test_oracle_keys_subset_of_queries():
     # output in r5 and is oracle-checked now)
     assert set(qs) - set(os_) == {
         "ivf_topk",
+        "pq_ann_topk",
         "approx_percentile_sketch",
         "sketch_rollup_union",
     }
