@@ -488,3 +488,109 @@ def ngram_contamination(
         .groupBy(id_col)
         .agg(F.countDistinct("gram").alias("shared_ngrams"))
     )
+
+
+# ----------------------------------------------------------- BPE (r6)
+def _merge_pair_expr(syms_col: str, left: str, right: str):
+    """Replace every adjacent (left, right) in a symbol array with the
+    merged symbol — a JVM-side aggregate fold (left-to-right, eager
+    re-merge like the reference BPE), no Python in the loop."""
+    import json as _json
+
+    a, b = _json.dumps(left), _json.dumps(right)
+    return F.expr(
+        f"aggregate({syms_col}, cast(array() as array<string>), "
+        f"(acc, x) -> CASE WHEN size(acc) > 0 "
+        f"AND element_at(acc, -1) = {a} AND x = {b} "
+        f"THEN concat(slice(acc, 1, size(acc) - 1), array({a} || {b})) "
+        f"ELSE concat(acc, array(x)) END)"
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 10,
+    min_pair_count: int = 2,
+) -> list[tuple[int, str, str, int]]:
+    """Byte-pair-encoding tokenizer training (Sennrich et al. 2016)
+    with the CORPUS-SCALE architecture: one corpus pass builds the
+    weighted word-type vocabulary, and every merge iteration then
+    runs on the VOCAB table (|V| rows), not the corpus — the
+    classical trick that makes BPE trainable on 100 TB (the corpus
+    is touched exactly once, like PageRank's degree table).
+
+    Per round: adjacent-pair counts weighted by word frequency
+    (map-side-combined aggregate over |V| rows), deterministic argmax
+    (count desc, pair asc — one driver .first(), the PageRank-style
+    bounded driver step), then the merge applies as a JVM-side
+    aggregate fold over the symbol arrays (no Python).
+    ``localCheckpoint`` every 4 rounds truncates the growing lineage
+    exactly as ``dedup.connected_components`` does.
+
+    Returns [(rank, left, right, pair_count)] — the merge table a
+    tokenizer ships. Greedy eager re-merge semantics (aaaa with merge
+    (a,a) -> [aa, aa]), matching the reference implementation the
+    unit test mirrors."""
+    vocab = (
+        docs.select(F.explode(F.split(text_col, " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    work = vocab.select("n", F.split("word", "").alias("syms"))
+    merges: list[tuple[int, str, str, int]] = []
+    pair = F.when(
+        F.size("syms") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("syms") - 2),
+            lambda i: F.struct(
+                F.element_at("syms", i + 1).alias("l"),
+                F.element_at("syms", i + 2).alias("r"),
+            ),
+        ),
+    ).otherwise(F.array())
+    for rank in range(n_merges):
+        counts = (
+            work.select("n", F.explode(pair).alias("p"))
+            .groupBy("p")
+            .agg(F.sum("n").alias("c"))
+        )
+        best = counts.orderBy(F.desc("c"), F.col("p.l"), F.col("p.r")).first()
+        if best is None or best["c"] < min_pair_count:
+            break
+        left, right = best["p"]["l"], best["p"]["r"]
+        merges.append((rank, left, right, int(best["c"])))
+        work = work.select("n", _merge_pair_expr("syms", left, right).alias("syms"))
+        if (rank + 1) % 4 == 0:
+            work = work.localCheckpoint()
+    return merges
+
+
+def bpe_tokenize_count(
+    docs: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a learned merge table and count resulting TOKENS per doc
+    — again vocab-sized work: the merge chain folds over the DISTINCT
+    word table, and docs join their words against it (AQE-picked
+    strategy), so the corpus is scanned once and never re-folded."""
+    words = docs.select(id_col, F.explode(F.split(text_col, " ")).alias("word")).filter(
+        F.col("word") != ""
+    )
+    vocab = words.select("word").distinct().withColumn(
+        "syms", F.split("word", "")
+    )
+    for _, left, right, _c in merges:
+        vocab = vocab.select("word", _merge_pair_expr("syms", left, right).alias("syms"))
+    tok = vocab.select("word", F.size("syms").alias("word_tokens"))
+    return (
+        words.join(tok, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("word_tokens").alias("n_bpe_tokens"),
+        )
+    )

@@ -6106,3 +6106,35 @@ def seasonal_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dev_ratio_c") >= 300)
         .select("hour", "v_c", "mu_c", "dev_ratio_c")
     )
+
+
+@q("bpe_learned_merges")
+def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training on the corpus (Sennrich et al. 2016) —
+    the iterative capstone over `bpe_merge_candidates`: 8 merge
+    rounds, each an adjacent-pair aggregate over the WORD-TYPE
+    vocabulary (|V| rows — the corpus is scanned exactly once to
+    build it) + a deterministic driver argmax + a JVM-side fold
+    applying the merge. Rows-only check (iterative driver argmax is
+    non-SQL-expressible); tests/test_text_ops.py pins the exact merge
+    sequence against an independent pure-Python BPE reference."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = text.bpe_train(docs, n_merges=8)
+    return spark.createDataFrame(
+        merges or [(0, "", "", 0)][:0],
+        "rank int, left string, right string, pair_count long",
+    )
+
+
+@q("bpe_token_budget")
+def bpe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token budget under the corpus's own learned BPE (8
+    merges): the real training-cost accounting `token_count`'s
+    regex/char-estimate columns approximate. The merge chain folds
+    over the DISTINCT word table; docs join their words against the
+    |V|-row tokenization — corpus scanned once. Rows-only (inherits
+    the trainer's iterative step); the tokenize-apply itself is
+    pinned exactly against the Python reference in tests."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = text.bpe_train(docs, n_merges=8)
+    return text.bpe_tokenize_count(docs, merges)

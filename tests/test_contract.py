@@ -43,6 +43,8 @@ def test_oracle_keys_subset_of_queries():
         "pq_ann_topk",
         "approx_percentile_sketch",
         "sketch_rollup_union",
+        "bpe_learned_merges",
+        "bpe_token_budget",
     }
 
 

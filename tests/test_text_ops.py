@@ -4,6 +4,7 @@ harness; these pin the per-row edge cases)."""
 
 from __future__ import annotations
 
+from ingest_spark.operators import text
 from ingest_spark.operators.text import chunk_tokens, pii_redact
 
 
@@ -222,3 +223,89 @@ def test_text_operators_survive_null_and_degenerate_docs(spark):
         "doc_id", _dedup.shingles("text", 3).alias("sh")).collect()}
     assert got[5] and all(len(g.split()) == 3 for g in got[5])
     assert got[2] == ["word"]  # whole-text fallback
+
+
+# ----------------------------------------------------------- BPE (r6)
+
+
+def _python_bpe(docs: list[str], n_merges: int, min_pair_count: int = 2):
+    """Independent reference BPE (Sennrich et al.): vocab-weighted
+    adjacent-pair counts, tiebreak (count desc, pair asc), eager
+    left-to-right re-merge."""
+    from collections import Counter
+
+    vocab = Counter(w for d in docs for w in d.split(" ") if w)
+    syms = {w: list(w) for w in vocab}
+    merges = []
+    for rank in range(n_merges):
+        pairs: Counter = Counter()
+        for w, n in vocab.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += n
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (l, r), c = best
+        if c < min_pair_count:
+            break
+        merges.append((rank, l, r, c))
+        for w in vocab:
+            s, out, i = syms[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            # eager re-merge: merged symbol may combine with the next
+            # occurrence chain — re-scan until fixpoint
+            while True:
+                merged_again = []
+                i, changed = 0, False
+                while i < len(out):
+                    if i + 1 < len(out) and out[i] == l and out[i + 1] == r:
+                        merged_again.append(l + r)
+                        i += 2
+                        changed = True
+                    else:
+                        merged_again.append(out[i])
+                        i += 1
+                out = merged_again
+                if not changed:
+                    break
+            syms[w] = out
+    return merges, syms
+
+
+def test_bpe_train_matches_python_reference(spark):
+    docs = [
+        "low low low low low",
+        "lower lower newest newest newest newest newest newest",
+        "widest widest widest",
+        "low lower newest",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    want, want_syms = _python_bpe(docs, n_merges=8)
+    got = text.bpe_train(df, n_merges=8)
+    assert got == want
+    # applying the merges must give the reference tokenizations:
+    # n_bpe_tokens per doc == sum of len(syms[word])
+    counts = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in text.bpe_tokenize_count(df, got).collect()
+    }
+    for i, d in enumerate(docs):
+        ws = [w for w in d.split(" ") if w]
+        assert counts[i] == (len(ws), sum(len(want_syms[w]) for w in ws)), i
+
+
+def test_bpe_train_respects_min_pair_count_and_empty(spark):
+    df = spark.createDataFrame([(0, "ab cd ef")], "doc_id long, text string")
+    # every adjacent pair occurs once -> below min_pair_count=2 -> no merges
+    assert text.bpe_train(df, n_merges=5) == []
+    got = text.bpe_train(df, n_merges=5, min_pair_count=1)
+    assert got and got[0][0] == 0  # deterministic first merge exists
