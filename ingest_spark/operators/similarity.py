@@ -541,6 +541,8 @@ def pq_topk(
     codebook_k: int = 16,
     rerank_factor: int = 4,
     round_to: int = 4,
+    books: list[list[list[float]]] | None = None,
+    encoded: DataFrame | None = None,
 ) -> DataFrame:
     """Product-quantization ANN with asymmetric-distance scan + exact
     re-rank — the third FAISS-family scale path next to sign-LSH
@@ -558,8 +560,14 @@ def pq_topk(
     over anything corpus-sized. Recall is governed by
     (m, codebook_k, rerank_factor) — measured against brute force in
     tests/test_similarity.py."""
-    books = pq_codebooks(corpus, id_col, vec_col, m=m, codebook_k=codebook_k)
-    encoded = pq_encode(corpus, books, id_col, vec_col)
+    # ``books``/``encoded`` accept a PREBUILT index (the production
+    # shape: codes live at rest, queries pay only scan + re-rank);
+    # omitted, the index builds inline (the self-contained bench/test
+    # shape — build cost then counts toward the measured time).
+    if books is None:
+        books = pq_codebooks(corpus, id_col, vec_col, m=m, codebook_k=codebook_k)
+    if encoded is None:
+        encoded = pq_encode(corpus, books, id_col, vec_col)
     qrows = (
         queries.select(
             F.col(id_col).alias("query_id"),
