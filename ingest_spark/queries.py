@@ -25,7 +25,7 @@ from pyspark.sql import types as T
 
 from ingest_spark.catalog import load_table
 from ingest_spark.functions.hashing import content_hash, normalized_fingerprint
-from ingest_spark.operators import dedup, flatten, graph, multimodal, relational, similarity, text, windows
+from ingest_spark.operators import classifier, dedup, flatten, graph, multimodal, relational, similarity, text, windows
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -6138,3 +6138,23 @@ def bpe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     merges = text.bpe_train(docs, n_merges=8)
     return text.bpe_tokenize_count(docs, merges)
+
+
+@q("langid_classifier_scores")
+def langid_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear classifier end-to-end (the CCNet/LLaMA
+    curation-filter shape): hashed signed bag-of-words features (256
+    SHA-derived buckets, no vocabulary), logistic regression trained
+    by deterministic full-batch GD on a bounded hash-slice sample
+    (driver numpy, zero RNG — the kmeans_centroids discipline), and
+    distributed scoring where the weight vector rides as literals in
+    ONE aggregate expression (scan + doc-keyed combine, no joins, no
+    Python). Weak labels here: lang == 'en'. Rows-only (iterative
+    GD); tests pin determinism, near-perfect accuracy on a separable
+    corpus, real margin on this corpus, and exact numpy scoring
+    parity."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "label", F.col("lang") == "en"
+    )
+    weights = classifier.train_logreg(docs, "label", iterations=300, lr=1.0)
+    return classifier.score_docs(docs, weights)

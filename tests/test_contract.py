@@ -45,6 +45,7 @@ def test_oracle_keys_subset_of_queries():
         "sketch_rollup_union",
         "bpe_learned_merges",
         "bpe_token_budget",
+        "langid_classifier_scores",
     }
 
 
