@@ -6158,3 +6158,97 @@ def langid_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     weights = classifier.train_logreg(docs, "label", iterations=300, lr=1.0)
     return classifier.score_docs(docs, weights)
+
+
+@q(
+    "hybrid_rrf_retrieval",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len({WORDS}) AS DOUBLE) AS dl,
+             {", ".join(
+                 f"CAST({sql_occurrences('text', w)} AS DOUBLE) AS tf_{i}"
+                 for i, w in enumerate(BM25_QUERY)
+             )}
+      FROM documents),
+    stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl,
+             {", ".join(
+                 f"CAST(sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE)"
+                 f" AS df_{i}"
+                 for i in range(len(BM25_QUERY))
+             )}
+      FROM d),
+    bm AS (
+      SELECT doc_id,
+             round({" + ".join(
+                 f"ln(1.0 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5))"
+                 f" * (tf_{i} * 2.2)"
+                 f" / (tf_{i} + 1.2 * (0.25 + 0.75 * dl / avgdl))"
+                 for i in range(len(BM25_QUERY))
+             )}, 6) AS bm25
+      FROM d, stats
+      ORDER BY bm25 DESC, doc_id LIMIT 20),
+    bmr AS (SELECT doc_id,
+                   row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+            FROM bm),
+    e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+    qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
+    cos AS (
+      SELECT e.vec_id AS doc_id,
+             round(list_inner_product(v, q) /
+                   (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(q, q))),
+                   4) AS c
+      FROM e, qv WHERE e.vec_id <> 0
+      ORDER BY c DESC, doc_id LIMIT 20),
+    cr AS (SELECT doc_id, row_number() OVER (ORDER BY c DESC, doc_id) AS r
+           FROM cos),
+    fused AS (
+      SELECT coalesce(bmr.doc_id, cr.doc_id) AS doc_id,
+             CAST(coalesce(1000000 // (60 + bmr.r), 0)
+                  + coalesce(1000000 // (60 + cr.r), 0) AS BIGINT) AS rrf_micros,
+             CAST(bmr.r AS BIGINT) AS bm25_rank,
+             CAST(cr.r AS BIGINT) AS cosine_rank
+      FROM bmr FULL OUTER JOIN cr ON bmr.doc_id = cr.doc_id)
+    SELECT * FROM fused ORDER BY rrf_micros DESC, doc_id LIMIT 20
+    """,
+)
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+semantic retrieval fused by Reciprocal Rank
+    Fusion (Cormack et al. 2009) — the standard RAG first-stage:
+    BM25 top-20 for the fixed query terms and cosine top-20 against
+    the doc-0 embedding, fused as sum of 1e6 DIV (60 + rank) —
+    integer division, so fusion scores are engine-exact; ranks
+    themselves come from 4-decimal-rounded scores with id tiebreaks
+    (the knn oracle's determinism discipline).
+
+    Plan: each leg is its own TakeOrderedAndProject head (corpus
+    scanned once per modality, no inverted index, broadcast query);
+    the fusion is a FULL OUTER join of two 20-row frames — driver-
+    trivial at any corpus size because only the heads are joined."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    bm = (
+        text.bm25_scores(docs, BM25_QUERY, "text", k1=1.2, b=0.75)
+        .select("doc_id", "bm25")
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
+    wb = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    bmr = bm.select("doc_id", F.row_number().over(wb).alias("__rb"))
+    sem = similarity.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") == 0), k=20
+    ).select(
+        F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("__rc")
+    )
+    fused = bmr.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        (
+            F.coalesce(F.expr("1000000 DIV (60 + __rb)"), F.lit(0))
+            + F.coalesce(F.expr("1000000 DIV (60 + __rc)"), F.lit(0))
+        ).cast("long").alias("rrf_micros"),
+        F.col("__rb").cast("long").alias("bm25_rank"),
+        F.col("__rc").cast("long").alias("cosine_rank"),
+    )
+    return fused.orderBy(F.desc("rrf_micros"), "doc_id").limit(20)

@@ -429,3 +429,21 @@ def test_triangle_count_all_equi_joins(spark):
     assert "CartesianProduct" not in p
     # the 1-row edge-count broadcast is the only BNLJ allowed
     assert p.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_classifier_scoring_stays_jvm_side(spark):
+    """score_docs with fixed weights: the scoring aggregate must be
+    pure JVM expressions (no Python eval anywhere in the plan) and
+    the only join the doc-keyed margin attach."""
+    from ingest_spark.operators import classifier
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    w = [0.01 * i for i in range(classifier.N_BUCKETS)] + [0.1]
+    p = (
+        classifier.score_docs(docs, w)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
