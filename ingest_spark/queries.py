@@ -6252,3 +6252,110 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__rc").cast("long").alias("cosine_rank"),
     )
     return fused.orderBy(F.desc("rrf_micros"), "doc_id").limit(20)
+
+
+@q(
+    "exact_substring_spans",
+    f"""
+    WITH pg AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' '
+               || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7]
+               || ' ' || w[i+8] || ' ' || w[i+9] AS gram,
+             CAST(len(w) AS BIGINT) AS n_words
+      FROM (SELECT doc_id, {WORDS} AS w FROM documents),
+           unnest(generate_series(1, greatest(len(w) - 9, 0))) AS t(i)),
+    freq AS (SELECT gram FROM pg GROUP BY gram HAVING count(*) >= 2),
+    dup AS (
+      SELECT pg.doc_id, pg.pos, pg.n_words
+      FROM pg JOIN freq ON pg.gram = freq.gram),
+    flagged AS (
+      SELECT doc_id, pos, n_words,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       <= 9 THEN 0 ELSE 1 END AS brk
+      FROM dup),
+    isl AS (
+      SELECT doc_id, pos, n_words,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged),
+    spans AS (
+      SELECT doc_id, n_words,
+             min(pos) AS span_start,
+             max(pos) + 9 AS span_end
+      FROM isl GROUP BY doc_id, n_words, island)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(span_end - span_start + 1) AS BIGINT) AS dup_words,
+           CAST(sum(span_end - span_start + 1) * 10000 // any_value(n_words)
+                AS BIGINT) AS dup_frac_c
+    FROM spans
+    GROUP BY doc_id
+    """,
+)
+def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicated-span extraction (Lee et al. 2022,
+    the suffix-array half of 'Deduplicating Training Data...'),
+    re-expressed for Spark as seed-and-extend: every POSITIONAL
+    10-word gram that occurs in >= 2 corpus positions is a duplicated
+    seed; per doc, seeds whose L-word windows overlap or touch (gap
+    <= L-1) chain into MAXIMAL duplicated spans via gaps-and-islands
+    (break flag on gap > L-1, running-sum island ids) — spans are
+    DISJOINT, so the duplicated fraction is an exact union, never a
+    double count. Each doc reports its span count,
+    duplicated word total, and duplicated fraction — the actual
+    removal decision ExactSubstr makes, without materializing a
+    suffix array.
+
+    Scale: the seed aggregate is a map-side-combined gram count (the
+    heavy-key discussion of SCALING.md §7 applies — swap in
+    salted_dup_flags for mega-gram corpora); the islands window
+    partitions by doc_id with per-doc position counts bounded by doc
+    length. Spans never cross docs, so everything after the seed
+    filter is doc-local."""
+    docs = load_table(spark, sf_dir, "documents")
+    L = 10
+    words = F.split("text", " ")
+    pg = docs.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        F.posexplode(text.word_ngrams("text", L)).alias("pos0", "gram"),
+    ).select(
+        "doc_id",
+        "n_words",
+        (F.col("pos0") + 1).cast("long").alias("pos"),
+        F.xxhash64("gram").alias("gh"),
+    )
+    freq = pg.groupBy("gh").agg(F.count(F.lit(1)).alias("__n")).filter(
+        F.col("__n") >= 2
+    )
+    dup = pg.join(freq.select("gh"), "gh")
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(
+        F.col("pos") - F.lag("pos").over(wd) <= L - 1, F.lit(0)
+    ).otherwise(F.lit(1))
+    islands = dup.withColumn("brk", brk).withColumn(
+        "island",
+        F.sum("brk").over(wd.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = islands.groupBy("doc_id", "n_words", "island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + L - 1).alias("span_end"),
+    )
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.col("span_end") - F.col("span_start") + 1).alias("dup_words"),
+            F.expr(
+                "CAST(sum(span_end - span_start + 1) * 10000 "
+                "DIV any_value(n_words) AS BIGINT)"
+            ).alias("dup_frac_c"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            F.col("dup_words").cast("long").alias("dup_words"),
+            "dup_frac_c",
+        )
+    )

@@ -4,6 +4,8 @@ harness; these pin the per-row edge cases)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from ingest_spark.operators import text
 from ingest_spark.operators.text import chunk_tokens, pii_redact
 
@@ -309,3 +311,30 @@ def test_bpe_train_respects_min_pair_count_and_empty(spark):
     assert text.bpe_train(df, n_merges=5) == []
     got = text.bpe_train(df, n_merges=5, min_pair_count=1)
     assert got and got[0][0] == 0  # deterministic first merge exists
+
+
+def test_exact_substring_spans_merge_overlapping_seeds(spark, tmp_path):
+    """Two docs share a 12-word passage: the three 10-gram seeds (pos
+    1,2,3 of the passage) must chain into ONE disjoint span of 12
+    words — never three overlapping spans summing to 30."""
+    from ingest_spark.queries import exact_substring_spans
+
+    shared = " ".join(f"s{i}" for i in range(12))
+    rows = [
+        (0, shared + " " + " ".join(f"a{i}" for i in range(8))),
+        (1, " ".join(f"b{i}" for i in range(5)) + " " + shared),
+        (2, " ".join(f"c{i}" for i in range(30))),  # no dup content
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").withColumns(
+        {"lang": F.lit("en"), "source": F.lit("t"),
+         "n_chars": F.length("text")}
+    )
+    sf = str(tmp_path)
+    df.write.parquet(f"{sf}/documents.parquet")
+    got = {r.doc_id: (r.n_spans, r.dup_words, r.dup_frac_c)
+           for r in exact_substring_spans(spark, sf).collect()}
+    # doc 0: 20 words, span covers words 1..12 -> frac 6000
+    assert got[0] == (1, 12, 6000)
+    # doc 1: 17 words, span covers words 6..17 -> 12/17 -> 7058
+    assert got[1] == (1, 12, 12 * 10000 // 17)
+    assert 2 not in got  # docs with no duplicated span emit nothing
