@@ -69,6 +69,9 @@ HEADLINE = [
     # text-aggregate shapes; novelty is the no-join-back formulation)
     "dsir_importance_weights",
     "ngram_novelty",
+    # r6: ExactSubstr span extraction (positional-gram seed count +
+    # doc-local island windows)
+    "exact_substring_spans",
 ]
 
 
