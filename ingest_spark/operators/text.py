@@ -594,3 +594,18 @@ def bpe_tokenize_count(
             F.sum("word_tokens").alias("n_bpe_tokens"),
         )
     )
+
+
+def word_ngrams_fast(text: Column | str, n: int) -> Column:
+    """Ordered word n-grams (non-distinct) via the same zero-width-
+    lookahead regex as ``dedup.shingles`` — JVM regex runs inside
+    whole-stage codegen, where the equivalent higher-order
+    ``transform`` evaluates interpreted (measured 16.2s -> sub-second
+    for 225k grams in `exact_substring_spans`, the same 8x-class gap
+    shingles documented). Single-space word-run semantics (a gram
+    never spans a multi-space gap); docs with < n words yield an
+    empty array (no whole-text fallback — positional callers want
+    real positions only)."""
+    c = F.col(text) if isinstance(text, str) else text
+    pat = r"(?<=^| )(?=((?:[^ ]+ ){" + str(n - 1) + r"}[^ ]+))"
+    return F.regexp_extract_all(c, F.lit(pat), 1)

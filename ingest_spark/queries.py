@@ -5653,7 +5653,7 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     2x the corpus tokens; the shuffle carries distinct pairs only."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = docs.select(
-        F.explode(text.word_ngrams("text", 2)).alias("pair")
+        F.explode(text.word_ngrams_fast("text", 2)).alias("pair")
     )
     return (
         pairs.groupBy("pair")
@@ -5707,7 +5707,7 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     uni = words.groupBy("word").agg(F.count(F.lit(1)).alias("__cu"))
     tot = uni.agg(F.sum("__cu").alias("__n"))
     pairs = (
-        docs.select(F.explode(text.word_ngrams("text", 2)).alias("pair"))
+        docs.select(F.explode(text.word_ngrams_fast("text", 2)).alias("pair"))
         .groupBy("pair")
         .agg(F.count(F.lit(1)).alias("n_pair"))
         .filter(F.col("n_pair") >= 50)
@@ -6319,7 +6319,7 @@ def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     pg = docs.select(
         "doc_id",
         F.size(words).cast("long").alias("n_words"),
-        F.posexplode(text.word_ngrams("text", L)).alias("pos0", "gram"),
+        F.posexplode(text.word_ngrams_fast("text", L)).alias("pos0", "gram"),
     ).select(
         "doc_id",
         "n_words",
