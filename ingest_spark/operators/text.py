@@ -143,7 +143,12 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def word_ngrams(text: Column | str, n: int) -> Column:
     """Ordered word n-grams (non-distinct) — shared with dedup.shingles
-    semantics but kept positional for TF-style uses."""
+    semantics but kept positional for TF-style uses.
+
+    HOT-PATH CALLERS: use ``word_ngrams_fast`` — this HOF form
+    evaluates interpreted (measured 8x slower at sf0.1); it remains
+    for multi-space-exact semantics (it includes empty split tokens
+    in grams, matching oracles written over raw string_split)."""
     words = F.split(F.col(text) if isinstance(text, str) else text, " ")
     k = F.size(words) - (n - 1)
     idx = F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0)))
