@@ -6359,3 +6359,96 @@ def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_frac_c",
         )
     )
+
+
+@q(
+    "key_skew_report",
+    """
+    WITH k AS (SELECT l_partkey AS key, CAST(count(*) AS BIGINT) AS n
+               FROM lineitem GROUP BY l_partkey),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(n) AS BIGINT) AS n_rows,
+             CAST(max(n) AS BIGINT) AS max_n,
+             CAST(sum(n) // count(*) AS BIGINT) AS avg_n
+      FROM k),
+    top AS (SELECT key, n FROM k ORDER BY n DESC, key LIMIT 10)
+    SELECT top.key, top.n,
+           CAST(top.n * 100 // stats.avg_n AS BIGINT) AS x_avg_pct,
+           stats.n_keys, stats.n_rows
+    FROM top, stats
+    ORDER BY top.n DESC, top.key
+    """,
+)
+def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic — the report a pipeline runs BEFORE a
+    big fact-fact join to decide between plain AQE, AQE skew-join,
+    and explicit salting (`relational.salted_join`): per-key counts
+    for the candidate key, the 10 heaviest keys, and each heavy key's
+    multiple of the average (integer percent). One map-side-combined
+    aggregate; the global stats are a 1-row broadcast; top-10 is
+    TakeOrderedAndProject. This is the measurement behind every skew
+    decision documented in SCALING.md §7."""
+    li = load_table(spark, sf_dir, "lineitem")
+    k = li.groupBy(F.col("l_partkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    stats = k.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.expr("CAST(sum(n) DIV count(*) AS BIGINT)").alias("avg_n"),
+    )
+    top = k.orderBy(F.desc("n"), "key").limit(10)
+    return (
+        top.crossJoin(F.broadcast(stats))
+        .select(
+            "key",
+            "n",
+            F.expr("CAST(n * 100 DIV avg_n AS BIGINT)").alias("x_avg_pct"),
+            "n_keys",
+            "n_rows",
+        )
+        .orderBy(F.desc("n"), "key")
+    )
+
+
+SCD2_SNAPSHOT_TS = "2024-01-10 00:00:00"
+
+
+@q(
+    "scd2_snapshot_at",
+    f"""
+    SELECT user_id, event_type AS state, ts AS valid_from
+    FROM events
+    WHERE event_type IN ('signup', 'purchase', 'error')
+      AND ts <= TIMESTAMP '{SCD2_SNAPSHOT_TS}'
+    QUALIFY row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def scd2_snapshot_at(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time reconstruction over the SCD2 history: each
+    user's state AS OF the snapshot timestamp — the time-travel read
+    every audit/backtest needs. NOT computed by materializing the
+    full interval table and filtering: the as-of filter pushes to the
+    scan (ts <= T lands in PushedFilters) and the per-user latest row
+    comes from one rank window (per-user row counts are
+    entity-bounded, SCALING.md §7); Spark turns the rank-1 filter
+    into WindowGroupLimit, so each map task forwards one candidate
+    row per user."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "purchase", "error")
+        & (F.col("ts") <= F.lit(SCD2_SNAPSHOT_TS).cast("timestamp"))
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+        )
+    )

@@ -89,3 +89,38 @@ def test_score_docs_rejects_bad_weights(spark):
     docs = _separable_corpus(spark, n=10)
     with pytest.raises(ValueError, match="weights"):
         classifier.score_docs(docs, [0.0] * 5)
+
+
+def test_scoring_applies_to_streaming_frames(spark, tmp_path):
+    """Unified batch/stream inference: the SAME score_docs call runs
+    per micro-batch via foreachBatch (scoring needs a doc-grain
+    aggregate, so the batch function applies inside each bounded
+    micro-batch — the standard Structured Streaming inference
+    pattern) and produces batch-identical probabilities with zero
+    model-serving code."""
+    docs = _separable_corpus(spark, n=30)
+    w = classifier.train_logreg(docs, "label", iterations=100)
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "scores")
+    docs.select("doc_id", "text").coalesce(1).write.json(src)
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    stream = spark.readStream.schema(schema).json(src)
+
+    def score_batch(batch_df, batch_id):
+        classifier.score_docs(batch_df, w).write.mode("append").parquet(sink)
+
+    q = (
+        stream.writeStream.foreachBatch(score_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id: r.quality_prob for r in spark.read.parquet(sink).collect()}
+    want = {r.doc_id: r.quality_prob for r in classifier.score_docs(docs, w).collect()}
+    assert got == want
