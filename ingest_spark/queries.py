@@ -6452,3 +6452,85 @@ def scd2_snapshot_at(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts").alias("valid_from"),
         )
     )
+
+
+@q(
+    "curation_scorecard",
+    f"""
+    WITH q AS (
+      SELECT doc_id, lang,
+             CAST(least(len({WORDS}) * 20000, 400000)
+                  + least(len(list_distinct({WORDS})) * 800000 // len({WORDS}), 400000)
+                  + least({sql_stop_hits('text', text.EN_STOPWORDS)} * 2000000
+                          // len({WORDS}), 200000) AS BIGINT) AS quality_micros,
+             CAST(len({WORDS}) AS BIGINT) AS ws_tokens
+      FROM documents),
+    g AS (SELECT doc_id, unnest(sh) AS gram
+          FROM (SELECT doc_id, {sql_shingles(5)} AS sh FROM documents)),
+    freq AS (SELECT gram, count(*) AS n_docs FROM g GROUP BY gram),
+    dup AS (
+      SELECT g.doc_id,
+             CAST(sum(CASE WHEN freq.n_docs >= 2 THEN 1 ELSE 0 END) * 10000
+                  // count(*) AS BIGINT) AS dup_frac_c
+      FROM g JOIN freq ON g.gram = freq.gram
+      GROUP BY g.doc_id),
+    g3 AS (SELECT DISTINCT doc_id, gram FROM (
+        SELECT doc_id, unnest(sh) AS gram
+        FROM (SELECT doc_id, {sql_shingles(3)} AS sh FROM documents))),
+    nv AS (
+      SELECT p.doc_id,
+             CAST(coalesce(n.n_novel, 0) * 10000 // p.n_grams AS BIGINT)
+               AS novelty_frac_c
+      FROM (SELECT doc_id, count(*) AS n_grams FROM g3 GROUP BY doc_id) p
+      LEFT JOIN (SELECT first_doc AS doc_id, count(*) AS n_novel
+                 FROM (SELECT gram, min(doc_id) AS first_doc FROM g3 GROUP BY gram)
+                 GROUP BY first_doc) n ON p.doc_id = n.doc_id)
+    SELECT q.doc_id, q.lang, q.quality_micros, q.ws_tokens,
+           dup.dup_frac_c, nv.novelty_frac_c,
+           (q.quality_micros >= 500000 AND dup.dup_frac_c < 5000
+            AND q.ws_tokens >= 10) AS keep
+    FROM q JOIN dup ON q.doc_id = dup.doc_id
+    JOIN nv ON q.doc_id = nv.doc_id
+    """,
+)
+def curation_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multi-signal decision table a data curator actually
+    reviews: per doc — heuristic quality (integer micros), whitespace
+    token count, duplicated-passage fraction, first-seen novelty
+    fraction, language — and the composed keep/drop decision
+    (quality >= 0.5, dup fraction < 50%, >= 10 tokens). Every signal
+    reuses its standalone oracle-checked formulation; Catalyst fuses
+    the quality/token projections into one scan, and the three
+    doc-grain signal tables join on doc_id (co-partitioned by the
+    aggregates that built them).
+
+    This complements `curation_e2e` (which EXECUTES a pipeline):
+    the scorecard is the audit view of WHY each doc survives."""
+    docs = load_table(spark, sf_dir, "documents")
+    q_ = text.quality_score(docs).select(
+        "doc_id",
+        "lang",
+        F.round(F.col("quality_score") * 1000000).cast("long").alias(
+            "quality_micros"
+        ),
+        F.size(F.split("text", " ")).cast("long").alias("ws_tokens"),
+    )
+    dup = duplicate_passage_fraction(spark, sf_dir).select("doc_id", "dup_frac_c")
+    nv = ngram_novelty(spark, sf_dir).select("doc_id", "novelty_frac_c")
+    return (
+        q_.join(dup, "doc_id")
+        .join(nv, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "quality_micros",
+            "ws_tokens",
+            "dup_frac_c",
+            "novelty_frac_c",
+            (
+                (F.col("quality_micros") >= 500000)
+                & (F.col("dup_frac_c") < 5000)
+                & (F.col("ws_tokens") >= 10)
+            ).alias("keep"),
+        )
+    )

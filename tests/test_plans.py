@@ -447,3 +447,25 @@ def test_classifier_scoring_stays_jvm_side(spark):
     )
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "CartesianProduct" not in p
+
+
+def test_scd2_snapshot_pushes_asof_filter_and_group_limit(spark):
+    from ingest_spark.queries import QUERIES
+
+    df = QUERIES["scd2_snapshot_at"](spark, "/root/testdata/sf0.001")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    f = df._jdf.queryExecution().explainString(mode)
+    assert "LessThanOrEqual(ts" in f  # as-of filter reaches the scan
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("WindowGroupLimit") >= 2  # rank-1 pushed below the shuffle
+
+
+def test_key_skew_report_is_takeordered_plus_broadcast(spark):
+    from ingest_spark.queries import QUERIES
+
+    df = QUERIES["key_skew_report"](spark, "/root/testdata/sf0.001")
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
