@@ -15,6 +15,8 @@ standard library (VERDICT r4 §Next #1; GIF added r6 per r5 §Next #5):
   variable code width (LSB-first packing, clear/end codes, 12-bit
   ceiling + table-full reset), global/local color table mapping to
   RGB. First frame; extensions skipped.
+- **TIFF** (`decode_tiff`): baseline uncompressed, both byte orders,
+  IFD walk + strip assembly, 8-bit grey/RGB.
 
 Matching encoders (``encode_png`` / ``encode_wav``) exist so tests can
 fabricate REAL media bytes deterministically — no image/audio library
@@ -661,6 +663,141 @@ def sniff_mime(data: bytes | None) -> str | None:
         return "audio/wav"
     if len(data) >= 13 and data[:6] in (b"GIF87a", b"GIF89a"):
         return "image/gif"
+    if len(data) >= 8 and data[:4] in (b"II*\x00", b"MM\x00*"):
+        return "image/tiff"
     if len(data) >= 54 and data[:2] == b"BM":
         return "image/bmp"
     return None
+
+
+# --------------------------------------------------------------- TIFF
+
+_TIFF_TAGS = {
+    256: "width", 257: "height", 258: "bits", 259: "compression",
+    262: "photometric", 273: "strip_offsets", 277: "samples",
+    278: "rows_per_strip", 279: "strip_counts",
+}
+
+
+def decode_tiff(data: bytes) -> dict:
+    """Baseline uncompressed TIFF (both byte orders): header + first
+    IFD walk, strip assembly, 8-bit greyscale (1 sample) or RGB
+    (3 samples). Raises ValueError on compressed/unsupported shapes —
+    callers dispatch, they don't guess."""
+    if len(data) < 8 or data[:2] not in (b"II", b"MM"):
+        raise ValueError("not a TIFF (bad byte-order mark)")
+    bo = "<" if data[:2] == b"II" else ">"
+    (magic,) = struct.unpack(bo + "H", data[2:4])
+    if magic != 42:
+        raise ValueError("not a TIFF (bad magic)")
+    (ifd_off,) = struct.unpack(bo + "I", data[4:8])
+    if ifd_off + 2 > len(data):
+        raise ValueError("TIFF truncated before IFD")
+    (n_entries,) = struct.unpack(bo + "H", data[ifd_off : ifd_off + 2])
+    fields: dict[str, list[int]] = {}
+    type_size = {1: 1, 3: 2, 4: 4}
+    type_fmt = {1: "B", 3: "H", 4: "I"}
+    for i in range(n_entries):
+        base = ifd_off + 2 + 12 * i
+        if base + 12 > len(data):
+            raise ValueError("TIFF truncated inside IFD")
+        tag, ftype, count = struct.unpack(bo + "HHI", data[base : base + 8])
+        if tag not in _TIFF_TAGS or ftype not in type_size:
+            continue
+        total = type_size[ftype] * count
+        if total <= 4:
+            raw = data[base + 8 : base + 8 + total]
+        else:
+            (off,) = struct.unpack(bo + "I", data[base + 8 : base + 12])
+            raw = data[off : off + total]
+            if len(raw) < total:
+                raise ValueError("TIFF truncated inside field values")
+        fields[_TIFF_TAGS[tag]] = list(
+            struct.unpack(bo + type_fmt[ftype] * count, raw)
+        )
+    for req in ("width", "height", "strip_offsets", "strip_counts"):
+        if req not in fields:
+            raise ValueError(f"TIFF missing required tag {req}")
+    if fields.get("compression", [1])[0] != 1:
+        raise ValueError("compressed TIFF unsupported (baseline only)")
+    bits = fields.get("bits", [8])
+    if any(b != 8 for b in bits):
+        raise ValueError(f"unsupported TIFF bit depths {bits}")
+    channels = fields.get("samples", [len(bits)])[0]
+    if channels not in (1, 3):
+        raise ValueError(f"unsupported TIFF samples/pixel {channels}")
+    width, height = fields["width"][0], fields["height"][0]
+    pixels = bytearray()
+    for off, cnt in zip(fields["strip_offsets"], fields["strip_counts"]):
+        strip = data[off : off + cnt]
+        if len(strip) < cnt:
+            raise ValueError("TIFF truncated inside strip data")
+        pixels += strip
+    need = width * height * channels
+    if len(pixels) < need:
+        raise ValueError(f"TIFF strips hold {len(pixels)} bytes, need {need}")
+    pixels = bytes(pixels[:need])
+    n = len(pixels)
+    return {
+        "kind": "tiff",
+        "width": width,
+        "height": height,
+        "channels": channels,
+        "bit_depth": 8,
+        "n_pixels": width * height,
+        "mean_value": sum(pixels) / n if n else 0.0,
+        "min_value": min(pixels) if n else 0,
+        "max_value": max(pixels) if n else 0,
+        "pixels": pixels,
+    }
+
+
+def encode_tiff(
+    width: int, height: int, pixels: bytes, channels: int = 1,
+    byte_order: str = "II",
+) -> bytes:
+    """8-bit greyscale/RGB pixels -> a minimal single-strip baseline
+    TIFF (uncompressed), little- ('II') or big-endian ('MM')."""
+    if channels not in (1, 3):
+        raise ValueError(f"channels must be 1 or 3, got {channels}")
+    if len(pixels) != width * height * channels:
+        raise ValueError(
+            f"expected {width * height * channels} pixel bytes, got {len(pixels)}"
+        )
+    bo = "<" if byte_order == "II" else ">"
+    entries = [
+        (256, 3, 1, width),
+        (257, 3, 1, height),
+        (259, 3, 1, 1),                       # uncompressed
+        (262, 3, 1, 1 if channels == 1 else 2),  # BlackIsZero / RGB
+        (277, 3, 1, channels),
+        (278, 3, 1, height),                   # one strip
+        (279, 4, 1, len(pixels)),
+    ]
+    # BitsPerSample: 1 SHORT inline for grey; 3 SHORTs via offset for RGB
+    n_entries = len(entries) + 2  # + BitsPerSample + StripOffsets
+    ifd_off = 8
+    after_ifd = ifd_off + 2 + 12 * n_entries + 4
+    if channels == 3:
+        bits_val = after_ifd          # offset to the 3 SHORTs
+        extra = struct.pack(bo + "HHH", 8, 8, 8)
+    else:
+        bits_val = 8
+        extra = b""
+    strip_off = after_ifd + len(extra)
+    entries.append((258, 3, channels, bits_val))
+    entries.append((273, 4, 1, strip_off))
+    out = bytearray()
+    out += (b"II" if bo == "<" else b"MM") + struct.pack(bo + "HI", 42, ifd_off)
+    out += struct.pack(bo + "H", n_entries)
+    for tag, ftype, count, val in sorted(entries):
+        out += struct.pack(bo + "HHI", tag, ftype, count)
+        if ftype == 3 and count == 1:
+            # a single SHORT sits left-aligned in the 4-byte value slot
+            out += struct.pack(bo + "HH", val, 0)
+        else:
+            out += struct.pack(bo + "I", val)
+    out += struct.pack(bo + "I", 0)  # no next IFD
+    out += extra
+    out += pixels
+    return bytes(out)

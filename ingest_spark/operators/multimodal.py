@@ -29,6 +29,7 @@ from ingest_spark.operators.media_codecs import (
     decode_bmp,
     decode_gif,
     decode_png,
+    decode_tiff,
     decode_wav,
     encode_png,
     encode_wav,
@@ -120,11 +121,12 @@ def _decode_media(payload: bytes) -> dict:
         "mean_value": None,
     }
     mime = sniff_mime(payload)
-    if mime in ("image/png", "image/bmp", "image/gif"):
+    if mime in ("image/png", "image/bmp", "image/gif", "image/tiff"):
         d = {
             "image/png": decode_png,
             "image/bmp": decode_bmp,
             "image/gif": decode_gif,
+            "image/tiff": decode_tiff,
         }[mime](payload)
         out.update(
             kind=d["kind"],
@@ -185,25 +187,32 @@ GIF_PALETTE = bytes(v for i in range(16) for v in (i * 17,) * 3)  # 16 greys
 
 def attach_media_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Synthesize REAL media bytes per row — a PNG, a WAV, a BMP, a
-    GIF, or opaque text, cycling on ``id % 5`` — with every media
+    GIF, a TIFF, or opaque text, cycling on ``id % 6`` — with every media
     parameter a closed-form function of the id, so a SQL oracle can
     predict the decoded features without being able to inflate a PNG
     or LZW-decode a GIF:
 
-    - id%5==0 -> greyscale PNG, width=1+id%16, height=1+id%8, every
+    - id%6==0 -> greyscale PNG, width=1+id%16, height=1+id%8, every
       pixel = id%256  => mean_value == id%256 exactly;
-    - id%5==1 -> mono 16-bit 8 kHz WAV, n_samples=1+id%64, every
+    - id%6==1 -> mono 16-bit 8 kHz WAV, n_samples=1+id%64, every
       sample = (id%100)*10  => mean_value == (id%100)*10 exactly;
-    - id%5==2 -> 24-bit BMP, width=1+id%8, height=1+id%4, every
+    - id%6==2 -> 24-bit BMP, width=1+id%8, height=1+id%4, every
       channel byte = id%256  => mean_value == id%256 exactly;
-    - id%5==3 -> GIF89a over a 16-grey palette (entry i = i*17),
+    - id%6==3 -> GIF89a over a 16-grey palette (entry i = i*17),
       width=1+id%12, height=1+id%6, every pixel index = id%16
       => mean_value == (id%16)*17 exactly;
-    - id%5==4 -> utf-8 text bytes (opaque fallback exercise).
+    - id%6==4 -> greyscale baseline TIFF (alternating II/MM byte
+      order on id%12), width=1+id%10, height=1+id%5, every pixel =
+      id%256  => mean_value == id%256 exactly;
+    - id%6==5 -> utf-8 text bytes (opaque fallback exercise).
 
     Encoding runs distributed (mapInPandas), so the fixture generation
     itself exercises the Arrow binary-column write path."""
-    from ingest_spark.operators.media_codecs import encode_bmp, encode_gif
+    from ingest_spark.operators.media_codecs import (
+        encode_bmp,
+        encode_gif,
+        encode_tiff,
+    )
 
     src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
 
@@ -213,7 +222,7 @@ def attach_media_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame
             payloads = []
             for doc_id, txt in zip(pdf["doc_id"], pdf["text"]):
                 doc_id = int(doc_id)
-                m = doc_id % 5
+                m = doc_id % 6
                 if m == 0:
                     w, h = 1 + doc_id % 16, 1 + doc_id % 8
                     payloads.append(
@@ -233,6 +242,14 @@ def attach_media_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame
                     w, h = 1 + doc_id % 12, 1 + doc_id % 6
                     payloads.append(
                         encode_gif(w, h, bytes([doc_id % 16]) * (w * h), GIF_PALETTE)
+                    )
+                elif m == 4:
+                    w, h = 1 + doc_id % 10, 1 + doc_id % 5
+                    payloads.append(
+                        encode_tiff(
+                            w, h, bytes([doc_id % 256]) * (w * h),
+                            byte_order="II" if doc_id % 12 == 4 else "MM",
+                        )
                     )
                 else:
                     payloads.append(str(txt).encode("utf-8"))
@@ -316,6 +333,7 @@ def resize_images(df: DataFrame, width: int = 32, height: int = 32) -> DataFrame
             "image/png": decode_png,
             "image/bmp": decode_bmp,
             "image/gif": decode_gif,
+            "image/tiff": decode_tiff,
         }[mime](payload)
         sw, sh, ch = d["width"], d["height"], d["channels"]
         src = d["pixels"]
@@ -346,7 +364,8 @@ def resize_images(df: DataFrame, width: int = 32, height: int = 32) -> DataFrame
     except ImportError:
 
         def _resize(payload: bytes) -> bytes:
-            if sniff_mime(payload) in ("image/png", "image/bmp", "image/gif"):
+            if sniff_mime(payload) in ("image/png", "image/bmp", "image/gif",
+                                       "image/tiff"):
                 try:
                     return _png_resize(bytes(payload))
                 except ValueError:

@@ -159,11 +159,10 @@ def test_audio_features_from_real_wav(spark):
 
 
 def test_distributed_media_decode_mixed_batch(spark):
-    """One Arrow batch containing a PNG, a WAV, a BMP, a GIF and
-    opaque text decodes to the right per-kind features (the
+    """One Arrow batch containing a PNG, a WAV, a BMP, a GIF, a TIFF
+    and opaque text decodes to the right per-kind features (the
     multimodal_media_decode query shape, minus the parquet source)."""
-    rows = [(0, "alpha"), (1, "beta"), (2, "gamma"), (3, "delta"),
-            (4, "eps"), (5, "zeta")]
+    rows = [(i, f"doc{i}") for i in range(7)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     media = multimodal.attach_media_payload(df, "doc_id", "text")
     out = {r.doc_id: r for r in multimodal.decode_media_features(media).collect()}
@@ -174,9 +173,11 @@ def test_distributed_media_decode_mixed_batch(spark):
     assert out[2].channels == 3 and out[2].mean_value == 2.0
     assert out[3].kind == "gif" and (out[3].width, out[3].height) == (4, 4)
     assert out[3].channels == 3 and out[3].mean_value == 3 * 17.0
-    assert out[4].kind == "opaque" and out[4].width is None
-    assert out[5].kind == "png" and (out[5].width, out[5].height) == (6, 6)
-    assert out[5].mean_value == 5.0
+    assert out[4].kind == "tiff" and (out[4].width, out[4].height) == (5, 5)
+    assert out[4].channels == 1 and out[4].mean_value == 4.0
+    assert out[5].kind == "opaque" and out[5].width is None
+    assert out[6].kind == "png" and (out[6].width, out[6].height) == (7, 7)
+    assert out[6].mean_value == 6.0
 
 
 def test_bmp_round_trip_including_padding():
@@ -362,3 +363,57 @@ def test_png_palette_resize_through_codec(spark):
     assert (d["width"], d["height"], d["channels"]) == (4, 4, 3)
     # top-left quadrant is palette entry 0
     assert d["pixels"][:3] == bytes((10, 20, 30))
+
+
+# ----------------------------------------------------------- TIFF (r6)
+
+
+@pytest.mark.parametrize("byte_order", ["II", "MM"])
+@pytest.mark.parametrize("channels", [1, 3])
+def test_tiff_round_trip(byte_order, channels):
+    import random
+
+    from ingest_spark.operators.media_codecs import decode_tiff, encode_tiff
+
+    rng = random.Random(9)
+    w, h = 11, 6
+    px = bytes(rng.randrange(256) for _ in range(w * h * channels))
+    blob = encode_tiff(w, h, px, channels=channels, byte_order=byte_order)
+    assert sniff_mime(blob) == "image/tiff"
+    d = decode_tiff(blob)
+    assert (d["width"], d["height"], d["channels"]) == (w, h, channels)
+    assert d["pixels"] == px
+
+
+def test_tiff_rejects_unsupported():
+    import struct as _s
+
+    from ingest_spark.operators.media_codecs import decode_tiff, encode_tiff
+
+    with pytest.raises(ValueError, match="byte-order"):
+        decode_tiff(b"XX\x2a\x00" + b"\x00" * 8)
+    good = encode_tiff(2, 2, bytes(4))
+    # flip the compression tag (259) value to 5 (LZW): must refuse
+    bad = bytearray(good)
+    n = _s.unpack("<H", bad[8:10])[0]
+    for i in range(n):
+        base = 10 + 12 * i
+        if _s.unpack("<H", bad[base : base + 2])[0] == 259:
+            bad[base + 8] = 5
+    with pytest.raises(ValueError, match="compressed"):
+        decode_tiff(bytes(bad))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_tiff(good[:20])
+
+
+def test_tiff_through_resize(spark):
+    from ingest_spark.operators.media_codecs import decode_png, encode_tiff
+    from ingest_spark.operators.multimodal import resize_images
+
+    px = bytes([0] * 8 + [255] * 8)  # 4x4 grey: top black, bottom white
+    tiff = encode_tiff(4, 4, px)
+    df = spark.createDataFrame([(1, bytearray(tiff))], "doc_id long, payload binary")
+    out = resize_images(df, width=2, height=2).collect()[0]
+    d = decode_png(bytes(out.resized))
+    assert (d["width"], d["height"], d["channels"]) == (2, 2, 1)
+    assert d["pixels"] == bytes((0, 0, 255, 255))
