@@ -169,7 +169,7 @@ def repetition_ratio(
     sum — two shuffles on doc_id, both with map-side combine. The
     ratio is scaled-integer division (portable midpoint behavior)."""
     grams = df.select(
-        F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("gram")
+        F.col(id_col), F.explode(word_ngrams_fast(text_col, n)).alias("gram")
     )
     per_gram = grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("cnt"))
     return per_gram.groupBy(id_col).agg(
@@ -482,10 +482,10 @@ def ngram_contamination(
     broadcast width ~8x; string join kept here for oracle exactness.
     """
     corpus_grams = corpus.select(
-        F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("gram")
+        F.col(id_col), F.explode(word_ngrams_fast(text_col, n)).alias("gram")
     ).distinct()
     bench_grams = (
-        benchmark.select(F.explode(word_ngrams(text_col, n)).alias("gram"))
+        benchmark.select(F.explode(word_ngrams_fast(text_col, n)).alias("gram"))
         .distinct()
     )
     return (

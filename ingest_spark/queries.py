@@ -3011,9 +3011,11 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bigram_frequencies",
     f"""
     WITH g AS (
-      SELECT unnest(list_transform(
+      SELECT unnest(list_filter(list_transform(
                generate_series(1, greatest(len(w) - 1, 0)),
-               i -> w[i] || ' ' || w[i+1])) AS bigram
+               i -> CASE WHEN w[i] <> '' AND w[i+1] <> ''
+                    THEN w[i] || ' ' || w[i+1] END),
+             x -> x IS NOT NULL)) AS bigram
       FROM (SELECT {WORDS} AS w FROM documents))
     SELECT bigram, freq, CAST(rank AS INT) AS rank FROM (
       SELECT bigram, CAST(count(*) AS BIGINT) AS freq,
@@ -3026,7 +3028,7 @@ def bigram_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape. explode(word_ngrams) -> two-phase hash aggregate -> global
     top-k (TakeOrderedAndProject, not a single-partition window)."""
     docs = load_table(spark, sf_dir, "documents")
-    grams = docs.select(F.explode(text.word_ngrams("text", 2)).alias("bigram"))
+    grams = docs.select(F.explode(text.word_ngrams_fast("text", 2)).alias("bigram"))
     counts = grams.groupBy("bigram").agg(F.count(F.lit(1)).alias("freq"))
     return relational.top_n_per_group(
         counts, [], [F.col("freq").desc(), F.col("bigram")], 20
@@ -3134,12 +3136,16 @@ def sliding_event_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_ngrams(n: int, src_filter: str = "") -> str:
-    """DuckDB word n-grams mirroring text.word_ngrams (single-space
-    split, empty tokens participate, no distinct)."""
+    """DuckDB word n-grams mirroring text.word_ngrams_fast (single-
+    space word-RUN semantics: a gram never spans a multi-space gap —
+    the regex form's behavior; no distinct)."""
     gram = " || ' ' || ".join(f"w[i+{j}]" for j in range(n))
+    nonempty = " AND ".join(f"w[i+{j}] <> ''" for j in range(n))
     return (
-        f"SELECT doc_id, unnest(list_transform("
-        f"generate_series(1, greatest(len(w) - {n - 1}, 0)), i -> {gram})) AS gram "
+        f"SELECT doc_id, unnest(list_filter(list_transform("
+        f"generate_series(1, greatest(len(w) - {n - 1}, 0)), "
+        f"i -> CASE WHEN {nonempty} THEN {gram} END), "
+        f"x -> x IS NOT NULL)) AS gram "
         f"FROM (SELECT doc_id, {WORDS} AS w FROM documents{src_filter})"
     )
 
@@ -5135,10 +5141,10 @@ def contamination_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("source") != "src0")
     benchmark = docs.filter(F.col("source") == "src0")
     grams = corpus.select(
-        "doc_id", F.explode(text.word_ngrams("text", 5)).alias("gram")
+        "doc_id", F.explode(text.word_ngrams_fast("text", 5)).alias("gram")
     ).distinct()
     bench = (
-        benchmark.select(F.explode(text.word_ngrams("text", 5)).alias("gram"))
+        benchmark.select(F.explode(text.word_ngrams_fast("text", 5)).alias("gram"))
         .distinct()
     )
     tot = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
@@ -5386,10 +5392,12 @@ _BLOOM_POS = (
     f"""
     WITH g AS (
       SELECT DISTINCT doc_id, source, gram FROM (
-        SELECT doc_id, source, unnest(list_transform(
+        SELECT doc_id, source, unnest(list_filter(list_transform(
           generate_series(1, greatest(len(w) - 4, 0)),
-          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
-               || ' ' || w[i+4])) AS gram
+          i -> CASE WHEN w[i] <> '' AND w[i+1] <> '' AND w[i+2] <> ''
+                    AND w[i+3] <> '' AND w[i+4] <> ''
+               THEN w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                    || ' ' || w[i+4] END), x -> x IS NOT NULL)) AS gram
         FROM (SELECT doc_id, source, {WORDS} AS w FROM documents)
       )),
     bits AS (
@@ -5440,12 +5448,12 @@ def bloom_passage_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_new = F.col("source") == "src1"
     pairs = (
         docs.filter(is_new)
-        .select("doc_id", F.explode(text.word_ngrams("text", 5)).alias("gram"))
+        .select("doc_id", F.explode(text.word_ngrams_fast("text", 5)).alias("gram"))
         .distinct()
     )
     corpus_grams = (
         docs.filter(~is_new)
-        .select(F.explode(text.word_ngrams("text", 5)).alias("gram"))
+        .select(F.explode(text.word_ngrams_fast("text", 5)).alias("gram"))
         .distinct()
     )
     bits = dedup.bloom_bits(corpus_grams, "gram", m=_BLOOM_M, k=3)
@@ -5632,9 +5640,11 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bpe_merge_candidates",
     """
     WITH b AS (
-      SELECT unnest(list_transform(
+      SELECT unnest(list_filter(list_transform(
                generate_series(1, greatest(len(w) - 1, 0)),
-               i -> w[i] || ' ' || w[i+1])) AS pair
+               i -> CASE WHEN w[i] <> '' AND w[i+1] <> ''
+                    THEN w[i] || ' ' || w[i+1] END),
+             x -> x IS NOT NULL)) AS pair
       FROM (SELECT string_split(text, ' ') AS w FROM documents))
     SELECT pair, CAST(count(*) AS BIGINT) AS n
     FROM b GROUP BY pair
@@ -5675,9 +5685,11 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT CAST(sum(cu) AS BIGINT) AS n FROM uni),
     pairs AS (
       SELECT a || ' ' || b AS pair, a, b, CAST(count(*) AS BIGINT) AS cp
-      FROM (SELECT unnest(list_transform(
+      FROM (SELECT unnest(list_filter(list_transform(
                      generate_series(1, greatest(len(w) - 1, 0)),
-                     i -> [w[i], w[i+1]])) AS p
+                     i -> CASE WHEN w[i] <> '' AND w[i+1] <> ''
+                          THEN [w[i], w[i+1]] END),
+                   x -> x IS NOT NULL)) AS p
             FROM w),
            LATERAL (SELECT p[1] AS a, p[2] AS b)
       GROUP BY a, b)
@@ -6260,14 +6272,17 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "exact_substring_spans",
     f"""
-    WITH pg AS (
-      SELECT doc_id, CAST(i AS BIGINT) AS pos,
-             w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' '
-               || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7]
-               || ' ' || w[i+8] || ' ' || w[i+9] AS gram,
-             CAST(len(w) AS BIGINT) AS n_words
-      FROM (SELECT doc_id, {WORDS} AS w FROM documents),
-           unnest(generate_series(1, greatest(len(w) - 9, 0))) AS t(i)),
+    WITH gl AS (
+      SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+             list_filter(list_transform(
+               generate_series(1, greatest(len(w) - 9, 0)),
+               i -> CASE WHEN {" AND ".join(f"w[i+{j}] <> ''" for j in range(10))}
+                    THEN {" || ' ' || ".join(f"w[i+{j}]" for j in range(10))}
+                    END), x -> x IS NOT NULL) AS g
+      FROM (SELECT doc_id, {WORDS} AS w FROM documents)),
+    pg AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos, g[i] AS gram, n_words
+      FROM gl, unnest(generate_series(1, len(g))) AS t(i)),
     freq AS (SELECT gram FROM pg GROUP BY gram HAVING count(*) >= 2),
     dup AS (
       SELECT pg.doc_id, pg.pos, pg.n_words

@@ -338,3 +338,33 @@ def test_exact_substring_spans_merge_overlapping_seeds(spark, tmp_path):
     # doc 1: 17 words, span covers words 6..17 -> 12/17 -> 7058
     assert got[1] == (1, 12, 12 * 10000 // 17)
     assert 2 not in got  # docs with no duplicated span emit nothing
+
+
+def test_word_ngrams_fast_matches_duckdb_on_multispace_text(spark):
+    """The r6 gram refactor aligned every n-gram oracle on the regex
+    form's word-RUN semantics (a gram never spans a multi-space gap).
+    The sf corpora are single-spaced and can't catch a divergence, so
+    this pins Spark vs DuckDB on exactly the divergent input class."""
+    import duckdb
+
+    from ingest_spark.queries import _sql_ngrams
+
+    rows = [
+        (0, "a b  c d"),        # gap: 'b c' must NOT be a gram
+        (1, "  x y  "),         # leading/trailing gaps
+        (2, "p  q  r"),         # no adjacent pair at all
+        (3, "m n o"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r.doc_id, r.g)
+        for r in df.select(
+            "doc_id", F.explode(text.word_ngrams_fast("text", 2)).alias("g")
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.register("documents_py", __import__("pandas").DataFrame(
+        rows, columns=["doc_id", "text"]))
+    con.sql("CREATE VIEW documents AS SELECT * FROM documents_py")
+    want = sorted(map(tuple, con.sql(_sql_ngrams(2)).fetchall()))
+    assert got == want == [(0, "a b"), (0, "c d"), (1, "x y"), (3, "m n"), (3, "n o")]
