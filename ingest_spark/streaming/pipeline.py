@@ -256,9 +256,17 @@ def windowed_event_counts(
 ) -> DataFrame:
     """Watermarked tumbling-window aggregation — the late-data-aware
     rollup the reference's ksqlDB view (Q1) could not express. The
-    watermark bounds state: windows older than it are finalized and
-    evicted; later-arriving rows for them are dropped (counted by the
-    streaming metrics, not silently)."""
+    watermark bounds STATE: windows older than it are finalized and
+    evicted (visible as numRowsRemoved in the progress metrics).
+    Late-row handling is Spark's documented best-effort: a row older
+    than the watermark is not guaranteed to be processed — but it is
+    also NOT guaranteed to be dropped (measured on this engine: a
+    late row arriving in the same micro-batch its window finalizes
+    still reaches the append output; see
+    test_watermark_bounds_state_late_rows_best_effort). Pipelines
+    needing a hard exactly-once-per-window guarantee against
+    stragglers get it at the SINK, from the idempotent
+    foreach_batch_upsert anti-join — not from the watermark."""
     return (
         stream.withWatermark(event_time_col, watermark)
         .groupBy(F.window(event_time_col, window).alias("win"), "event_type")

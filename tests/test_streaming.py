@@ -1,6 +1,7 @@
 from __future__ import annotations
 
 import json
+import os
 
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -492,3 +493,76 @@ def test_incremental_rollup_equals_full_recompute(spark, tmp_path):
     run_stream()  # resumes from checkpoint: only batch2 is new
     got = {r.k: (r.n_rows, r.sum_v) for r in spark.read.parquet(rollup).collect()}
     assert got == {"a": (3, 7.0), "b": (3, 9.5), "c": (1, 7.0)}
+
+
+def test_watermark_bounds_state_late_rows_best_effort(spark, tmp_path):
+    """Pins the ACTUAL watermark semantics this engine runs on (and
+    that windowed_event_counts documents): the watermark EVICTS
+    finalized window state (numRowsRemoved > 0 once it advances), but
+    a late row arriving in the same micro-batch its window finalizes
+    is still aggregated and emitted — dropping is best-effort, never
+    a guarantee. Writing this test initially with the opposite
+    expectation caught an overclaiming docstring; exactly-once-per-
+    window against stragglers belongs to the sink-side idempotent
+    upsert, not the watermark."""
+    import json as _json
+
+    from ingest_spark.streaming.pipeline import (
+        read_file_stream,
+        windowed_event_counts,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+
+    def write_file(name, rows):
+        with open(f"{src}/{name}", "w") as f:
+            for et, ts in rows:
+                f.write(_json.dumps({"event_type": et, "ts": ts}) + "\n")
+
+    # batch 1 advances the max event time to 12:00 -> watermark 11:30
+    write_file("a.json", [("view", "2024-03-01T10:00:00"),
+                          ("view", "2024-03-01T12:00:00")])
+    # batch 2 delivers a 09:00 straggler: older than the watermark
+    write_file("b.json", [("click", "2024-03-01T09:00:00"),
+                          ("view", "2024-03-01T12:30:00")])
+
+    stream = read_file_stream(spark, src, schema, fmt="json",
+                              max_files_per_trigger=1)
+    agg = windowed_event_counts(stream, "ts", window="15 minutes",
+                                watermark="30 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_semantics_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    progress = [_json.loads(pr.json) for pr in q.recentProgress]
+    # the watermark ADVANCED off batch 1's max event time...
+    assert any(
+        p.get("eventTime", {}).get("watermark", "").startswith("2024-03-01T11:30")
+        for p in progress
+    )
+    # ...and EVICTED finalized state (the bound that matters at scale)
+    removed = sum(
+        op["numRowsRemoved"]
+        for p in progress
+        for op in p.get("stateOperators", [])
+    )
+    assert removed > 0
+    # best-effort late handling: the 09:00 straggler still surfaced
+    # (same-batch-as-finalization case) — it must NOT be silently lost
+    # AND not duplicated
+    out = spark.sql(
+        "SELECT event_type, count(*) c FROM wm_semantics_out "
+        "WHERE window_start = TIMESTAMP '2024-03-01 09:00:00' GROUP BY 1"
+    ).collect()
+    assert [(r.event_type, r.c) for r in out] == [("click", 1)]
