@@ -35,9 +35,11 @@ from pyspark.sql import functions as F  # noqa: E402
 
 
 def build_corpus(spark, path: str, n_docs: int, skewed: bool) -> None:
-    """Docs as ~40 pseudo-random words (xxhash64-derived, 50k vocab);
-    every 10th doc appends a shared passage; the skewed variant
-    prepends the same 5 boilerplate words to EVERY doc."""
+    """Full documents-table schema (doc_id, text, lang, source,
+    n_chars) so any documents query runs against it: ~40 pseudo-random
+    words/doc (xxhash64-derived, 50k vocab); every 10th doc appends a
+    shared passage; the skewed variant prepends the same 5 boilerplate
+    words to EVERY doc."""
     words = F.transform(
         F.sequence(F.lit(0), F.lit(39)),
         lambda i: F.concat(
@@ -54,9 +56,17 @@ def build_corpus(spark, path: str, n_docs: int, skewed: bool) -> None:
         text = F.concat(F.lit("the same five boilerplate words "), text, shared)
     else:
         text = F.concat(text, shared)
+    langs = F.array(*[F.lit(x) for x in ("en", "de", "fr", "es", "zh")])
     (
         spark.range(n_docs)
-        .select(F.col("id").alias("doc_id"), text.alias("text"))
+        .select(
+            F.col("id").alias("doc_id"),
+            text.alias("text"),
+            F.element_at(langs, (F.pmod(F.col("id"), F.lit(5)) + 1).cast("int"))
+            .alias("lang"),
+            F.concat(F.lit("src"), F.pmod(F.col("id"), F.lit(20))).alias("source"),
+        )
+        .withColumn("n_chars", F.length("text").cast("long"))
         .repartition(32)
         .write.mode("overwrite")
         .parquet(path)
