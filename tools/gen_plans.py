@@ -25,6 +25,8 @@ PICKS = [
     ("duplicate_passage_fraction_skewsafe", "salted two-level window: per-task rows bounded by SALT*CAP for any gram frequency"),
     ("ngram_novelty", "novelty without join-back: gram aggregate re-aggregates by winning doc_id"),
     ("countmin_frequency_estimates", "count-min sketch: 12k-row state, broadcast probe join"),
+    ("curation_scorecard", "multi-signal decision table: three doc-grain signal joins, scan fused"),
+    ("hybrid_rrf_retrieval", "RRF fusion: two TakeOrdered heads, full-outer join of 20-row frames"),
 ]
 
 KEEP_KW = (
