@@ -6552,3 +6552,49 @@ def curation_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("keep"),
         )
     )
+
+
+@q(
+    "session_window_counts",
+    """
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS brk
+      FROM events),
+    isl AS (
+      SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o)
+    SELECT user_id,
+           CAST(min(ts) AS TIMESTAMP) AS session_start,
+           CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM isl
+    GROUP BY user_id, sid
+    """,
+)
+def session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session-window aggregation (F.session_window —
+    the declarative dynamic-gap operator added for exactly this), the
+    third sessionization formulation the engine ships next to the
+    batch gaps-and-islands walk (`sessionize_events`) and the
+    stateful streaming sessionizer (applyInPandasWithState): one
+    shuffle on user_id, sessions merged by the engine itself, ends at
+    last_event + gap. The oracle reproduces the semantics with the
+    classic lag/running-sum islands — a hash match proves the native
+    operator and the manual walk agree exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
