@@ -566,3 +566,82 @@ def test_watermark_bounds_state_late_rows_best_effort(spark, tmp_path):
         "WHERE window_start = TIMESTAMP '2024-03-01 09:00:00' GROUP BY 1"
     ).collect()
     assert [(r.event_type, r.c) for r in out] == [("click", 1)]
+
+
+def test_incremental_scd2_equals_batch_recompute(spark, tmp_path):
+    """foreach_batch_scd2: after two file batches (the second touching
+    an existing user OUT OF ORDER and introducing a new one), the
+    maintained interval table must EQUAL the batch SCD2 recompute
+    over all events ever streamed; untouched users' rows carry over."""
+    from ingest_spark.streaming.pipeline import (
+        foreach_batch_scd2,
+        read_file_stream,
+    )
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "scd2")
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_id", T.LongType()),
+        ]
+    )
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).json(src)
+
+    def run_stream():
+        q = (
+            read_file_stream(spark, src, schema, fmt="json")
+            .writeStream.foreachBatch(
+                foreach_batch_scd2(table, "user_id", "event_type", "ts", "event_id")
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    from datetime import datetime as DT
+
+    b1 = [
+        (1, "signup", DT(2024, 1, 1, 10), 1),
+        (1, "purchase", DT(2024, 1, 2, 10), 2),
+        (2, "signup", DT(2024, 1, 1, 12), 3),
+    ]
+    b2 = [
+        (1, "error", DT(2024, 1, 1, 18), 4),   # OUT OF ORDER for user 1
+        (3, "signup", DT(2024, 1, 3, 9), 5),   # brand-new user
+    ]
+    write_batch(b1)
+    run_stream()
+    write_batch(b2)
+    run_stream()
+
+    got = {
+        (r.user_id, r.valid_from, r.state, r.valid_to, r.is_current)
+        for r in spark.read.parquet(table).collect()
+    }
+    # batch recompute over everything streamed
+    all_events = spark.createDataFrame(b1 + b2, schema)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    want = {
+        (r.user_id, r.valid_from, r.state, r.valid_to, r.is_current)
+        for r in all_events.select(
+            "user_id",
+            F.col("ts").alias("valid_from"),
+            F.col("event_type").alias("state"),
+            F.lead("ts").over(w).alias("valid_to"),
+            F.lead("ts").over(w).isNull().alias("is_current"),
+        ).collect()
+    }
+    assert got == want
+    # user 1's history re-sorted around the out-of-order error event
+    u1 = sorted((vf, st) for (u, vf, st, _, _) in got if u == 1)
+    assert [s for _, s in u1] == ["signup", "error", "purchase"]
