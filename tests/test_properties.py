@@ -297,3 +297,57 @@ def test_bmp_round_trips_arbitrary_pixels(w, h, rng):
     pixels = bytes(rng.randrange(256) for _ in range(w * h * 3))
     d = decode_bmp(encode_bmp(w, h, pixels))
     assert d["pixels"] == pixels and (d["width"], d["height"]) == (w, h)
+
+
+# ------------------------------------------ oracle fuzzing (r6)
+
+MSWORD = st.text(alphabet="ab c", min_size=0, max_size=6)  # spaces inside!
+FUZZ_DOC = st.lists(MSWORD, min_size=1, max_size=40).map(" ".join)
+FUZZ_QUERIES = (
+    "quality_score",
+    "text_stats",
+    "duplicate_passage_fraction",
+    "duplicate_passage_fraction_skewsafe",
+    "ngram_novelty",
+    "bigram_frequencies",
+    "feature_hash_vectors",
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(FUZZ_DOC, min_size=1, max_size=8), st.integers(0, 3))
+def test_spark_matches_duckdb_oracle_on_random_corpora(
+    spark, tmp_path_factory, docs, dup_seed
+):
+    """The oracle gate beyond the shipped corpus: RANDOM documents —
+    multi-space runs, empty/whitespace texts, duplicated docs — run
+    through Spark AND the DuckDB oracle with the driver's own
+    comparison (row count + columns + order-insensitive value
+    multiset). Any engine/oracle semantic gap on degenerate text
+    surfaces here instead of in a future driver run."""
+    import duckdb
+
+    from ingest_spark.queries import ORACLES, QUERIES
+    from tests.oracle_harness import compare_query
+
+    # duplicate a slice of docs so dedup paths see real duplicates
+    docs = docs + docs[: dup_seed % (len(docs) + 1)]
+    langs = ["en", "de", "fr", "es", "zh"]
+    rows = [
+        (i, t, langs[i % 5], f"src{i % 3}", len(t))
+        for i, t in enumerate(docs)
+    ]
+    sf = str(tmp_path_factory.mktemp("fuzz"))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{sf}/documents.parquet")
+    con = duckdb.connect()
+    # Spark writes a parquet DIRECTORY; glob its part files for DuckDB
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'"
+    )
+    for name in FUZZ_QUERIES:
+        problems = compare_query(
+            spark, con, name, QUERIES[name], ORACLES[name], sf
+        )
+        assert not problems, (name, problems, docs)
