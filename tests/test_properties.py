@@ -351,3 +351,108 @@ def test_spark_matches_duckdb_oracle_on_random_corpora(
             spark, con, name, QUERIES[name], ORACLES[name], sf
         )
         assert not problems, (name, problems, docs)
+
+
+_EV_TYPES = ("view", "click", "purchase", "signup", "error")
+FUZZ_EVENT = st.tuples(
+    st.integers(1, 4),       # user_id
+    st.integers(0, 2880),    # minutes offset: hits EXACT 30-min gaps
+    st.integers(0, 4),       # event_type index
+    st.integers(-5000, 5000),  # value in cents
+)
+EVENT_FUZZ_QUERIES = (
+    "session_window_counts",
+    "scd2_user_state_history",
+    "scd2_snapshot_at",
+    "seasonal_anomaly_hours",
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(FUZZ_EVENT, min_size=1, max_size=30, unique_by=lambda e: (e[0], e[1])))
+def test_event_queries_match_duckdb_on_random_timelines(
+    spark, tmp_path_factory, evs
+):
+    """Event-time fuzzing: minute-quantized random timelines land
+    events EXACTLY on session-gap and window boundaries, where the
+    native session_window operator, the islands oracle, the SCD2
+    lead() walk, and the hour-of-day cents arithmetic could disagree
+    by one closed/open interval — the class the shipped corpus rarely
+    hits. Driver-grade comparison on both engines."""
+    import datetime as dt
+
+    import duckdb
+
+    from ingest_spark.queries import ORACLES, QUERIES
+    from tests.oracle_harness import compare_query
+
+    base = dt.datetime(2024, 1, 9, 0, 0, 0)
+    rows = [
+        (
+            i,
+            base + dt.timedelta(minutes=m),
+            u,
+            _EV_TYPES[t],
+            c / 100.0,
+            "{}",
+        )
+        for i, (u, m, t, c) in enumerate(evs)
+    ]
+    sf = str(tmp_path_factory.mktemp("evfuzz"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{sf}/events.parquet")
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet/*.parquet'"
+    )
+    for name in EVENT_FUZZ_QUERIES:
+        problems = compare_query(
+            spark, con, name, QUERIES[name], ORACLES[name], sf
+        )
+        assert not problems, (name, problems, evs)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.integers(0, 2**31 - 1), st.integers(8, 20))
+def test_vector_queries_match_duckdb_on_random_embeddings(
+    spark, tmp_path_factory, seed, n_vecs
+):
+    """Float-path fuzzing: random float32 embeddings through the
+    cosine family on both engines. The engine's claim is that the
+    unrolled left-to-right dot/norm chain is BIT-IDENTICAL to
+    DuckDB's list_inner_product on the same floats (that is what
+    makes unrounded threshold filters boundary-stable); random
+    vectors exercise it far beyond the shipped corpus."""
+    import random as _random
+
+    import duckdb
+
+    from ingest_spark.queries import ORACLES, QUERIES
+    from tests.oracle_harness import compare_query
+
+    rng = _random.Random(seed)
+    import struct as _struct
+
+    def f32(x):  # quantize to float32 exactly
+        return _struct.unpack("f", _struct.pack("f", x))[0]
+
+    rows = [
+        (i, [f32(rng.uniform(-1, 1)) for _ in range(64)], i % 3)
+        for i in range(n_vecs)
+    ]
+    sf = str(tmp_path_factory.mktemp("vecfuzz"))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{sf}/embeddings.parquet")
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet/*.parquet'"
+    )
+    for name in ("knn_bruteforce", "embedding_neardup", "ann_lsh_topk"):
+        problems = compare_query(
+            spark, con, name, QUERIES[name], ORACLES[name], sf
+        )
+        assert not problems, (name, problems, seed)
