@@ -456,3 +456,53 @@ def test_vector_queries_match_duckdb_on_random_embeddings(
             spark, con, name, QUERIES[name], ORACLES[name], sf
         )
         assert not problems, (name, problems, seed)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.integers(0, 2**31 - 1), st.integers(1, 60))
+def test_pricing_aggregates_match_duckdb_on_random_lineitems(
+    spark, tmp_path_factory, seed, n_rows
+):
+    """Money-rounding fuzz: random 2-decimal prices/discounts/taxes
+    through the TPC-H q1/q6 pricing aggregates on both engines. This
+    is the family whose round-at-decimally-exact-precision rules
+    (README §Correctness) were hand-derived — random cent values
+    probe the .5-tie boundaries far beyond the shipped rows."""
+    import datetime as dt
+    import random as _random
+
+    import duckdb
+
+    from ingest_spark.queries import ORACLES, QUERIES
+    from tests.oracle_harness import compare_query
+
+    rng = _random.Random(seed)
+    rows = [
+        (
+            i // 3 + 1, rng.randint(1, 50), rng.randint(1, 10), i % 7 + 1,
+            float(rng.randint(1, 50)),
+            rng.randint(100, 10_000_000) / 100.0,   # 2-dec price
+            rng.randint(0, 10) / 100.0,             # discount .00-.10
+            rng.randint(0, 8) / 100.0,              # tax
+            rng.choice("ARN"), rng.choice("OF"),
+            dt.date(1994, 1, 1) + dt.timedelta(days=rng.randint(0, 900)),
+        )
+        for i in range(n_rows)
+    ]
+    sf = str(tmp_path_factory.mktemp("lifuzz"))
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate date",
+    ).write.parquet(f"{sf}/lineitem.parquet")
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{sf}/lineitem.parquet/*.parquet'"
+    )
+    for name in ("tpch_q1_pricing", "tpch_q6_forecast_revenue"):
+        problems = compare_query(
+            spark, con, name, QUERIES[name], ORACLES[name], sf
+        )
+        assert not problems, (name, problems, seed, n_rows)
