@@ -574,15 +574,18 @@ def foreach_batch_rollup(
     rollup_path: str,
     key_cols: list[str],
     sum_cols: list[str],
+    min_cols: list[str] | None = None,
 ):
     """Incremental MATERIALIZED ROLLUP maintenance: per micro-batch,
     aggregate the batch to (keys, partial sums + partial count), merge
     with the stored rollup by key-wise ADDITION, and atomically
     replace the store (write to a staging dir, then swap). Because
-    sum/count are associative partials, the maintained table equals a
-    full recompute over everything ever streamed — asserted in
-    tests/test_streaming.py — while each batch's cost is
-    O(batch + |rollup|), never O(history).
+    sum/count/min are associative partials, the maintained table
+    equals a full recompute over everything ever streamed — asserted
+    in tests/test_streaming.py — while each batch's cost is
+    O(batch + |rollup|), never O(history). ``min_cols`` carries
+    min-merged columns: with key=gram and min_col=doc_id this IS the
+    incremental first-seen novelty state (SCALING.md §8).
 
     This is the streaming half of the lambda-less architecture: the
     same rollup the batch engine would build, kept current by the
@@ -602,9 +605,11 @@ def foreach_batch_rollup(
         from pyspark.errors import AnalysisException
 
         spark = batch_df.sparkSession
+        mins = min_cols or []
         partial = batch_df.groupBy(*key_cols).agg(
             F.count(F.lit(1)).alias("n_rows"),
             *[F.sum(c).alias(f"sum_{c}") for c in sum_cols],
+            *[F.min(c).alias(f"min_{c}") for c in mins],
         )
         try:
             current = spark.read.parquet(rollup_path)
@@ -614,6 +619,7 @@ def foreach_batch_rollup(
                 .agg(
                     F.sum("n_rows").alias("n_rows"),
                     *[F.sum(f"sum_{c}").alias(f"sum_{c}") for c in sum_cols],
+                    *[F.min(f"min_{c}").alias(f"min_{c}") for c in mins],
                 )
             )
         except AnalysisException:  # first batch: rollup not created yet

@@ -645,3 +645,64 @@ def test_incremental_scd2_equals_batch_recompute(spark, tmp_path):
     # user 1's history re-sorted around the out-of-order error event
     u1 = sorted((vf, st) for (u, vf, st, _, _) in got if u == 1)
     assert [s for _, s in u1] == ["signup", "error", "purchase"]
+
+
+def test_incremental_novelty_state_via_min_rollup(spark, tmp_path):
+    """SCALING §8's claim made concrete: maintain (gram -> first doc)
+    incrementally with foreach_batch_rollup's min-merge; after two
+    batches the state equals the batch ngram_novelty first-doc
+    aggregate over everything streamed — a later batch can NEVER
+    steal first-seen credit from an earlier one."""
+    from ingest_spark.operators import dedup
+    from ingest_spark.streaming.pipeline import (
+        foreach_batch_rollup,
+        read_file_stream,
+    )
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "gram_state")
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").json(src)
+
+    def run_stream():
+        stream = read_file_stream(spark, src, schema, fmt="json")
+        grams = stream.select(
+            "doc_id", F.explode(dedup.shingles("text", 3)).alias("gram")
+        )
+        q = (
+            grams.writeStream.foreachBatch(
+                foreach_batch_rollup(state, ["gram"], [], min_cols=["doc_id"])
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    b1 = [(1, "the quick brown fox jumps"), (2, "a wholly different doc here")]
+    b2 = [(3, "the quick brown fox returns"),  # shares 'the quick brown' etc.
+          (4, "a wholly different doc here")]  # exact dup of doc 2's grams
+    write_batch(b1)
+    run_stream()
+    write_batch(b2)
+    run_stream()
+
+    got = {r.gram: r.min_doc_id for r in spark.read.parquet(state).collect()}
+    all_docs = spark.createDataFrame(b1 + b2, schema)
+    want = {
+        r.gram: r.first
+        for r in all_docs.select(
+            "doc_id", F.explode(dedup.shingles("text", 3)).alias("gram")
+        )
+        .groupBy("gram")
+        .agg(F.min("doc_id").alias("first"))
+        .collect()
+    }
+    assert got == want
+    # first-seen credit held by the EARLIER batch
+    assert got["the quick brown"] == 1
+    assert got["a wholly different"] == 2
