@@ -506,3 +506,40 @@ def test_pricing_aggregates_match_duckdb_on_random_lineitems(
             spark, con, name, QUERIES[name], ORACLES[name], sf
         )
         assert not problems, (name, problems, seed, n_rows)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(FUZZ_DOC, min_size=2, max_size=8), st.integers(0, 4))
+def test_log_micro_queries_match_duckdb_on_random_corpora(
+    spark, tmp_path_factory, docs, lang_shift
+):
+    """The log-based integer-micro scores (unigram LM, DSIR, PMI) fix
+    round(ln(...)*1e6) BEFORE aggregation; cross-engine exactness
+    additionally relies on Spark's and DuckDB's ln agreeing at the
+    rounding boundary. This fuzz hunts that boundary on random
+    corpora — a last-ulp divergence would surface as a value-multiset
+    mismatch here before any driver run sees it."""
+    import duckdb
+
+    from ingest_spark.queries import ORACLES, QUERIES
+    from tests.oracle_harness import compare_query
+
+    langs = ["en", "de", "fr", "es", "zh"]
+    rows = [
+        (i, t, langs[(i + lang_shift) % 5], f"src{i % 3}", len(t))
+        for i, t in enumerate(docs)
+    ]
+    sf = str(tmp_path_factory.mktemp("logfuzz"))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{sf}/documents.parquet")
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'"
+    )
+    for name in ("unigram_logprob_score", "dsir_importance_weights",
+                 "pmi_collocations"):
+        problems = compare_query(
+            spark, con, name, QUERIES[name], ORACLES[name], sf
+        )
+        assert not problems, (name, problems, docs)
