@@ -650,8 +650,10 @@ def foreach_batch_scd2(
     [valid_from, valid_to) / is_current with one per-entity window,
     and swap atomically (staging + rename, the foreach_batch_rollup
     discipline). Entities untouched by the batch are carried over
-    unchanged, so batch cost is O(batch entities' history + rollup
-    IO), never O(all history recompute).
+    unchanged, so per-batch COMPUTE is O(touched entities' history),
+    never an all-history recompute; the staging swap itself rewrites
+    the table (parquet has no in-place update — on a table format the
+    swap becomes a MERGE touching only affected rows).
 
     Equivalence contract (asserted in tests): after any sequence of
     batches, the maintained table EQUALS the batch
