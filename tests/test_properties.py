@@ -543,3 +543,55 @@ def test_log_micro_queries_match_duckdb_on_random_corpora(
             spark, con, name, QUERIES[name], ORACLES[name], sf
         )
         assert not problems, (name, problems, docs)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.integers(0, 2**31 - 1), st.integers(1, 12), st.integers(0, 40))
+def test_join_distribution_matches_duckdb_on_random_orders(
+    spark, tmp_path_factory, seed, n_cust, n_orders
+):
+    """Outer-join/grouping fuzz: random customer/orders tables —
+    including customers with ZERO orders and orders referencing
+    every customer unevenly — through the q13 two-level aggregate
+    (count(col) over outer-join nulls) on both engines."""
+    import datetime as dt
+    import random as _random
+
+    import duckdb
+
+    from ingest_spark.queries import ORACLES, QUERIES
+    from tests.oracle_harness import compare_query
+
+    rng = _random.Random(seed)
+    custs = [
+        (k, f"c{k}", rng.randint(0, 24), rng.randint(-99999, 99999) / 100.0,
+         rng.choice(["BUILDING", "MACHINERY", "AUTOMOBILE"]))
+        for k in range(1, n_cust + 1)
+    ]
+    orders = [
+        (i, rng.randint(1, n_cust), rng.choice("OFP"),
+         rng.randint(100, 9999999) / 100.0,
+         dt.date(1995, 1, 1) + dt.timedelta(days=rng.randint(0, 700)),
+         rng.choice(["1-URGENT", "3-MEDIUM", "5-LOW"]))
+        for i in range(1, n_orders + 1)
+    ]
+    sf = str(tmp_path_factory.mktemp("q13fuzz"))
+    spark.createDataFrame(
+        custs,
+        "c_custkey long, c_name string, c_nationkey long, c_acctbal double, "
+        "c_mktsegment string",
+    ).write.parquet(f"{sf}/customer.parquet")
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate date, o_orderpriority string",
+    ).write.parquet(f"{sf}/orders.parquet")
+    con = duckdb.connect()
+    for t in ("customer", "orders"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet/*.parquet'")
+    problems = compare_query(
+        spark, con, "tpch_q13_order_distribution",
+        QUERIES["tpch_q13_order_distribution"],
+        ORACLES["tpch_q13_order_distribution"], sf,
+    )
+    assert not problems, (problems, seed, n_cust, n_orders)
