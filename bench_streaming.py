@@ -17,6 +17,7 @@ Prints ONE JSON line:
   {"metric": "streaming_rows_per_sec", "value": N, "unit": "rows/sec",
    "rows_in": N, "batches": N, "wall_sec": s,
    "dedup_only": {"rows_per_sec": N, "wall_sec": s, "batches": N},
+   "sessionize": {"rows_per_sec": N, "wall_sec": s, "batches": N},
    "files": N}
 
 Env knobs: SPARK_GRAFT_STREAM_ROWS (default 200_000),
@@ -133,6 +134,40 @@ def run_dedup_only(spark, src: str, workdir: str) -> dict:
     return {"wall_sec": round(wall, 3), "batches": len(q.recentProgress)}
 
 
+def run_sessionize(spark, src: str, workdir: str) -> dict:
+    """Python-state regime: applyInPandasWithState gap sessionization
+    — per-user state tuples carried across micro-batches through the
+    Arrow boundary. Two deliberate choices (both measured the hard
+    way): idle_timeout=False because processing-time timers make an
+    AvailableNow drain spin no-data batches forever (see
+    sessionize_stream docstring), and keys bounded to 2k because the
+    operator pays a Python invocation PER KEY PER BATCH — 50k keys is
+    a per-key-overhead measurement, not a throughput one."""
+    from pyspark.sql import functions as F
+
+    from ingest_spark.streaming.pipeline import (
+        read_file_stream,
+        sessionize_stream,
+    )
+
+    stream = read_file_stream(spark, src, EVENT_SCHEMA, fmt="json").withColumn(
+        "user_id", F.pmod("user_id", F.lit(2000))
+    )
+    sessions = sessionize_stream(stream, gap_minutes=30, idle_timeout=False)
+    t0 = time.perf_counter()
+    q = (
+        sessions.writeStream.format("parquet")
+        .option("path", f"{workdir}/out3")
+        .option("checkpointLocation", f"{workdir}/ckpt3")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    wall = time.perf_counter() - t0
+    return {"wall_sec": round(wall, 3), "batches": len(q.recentProgress)}
+
+
 def main() -> None:
     n_rows = int(os.environ.get("SPARK_GRAFT_STREAM_ROWS", "200000"))
     n_files = int(os.environ.get("SPARK_GRAFT_STREAM_FILES", "32"))
@@ -145,6 +180,7 @@ def main() -> None:
         generate_input(spark, src, n_rows, n_files)
         main_run = run_pipeline(spark, src, workdir)
         dedup_run = run_dedup_only(spark, src, workdir)
+        sess_run = run_sessionize(spark, src, workdir)
         print(
             json.dumps(
                 {
@@ -158,6 +194,11 @@ def main() -> None:
                         "rows_per_sec": round(n_rows / dedup_run["wall_sec"], 1),
                         "wall_sec": dedup_run["wall_sec"],
                         "batches": dedup_run["batches"],
+                    },
+                    "sessionize": {
+                        "rows_per_sec": round(n_rows / sess_run["wall_sec"], 1),
+                        "wall_sec": sess_run["wall_sec"],
+                        "batches": sess_run["batches"],
                     },
                     "files": n_files,
                 }

@@ -287,12 +287,27 @@ SESSION_OUT_SCHEMA = (
 _SESSION_STATE_SCHEMA = "session_id int, n_events long, start long, last long"
 
 
-def sessionize_stream(stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
+def sessionize_stream(
+    stream: DataFrame,
+    gap_minutes: int = 30,
+    idle_timeout: bool = True,
+) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState):
     gap-based sessionization with per-user session state carried
     across micro-batches. Emits a session row when a gap closes it;
     the open tail session stays in the state store (bounded: one small
     tuple per active user, evicted via processing-time timeout).
+
+    ``idle_timeout`` chooses the state-eviction mode BY RUN STYLE:
+    True (processing-time timeout) is for CONTINUOUS queries — idle
+    users' open sessions eventually flush and their state evicts.
+    Pass False for DRAIN runs (Trigger.AvailableNow backfills/tests/
+    benches): with pending processing-time timeouts the engine keeps
+    scheduling no-data micro-batches waiting for wall-clock timers
+    and an AvailableNow query NEVER TERMINATES (measured: 99+ empty
+    batches; caught when the streaming bench hung) — NoTimeout drains
+    and stops, leaving open tails in state exactly like the dedup
+    operators.
 
     This is the streaming twin of the batch ``sessionize_events``
     query — same 30-min-gap semantics, incremental instead of
@@ -312,7 +327,7 @@ def sessionize_stream(stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
 
     def fn(key, pdf_iter, state: GroupState):
         (user_id,) = key
-        if state.hasTimedOut:
+        if idle_timeout and state.hasTimedOut:
             sid, n, start, last = state.get
             state.remove()
             yield _session_pdf(user_id, sid, n, start, last)
@@ -339,7 +354,8 @@ def sessionize_stream(stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
             else:
                 n, last = n + 1, ts_us
         state.update((sid, n, start, last))
-        state.setTimeoutDuration(gap_minutes * 60 * 1000)
+        if idle_timeout:
+            state.setTimeoutDuration(gap_minutes * 60 * 1000)
         for c in closed:
             yield _session_pdf(user_id, *c)
 
@@ -361,7 +377,11 @@ def sessionize_stream(stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
         outputStructType=SESSION_OUT_SCHEMA,
         stateStructType=_SESSION_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_timeout
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

@@ -39,3 +39,6 @@ def test_streaming_bench_runs_and_emits_contract_json():
     assert d["wall_sec"] > 0
     assert d["dedup_only"]["rows_per_sec"] > 0
     assert d["dedup_only"]["batches"] >= 1
+    # the Python-state sessionize leg drains, terminates, and reports
+    assert d["sessionize"]["rows_per_sec"] > 0
+    assert d["sessionize"]["batches"] >= 1

@@ -154,8 +154,18 @@ def test_sessionize_stream_closes_on_gap(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
-    rows = spark.sql("SELECT * FROM sessions").collect()
+    # timeout mode never self-terminates under AvailableNow (pending
+    # processing-time timers — see sessionize_stream docstring): poll
+    # the sink for the closed session, then stop explicitly
+    import time as _time
+
+    rows = []
+    for _ in range(240):
+        rows = spark.sql("SELECT * FROM sessions").collect()
+        if rows:
+            break
+        _time.sleep(0.5)
+    q.stop()
     # only user 10's FIRST session closed (the gap); open tails stay in state
     assert [(r.user_id, r.session_id, r.n_events) for r in rows] == [(10, 1, 2)]
     assert str(rows[0].session_start) == "2024-01-01 00:00:00"
@@ -706,3 +716,37 @@ def test_incremental_novelty_state_via_min_rollup(spark, tmp_path):
     # first-seen credit held by the EARLIER batch
     assert got["the quick brown"] == 1
     assert got["a wholly different"] == 2
+
+
+def test_sessionize_drain_mode_terminates(spark, tmp_path):
+    """idle_timeout=False: the sessionizer under Trigger.AvailableNow
+    must DRAIN AND STOP (with processing-time timers the engine spins
+    no-data batches forever waiting for wall-clock timeouts — the bug
+    the streaming bench caught). Asserts actual termination plus the
+    same closed-session output as the timeout mode."""
+    from ingest_spark.streaming.pipeline import read_file_stream, sessionize_stream
+
+    src = tmp_path / "sess_drain_src"
+    _write_feed(
+        src,
+        _event_rows(
+            [
+                ("2024-01-01T00:00:00", 10, "click"),
+                ("2024-01-01T00:29:00", 10, "click"),
+                ("2024-01-01T01:00:01", 10, "click"),  # 31m gap closes s1
+            ]
+        ),
+    )
+    stream = read_file_stream(spark, str(src), EVENT_SCHEMA, fmt="json")
+    q = (
+        sessionize_stream(stream, gap_minutes=30, idle_timeout=False)
+        .writeStream.format("memory")
+        .queryName("sessions_drain")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive  # drained and STOPPED
+    rows = spark.sql("SELECT * FROM sessions_drain").collect()
+    assert [(r.user_id, r.session_id, r.n_events) for r in rows] == [(10, 1, 2)]
