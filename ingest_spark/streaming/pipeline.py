@@ -589,6 +589,80 @@ def with_ingest_metrics(
     return df.observe(name, *aggs)
 
 
+# ------------------------------- swap discipline shared helpers (r7)
+# Marker file inside the maintained table dir recording the last
+# applied batch id. The leading underscore makes spark.read.parquet
+# ignore it, and because it is written INTO the staging dir before the
+# swap, the single final rename installs data + marker atomically:
+# there is no window where the data reflects a batch the marker
+# doesn't (ADVICE r6: at-least-once foreachBatch replay must not
+# re-merge an already-merged batch).
+_APPLIED_MARKER = "_APPLIED_BATCH"
+
+
+def _recover_swap(table_path: str) -> None:
+    """Crash recovery for the staging->swap discipline (ADVICE r6):
+    the swap is two renames (table -> .old-<id>, staging -> table); a
+    crash between them leaves the table ABSENT with its last good
+    state parked at .old-<id>. Restore the newest dangling .old
+    BEFORE any read, and clear leftover staging/old dirs once the
+    table exists — so a missing table path really means "first batch"
+    and never silently resets accumulated state."""
+    import glob
+    import shutil as _sh
+
+    def _bid(p: str) -> int:
+        try:
+            return int(p.rsplit("-", 1)[1])
+        except ValueError:
+            return -1
+
+    if not os.path.exists(table_path):
+        olds = sorted(glob.glob(table_path + ".old-*"), key=_bid)
+        if olds:
+            os.rename(olds.pop(), table_path)
+            for p in olds:
+                _sh.rmtree(p, ignore_errors=True)
+    if os.path.exists(table_path):
+        for p in glob.glob(table_path + ".staging-*") + glob.glob(
+            table_path + ".old-*"
+        ):
+            _sh.rmtree(p, ignore_errors=True)
+
+
+def _applied_batch(table_path: str) -> int:
+    """Last batch id merged into the table at ``table_path``; -1 if
+    the table (or marker) does not exist yet."""
+    try:
+        with open(os.path.join(table_path, _APPLIED_MARKER)) as fh:
+            return int(fh.read().strip())
+    except (OSError, ValueError):
+        return -1
+
+
+def _mark_applied(staging: str, batch_id: int) -> None:
+    """Stamp the staging dir with ``batch_id`` — must run AFTER the
+    Spark write (mode("overwrite") clears the dir) and BEFORE the
+    swap, so marker and data always travel together."""
+    with open(os.path.join(staging, _APPLIED_MARKER), "w") as fh:
+        fh.write(str(batch_id))
+
+
+def _swap_in(table_path: str, staging: str, batch_id: int) -> None:
+    """Install ``staging`` as the new table: park the current table at
+    .old-<id>, rename staging into place, then drop the parked copy.
+    A crash between the two renames is recovered by `_recover_swap`
+    on the next batch (the .old dir still holds the last good
+    state)."""
+    import shutil as _sh
+
+    old = f"{table_path}.old-{batch_id}"
+    if os.path.exists(table_path):
+        os.rename(table_path, old)
+    os.rename(staging, table_path)
+    _sh.rmtree(old, ignore_errors=True)
+
+
 # -------------------------------------------- incremental rollup (r6)
 def foreach_batch_rollup(
     rollup_path: str,
@@ -613,17 +687,22 @@ def foreach_batch_rollup(
     other semigroup merge the same way). On a cluster with a table
     format the staging swap becomes a MERGE; the shape is identical.
 
-    The swap is atomic-per-query (rename), and the checkpoint makes
-    replays idempotent at the BATCH level: a re-run batch merges from
-    the pre-batch snapshot it already saw, because the staging dir is
-    keyed by batch_id and the swap is last — a crash between write
-    and swap replays cleanly."""
+    Replay + crash safety (ADVICE r6): foreachBatch is at-least-once,
+    so each applied batch id is recorded in an `_APPLIED_BATCH` marker
+    written INTO the staging dir before the swap — data and marker
+    install in the same rename, and a replayed batch whose id the
+    marker already covers is skipped instead of double-counted. The
+    swap itself is two renames; a crash between them leaves the table
+    absent with its last good state at `.old-<id>`, which
+    `_recover_swap` restores before the missing-path branch can
+    mistake the situation for a first batch and reset history."""
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
-        import shutil as _sh
-
         from pyspark.errors import AnalysisException
 
+        _recover_swap(rollup_path)
+        if _applied_batch(rollup_path) >= batch_id:
+            return  # at-least-once replay of an already-merged batch
         spark = batch_df.sparkSession
         mins = min_cols or []
         partial = batch_df.groupBy(*key_cols).agg(
@@ -646,11 +725,8 @@ def foreach_batch_rollup(
             merged = partial
         staging = f"{rollup_path}.staging-{batch_id}"
         merged.write.mode("overwrite").parquet(staging)
-        old = f"{rollup_path}.old-{batch_id}"
-        if os.path.exists(rollup_path):
-            os.rename(rollup_path, old)
-        os.rename(staging, rollup_path)
-        _sh.rmtree(old, ignore_errors=True)
+        _mark_applied(staging, batch_id)
+        _swap_in(rollup_path, staging, batch_id)
 
     return apply
 
@@ -680,14 +756,24 @@ def foreach_batch_scd2(
     `scd2_user_state_history` recompute over everything streamed —
     including out-of-order arrivals WITHIN an entity, because the
     affected entity's full history re-sorts on every touch. On a
-    table format the swap becomes MERGE on key_col."""
+    table format the swap becomes MERGE on key_col.
+
+    Crash + replay safety (ADVICE r6): same discipline as
+    foreach_batch_rollup — `_recover_swap` restores a dangling
+    `.old-<id>` before the missing-table path can mistake a
+    mid-swap crash for a first batch (which would silently drop every
+    entity absent from that batch), and the `_APPLIED_BATCH` marker
+    skips at-least-once replays (the merge itself is also replay-safe
+    via dropDuplicates, so the skip is an optimization here, not a
+    correctness requirement)."""
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
-        import shutil as _sh
-
         from pyspark.sql import Window
         from pyspark.errors import AnalysisException
 
+        _recover_swap(table_path)
+        if _applied_batch(table_path) >= batch_id:
+            return  # at-least-once replay of an already-applied batch
         spark = batch_df.sparkSession
         new_events = batch_df.select(
             key_col,
@@ -722,10 +808,7 @@ def foreach_batch_scd2(
         )
         staging = f"{table_path}.staging-{batch_id}"
         out.write.mode("overwrite").parquet(staging)
-        old = f"{table_path}.old-{batch_id}"
-        if os.path.exists(table_path):
-            os.rename(table_path, old)
-        os.rename(staging, table_path)
-        _sh.rmtree(old, ignore_errors=True)
+        _mark_applied(staging, batch_id)
+        _swap_in(table_path, staging, batch_id)
 
     return apply

@@ -505,6 +505,95 @@ def test_incremental_rollup_equals_full_recompute(spark, tmp_path):
     assert got == {"a": (3, 7.0), "b": (3, 9.5), "c": (1, 7.0)}
 
 
+def _read_rollup(spark, rollup):
+    return {
+        r.k: (r.n_rows, r.sum_v) for r in spark.read.parquet(rollup).collect()
+    }
+
+
+def test_rollup_replay_of_applied_batch_is_skipped(spark, tmp_path):
+    """ADVICE r6 (medium): foreachBatch is at-least-once — a crash
+    after the swap but before the streaming checkpoint commits
+    re-runs the batch against the already-merged rollup. The
+    _APPLIED_BATCH marker (installed in the same rename as the data)
+    must make that replay a no-op, not a double count."""
+    from ingest_spark.streaming.pipeline import foreach_batch_rollup
+
+    rollup = str(tmp_path / "rollup")
+    apply = foreach_batch_rollup(rollup, ["k"], ["v"])
+    b0 = spark.createDataFrame([("a", 1.0), ("b", 2.0)], "k string, v double")
+    b1 = spark.createDataFrame([("a", 4.0)], "k string, v double")
+    apply(b0, 0)
+    apply(b1, 1)
+    want = {"a": (2, 5.0), "b": (1, 2.0)}
+    assert _read_rollup(spark, rollup) == want
+    apply(b1, 1)  # at-least-once replay of the committed batch
+    assert _read_rollup(spark, rollup) == want
+
+
+def test_rollup_recovers_mid_swap_crash(spark, tmp_path):
+    """ADVICE r6: a crash BETWEEN the two swap renames leaves nothing
+    at rollup_path and the last good state parked at .old-<id>. The
+    next batch must restore that state and merge into it — NOT take
+    the first-batch path and silently reset history to its own
+    partial."""
+    from ingest_spark.streaming.pipeline import foreach_batch_rollup
+
+    rollup = str(tmp_path / "rollup")
+    apply = foreach_batch_rollup(rollup, ["k"], ["v"])
+    apply(spark.createDataFrame([("a", 1.0)], "k string, v double"), 0)
+    apply(spark.createDataFrame([("a", 2.0)], "k string, v double"), 1)
+    # simulate the mid-swap crash during a batch-2 attempt: the table
+    # was renamed away but the staging dir never made it into place
+    os.rename(rollup, rollup + ".old-2")
+    apply(spark.createDataFrame([("b", 7.0)], "k string, v double"), 2)
+    assert _read_rollup(spark, rollup) == {"a": (2, 3.0), "b": (1, 7.0)}
+    # recovery + swap leave no stray staging/old dirs behind
+    strays = [
+        p
+        for p in os.listdir(tmp_path)
+        if p.startswith("rollup.old-") or p.startswith("rollup.staging-")
+    ]
+    assert strays == []
+
+
+def test_scd2_recovers_mid_swap_crash(spark, tmp_path):
+    """ADVICE r6: foreach_batch_scd2's missing-table path assumed
+    first batch — after a mid-swap crash that would have dropped every
+    entity absent from the next batch. The recovery path must carry
+    untouched entities across the crash."""
+    from datetime import datetime as DT
+
+    from ingest_spark.streaming.pipeline import foreach_batch_scd2
+
+    table = str(tmp_path / "scd2")
+    schema = "user_id long, event_type string, ts timestamp, event_id long"
+    apply = foreach_batch_scd2(table, "user_id", "event_type", "ts", "event_id")
+    apply(
+        spark.createDataFrame(
+            [
+                (1, "signup", DT(2024, 1, 1, 10), 1),
+                (2, "signup", DT(2024, 1, 1, 12), 2),
+            ],
+            schema,
+        ),
+        0,
+    )
+    os.rename(table, table + ".old-1")  # crash mid-swap on a batch-1 attempt
+    apply(
+        spark.createDataFrame([(1, "purchase", DT(2024, 1, 2, 9), 3)], schema),
+        1,
+    )
+    rows = spark.read.parquet(table)
+    # user 2 was untouched by batch 1 and must survive the crash
+    assert rows.filter("user_id = 2").count() == 1
+    u1 = sorted(
+        (r.valid_from, r.state, r.is_current)
+        for r in rows.filter("user_id = 1").collect()
+    )
+    assert [(s, c) for _, s, c in u1] == [("signup", False), ("purchase", True)]
+
+
 def test_watermark_bounds_state_late_rows_best_effort(spark, tmp_path):
     """Pins the ACTUAL watermark semantics this engine runs on (and
     that windowed_event_counts documents): the watermark EVICTS
