@@ -125,7 +125,14 @@ def score_docs(
     """Distributed scoring: sparse features x broadcast weights ->
     sigmoid probability + keep flag. The weight vector rides as 64
     literals inside one aggregate expression — scoring is a scan +
-    one doc-keyed combine, no joins, no Python."""
+    one doc-keyed combine, no joins, no Python.
+
+    Featureless docs (empty/whitespace text, or every hash bucket
+    cancelled) carry NO signal: they report quality_prob 0.5 for
+    transparency but are gated keep=False regardless of threshold —
+    a curation filter must never pass documents it could not measure
+    (ADVICE r6: the old coalesce-to-0.5 + `>= 0.5` default let
+    zero-signal docs through by default)."""
     if len(weights) != N_BUCKETS + 1:
         raise ValueError(f"expected {N_BUCKETS + 1} weights, got {len(weights)}")
     feats = hashed_features(docs, id_col, text_col)
@@ -143,6 +150,6 @@ def score_docs(
         .select(
             id_col,
             F.coalesce(prob, F.lit(0.5)).alias("quality_prob"),
-            (F.coalesce(prob, F.lit(0.5)) >= threshold).alias("keep"),
+            F.coalesce(prob >= threshold, F.lit(False)).alias("keep"),
         )
     )

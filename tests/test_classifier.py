@@ -91,6 +91,27 @@ def test_score_docs_rejects_bad_weights(spark):
         classifier.score_docs(docs, [0.0] * 5)
 
 
+def test_featureless_docs_are_gated_out(spark):
+    """ADVICE r6: docs with zero measurable signal (empty/whitespace
+    text) report the neutral prob 0.5 but must NOT pass the quality
+    gate at the default threshold — a filter never keeps what it
+    could not measure."""
+    docs = _separable_corpus(spark, n=10)
+    w = classifier.train_logreg(docs, "label", iterations=50)
+    blank = spark.createDataFrame(
+        [(100, ""), (101, "   "), (102, "real words with signal here")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.quality_prob, r.keep)
+        for r in classifier.score_docs(blank, w, threshold=0.0).collect()
+    }
+    assert got[100] == (0.5, False)
+    assert got[101] == (0.5, False)
+    # a doc WITH features still honors the threshold (0.0 keeps all)
+    assert got[102][1] is True
+
+
 def test_scoring_applies_to_streaming_frames(spark, tmp_path):
     """Unified batch/stream inference: the SAME score_docs call runs
     per micro-batch via foreachBatch (scoring needs a doc-grain
