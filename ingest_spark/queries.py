@@ -2430,11 +2430,18 @@ def zscore_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys. tests/test_udf_surface.py proves the grouped-applyInPandas
     (Arrow) version computes the identical result."""
     ev = load_table(spark, sf_dir, "events")
-    stats = ev.groupBy("event_type").agg(
+    stats = ev.groupBy(F.col("event_type").alias("__et")).agg(
         F.avg("value").alias("__mu"),
         F.stddev_samp("value").alias("__sd"),
     )
-    return ev.join(F.broadcast(stats), "event_type").select(
+    # eqNullSafe, not a plain equi-join: the oracle's PARTITION BY
+    # keeps NULL event_type rows as their own group, so the rewrite
+    # must too — an inner equi-join would silently drop them
+    # (ADVICE r6; current fixtures have no NULL event_type, so this
+    # is pinned by the null-group unit test rather than the sweep).
+    return ev.join(
+        F.broadcast(stats), F.col("event_type").eqNullSafe(F.col("__et"))
+    ).select(
         "event_id",
         F.round((F.col("value") - F.col("__mu")) / F.col("__sd"), 6).alias("zscore"),
     )

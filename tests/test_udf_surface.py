@@ -41,6 +41,46 @@ def test_grouped_apply_in_pandas_matches_window_plan(spark):
     assert all(abs(a[k] - b[k]) < 1e-9 for k in a)
 
 
+def test_zscore_rewrite_keeps_null_group(spark, tmp_path):
+    """ADVICE r6: the window->broadcast-join rewrite must keep rows
+    whose event_type is NULL as their own partition (the oracle's
+    PARTITION BY semantics) — a plain inner equi-join drops them.
+    Pinned on a synthetic events table with a NULL group, since the
+    standard fixtures have none."""
+    import duckdb
+
+    from datetime import datetime as DT
+
+    ts = DT(2024, 1, 1, 9)
+    rows = [
+        (1, "click", 10.0, ts),
+        (2, "click", 20.0, ts),
+        (3, None, 5.0, ts),
+        (4, None, 9.0, ts),
+        (5, None, 1.0, ts),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "event_id long, event_type string, value double, ts timestamp"
+    ).write.parquet(f"{sf}/events.parquet")
+    got = {
+        r.event_id: r.zscore
+        for r in QUERIES["zscore_by_event_type"](spark, sf).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet/*.parquet'"
+    )
+    want = dict(
+        con.execute(
+            "SELECT event_id, round((value - avg(value) OVER (PARTITION BY event_type))"
+            " / stddev_samp(value) OVER (PARTITION BY event_type), 6) FROM events"
+        ).fetchall()
+    )
+    assert got.keys() == want.keys()  # NULL group must survive
+    assert all(abs(got[k] - want[k]) < 1e-9 for k in got)
+
+
 def test_registered_pandas_udf_callable_from_sql(spark):
     @F.pandas_udf("double")
     def vec_norm(arrs: pd.Series) -> pd.Series:
