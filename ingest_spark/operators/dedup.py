@@ -134,6 +134,24 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     return F.when(F.size(grams) > 0, grams).otherwise(F.array(c))
 
 
+def hash128(col: Column | str) -> Column:
+    """128-bit compact identity key for engine-internal gram grouping:
+    a struct of two independent xxhash64 passes. The second prepends a
+    literal to shift the effective seed — ``xxhash64(lit(1), c)``, NOT
+    ``xxhash64(c, lit(1))``: Spark folds children sequentially
+    (``h = XXH64(child, h)``), so appending the literal would make the
+    second hash a pure function of the first and preserve every
+    collision. With two seeds a merge requires a simultaneous 64-bit
+    collision under both (~2^-128 per pair) — negligible at any corpus
+    size, unlike a single 64-bit key whose ~1e-4 odds at 72M grams
+    grow quadratically with the corpus (ADVICE r6). Still 16 bytes to
+    shuffle/sort vs ~30-byte gram strings."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.struct(
+        F.xxhash64(c).alias("h1"), F.xxhash64(F.lit(1), c).alias("h2")
+    )
+
+
 def _perm_params(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs for the permutation family, derived
     from a tiny LCG so both engines can hard-code the same constants."""

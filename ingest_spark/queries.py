@@ -4952,10 +4952,11 @@ def duplicate_passage_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams (9.0 s vs 203.9 s, BASELINE.md): the window sorts each
     gram partition in place, where the join had to build and probe a
     72M-row hash relation of gram strings. The window keys on
-    xxhash64(gram), not the raw string (VERDICT r5 §Next #3): same
-    partitioning, 8-byte sort keys instead of ~30-byte strings
-    (collision odds at 72M grams: ~3e-4 cumulative across the whole
-    corpus — engine-internal, the oracle groups by the string).
+    dedup.hash128(gram), not the raw string (VERDICT r5 §Next #3,
+    hardened per ADVICE r6): same partitioning, 16-byte keys instead
+    of ~30-byte strings, and a merge of two distinct grams now needs
+    a simultaneous collision under two xxhash64 seeds (~2^-128 per
+    pair) rather than one (~1e-4 at 72M grams, growing quadratically).
     Scaled-integer fraction (exact midpoints, engine-portable).
 
     SKEW BOUND: one window partition = one task, so a single
@@ -4967,7 +4968,7 @@ def duplicate_passage_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     grams = docs.select(
         "doc_id", F.explode(dedup.shingles("text", 5)).alias("gram")
-    ).select("doc_id", F.xxhash64("gram").alias("gh"))
+    ).select("doc_id", dedup.hash128("gram").alias("gh"))
     w = Window.partitionBy("gh")
     per_doc = (
         grams.withColumn("n_docs", F.count(F.lit(1)).over(w))
@@ -5021,7 +5022,7 @@ def duplicate_passage_fraction_skewsafe(
     docs = load_table(spark, sf_dir, "documents")
     grams = docs.select(
         "doc_id", F.explode(dedup.shingles("text", 5)).alias("gram")
-    ).select("doc_id", F.xxhash64("gram").alias("gh"))
+    ).select("doc_id", dedup.hash128("gram").alias("gh"))
     flagged = dedup.salted_dup_flags(grams, "gh", "doc_id", salt=32, cap=1024)
     per_doc = flagged.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_grams"),
@@ -6349,7 +6350,9 @@ def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_words",
         (F.col("pos0") + 1).cast("long").alias("pos"),
-        F.xxhash64("gram").alias("gh"),
+        # hash128, not a single xxhash64: a 64-bit collision here
+        # would fabricate duplicated seeds (ADVICE r6)
+        dedup.hash128("gram").alias("gh"),
     )
     freq = pg.groupBy("gh").agg(F.count(F.lit(1)).alias("__n")).filter(
         F.col("__n") >= 2

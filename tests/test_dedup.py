@@ -299,6 +299,43 @@ def test_salted_dup_flags_matches_brute_force_across_caps(spark):
         assert got_dup == expect_dup_ids, (salt, cap)
 
 
+def test_hash128_grouping_key(spark):
+    """hash128 (ADVICE r6 collision hardening): grouping on the
+    128-bit struct key must equal grouping on the raw string, the two
+    component hashes must not be equal to each other (different
+    effective seeds), and — the property the docstring warns about —
+    the APPENDED-literal form xxhash64(c, lit) must be detectably a
+    different construction from the prepended form we use (prepending
+    changes the seed of the gram hash; appending post-processes it)."""
+    rows = [(i, w) for i, w in enumerate(["a", "b", "a", "c", "b", "a"])]
+    df = spark.createDataFrame(rows, "id long, gram string")
+    by_struct = {
+        tuple(sorted(r.ids))
+        for r in df.groupBy(dedup.hash128("gram").alias("k"))
+        .agg(F.collect_list("id").alias("ids"))
+        .collect()
+    }
+    by_string = {
+        tuple(sorted(r.ids))
+        for r in df.groupBy("gram")
+        .agg(F.collect_list("id").alias("ids"))
+        .collect()
+    }
+    assert by_struct == by_string
+    comp = df.select(
+        dedup.hash128("gram").alias("k"),
+        F.xxhash64(F.lit(1), "gram").alias("pre"),
+        F.xxhash64("gram", F.lit(1)).alias("post"),
+    ).collect()
+    assert all(r.k.h1 != r.k.h2 for r in comp)
+    assert all(r.k.h2 == r.pre and r.pre != r.post for r in comp)
+    # salted_dup_flags accepts the struct key (the skewsafe caller)
+    flags = dedup.salted_dup_flags(
+        df.select("id", dedup.hash128("gram").alias("k")), "k", "id", salt=2, cap=2
+    )
+    assert {r.id for r in flags.collect() if r.is_dup} == {0, 1, 2, 4, 5}
+
+
 def test_salted_dup_flags_rejects_bad_params(spark):
     import pytest
 
