@@ -6258,6 +6258,10 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(20)
     )
+    # global (un-partitioned) window — EXEMPT from the SCALING §7
+    # entity-scoped-key audit rule because it ranks a ≤20-row head
+    # (the limit above), never the corpus; a single task over ≤k rows
+    # is the cheapest possible plan here (VERDICT r6 §Wrong #3)
     wb = Window.orderBy(F.col("bm25").desc(), "doc_id")
     bmr = bm.select("doc_id", F.row_number().over(wb).alias("__rb"))
     sem = similarity.brute_force_topk(
