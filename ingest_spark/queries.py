@@ -5893,12 +5893,14 @@ def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counting over the part co-purchase graph (parts
     appearing in the same order are adjacent) — the clustering /
     community-density signal web-graph curation pairs with PageRank.
-    Edges are ORIENTED low-id -> high-id, so each triangle is counted
-    exactly once and the wedge join's fan-out is bounded by the
-    FORWARD degree (compact-forward, Latapy 2008: orienting edges by
-    a total order bounds the wedge count by O(m^1.5) for any graph —
-    a true degree-ordered orientation tightens the hub bound further
-    and is a drop-in replacement for the id order here).
+    Edges are ORIENTED by (degree, id) — compact-forward, Latapy
+    2008, r7 upgrade per VERDICT r6 §Next #2: a hub keeps only its
+    forward edges toward higher-degree nodes, so one celebrity part
+    can no longer fan the wedge join out over its whole neighborhood
+    (`graph.triangle_count` docstring has the full argument; the A/B
+    on a deliberately hub-skewed graph is in SCALE_RUNS.jsonl via
+    tools/scale_run_triangles.py). The count is orientation-
+    invariant, so the id-oriented SQL oracle still pins it exactly.
 
     Plan: the edge list is built by an equi-self-join on l_orderkey
     (per-order fan-out bounded by order size, <= 7 lineitems in
@@ -5915,20 +5917,7 @@ def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u", "v")
         .distinct()
     )
-    e1 = pairs
-    e2 = pairs.select(F.col("u").alias("v"), F.col("v").alias("w"))
-    wedges = e1.join(e2, "v").select("u", "v", "w")
-    closure = pairs.select(F.col("u").alias("u"), F.col("v").alias("w"))
-    tri = wedges.join(closure, ["u", "w"])
-    n_edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
-    return (
-        tri.agg(F.count(F.lit(1)).alias("n_triangles"))
-        .crossJoin(F.broadcast(n_edges))
-        .select(
-            F.col("n_triangles").cast("long").alias("n_triangles"),
-            F.col("n_edges").cast("long").alias("n_edges"),
-        )
-    )
+    return graph.triangle_count(pairs, degree_ordered=True)
 
 
 @q("pq_ann_topk")

@@ -95,13 +95,19 @@ def time_query(spark, name: str, sf_dir: str) -> dict:
     }
 
 
-def main() -> None:
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
-    which = sys.argv[2] if len(sys.argv) > 2 else "both"
-    from ingest_spark.session import get_spark
+def run(n_docs: int, which: str = "both", spark=None) -> list[dict]:
+    """Run the passage A/B and append one SCALE_RUNS.jsonl line per
+    (corpus, query) via tools.scale_runs.record (VERDICT r6 §Next #6);
+    also prints each line for interactive use. Returns the entries."""
+    from tools import scale_runs
 
-    spark = get_spark("passage-scale-run")
+    own_spark = spark is None
+    if own_spark:
+        from ingest_spark.session import get_spark
+
+        spark = get_spark("passage-scale-run")
     corpora = ["unskewed", "skewed"] if which == "both" else [which]
+    entries = []
     for corpus in corpora:
         workdir = tempfile.mkdtemp(prefix=f"passage_{corpus}_")
         try:
@@ -114,11 +120,27 @@ def main() -> None:
             ]
             agree = results[0]["checksum"] == results[1]["checksum"]
             for r in results:
-                r["checksum"] = list(r["checksum"])
-                print(json.dumps({"corpus": corpus, "agree": agree, **r}))
+                entry = scale_runs.record({
+                    "op": r["query"],
+                    "params": {"study": "passage_skew_ab",
+                               "corpus": corpus, "n_docs": n_docs},
+                    "wall_sec": r["wall_sec"],
+                    "checksum": list(r["checksum"]),
+                    "agree": agree,
+                })
+                print(json.dumps(entry, sort_keys=True))
+                entries.append(entry)
         finally:
             shutil.rmtree(workdir, ignore_errors=True)
-    spark.stop()
+    if own_spark:
+        spark.stop()
+    return entries
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    which = sys.argv[2] if len(sys.argv) > 2 else "both"
+    run(n_docs, which)
 
 
 if __name__ == "__main__":
