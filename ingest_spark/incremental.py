@@ -1,0 +1,301 @@
+"""Persist-and-resume incremental ingestion (VERDICT r6 §Next #1).
+
+The executable continuous-ingestion story the per-operator incremental
+forms add up to — the reference's whole reason to exist
+(fetch_data_energinet.py:139-186: incremental fetch + Redis membership
+state), re-expressed as corpus state ON THE DATA PLANE: batch 1
+persists signatures/bits/novelty state under one state dir, batch 2
+loads them and dedups/scores against them WITHOUT re-signing the
+corpus. Everything ever claimed incrementally by SCALING §8 runs
+through here as one tested walkthrough.
+
+State layout (``state_dir/``), every table maintained by the SAME
+replay-idempotent, crash-recovering `foreach_batch_rollup` closure the
+streaming engine uses (one maintainer, five tables — composition, not
+five bespoke state stores):
+
+    hashes/   key = content sha256          -> exact-dup probe set
+    bands/    key = (LSH band bucket, doc)  -> near-dup probe table
+    bloom/    key = bloom bit position      -> <= m rows FOREVER,
+              broadcastable prefilter that spares the hashes join for
+              the (typical) mostly-novel batch
+    novelty/  key = hash128(gram) struct, min_doc_id = first-seen doc
+              -> per-doc novelty fraction for new batches
+    quality/  classifier weights via artifacts.save_artifact — train
+              once on the seed corpus, score every future batch
+
+Per-batch cost: one signature/shingle pass over the NEW batch plus
+joins against stored tables (bands/novelty are key-partitioned joins;
+bloom broadcasts; hashes is an equi-join on the bloom survivors).
+Nothing rescans or re-signs history — the 100 TB property. State
+growth: hashes/bands/novelty grow with the KEPT corpus (its distinct
+hashes/docs/grams), bloom is capped at m rows, quality is one row.
+
+Scoring vs committing are separate calls: `ingest_batch` is pure
+(returns the per-doc decision frame), `commit_batch` folds ONLY the
+kept docs into state under the batch's id — at-least-once replays of
+a committed batch are skipped by the maintainer's marker, so the
+score-then-commit pair can sit directly inside a foreachBatch sink.
+
+Scope note: dedup here is CROSS-corpus only (new vs existing), the
+`incremental_dedup_new` contract. Within-batch duplicates both
+survive scoring; run `dedup.exact_dedup` on the batch first if
+within-batch collapse is wanted — documented, not hidden.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ingest_spark import artifacts
+from ingest_spark.operators import classifier, dedup
+from ingest_spark.streaming.pipeline import _applied_batch, foreach_batch_rollup
+
+# LSH/banding/bloom knobs — module-level so every batch of a corpus
+# uses one consistent signature definition (a mismatch would silently
+# miss duplicates; persisting them with the state is the production
+# move, see init_state's artifact)
+NUM_HASHES = 4
+BANDS = 2
+SHINGLE_N = 3
+BLOOM_M = 1 << 20
+BLOOM_K = 3
+
+_TABLES = ("hashes", "bands", "bloom", "novelty")
+
+
+def _path(state_dir: str, table: str) -> str:
+    return os.path.join(state_dir, table)
+
+
+def _maintainers(state_dir: str) -> dict:
+    """One foreach_batch_rollup closure per state table. Key-only
+    tables (hashes/bands/bloom) use the rollup's groupBy identity —
+    membership = key existence, n_rows rides along as a free
+    occurrence count; novelty min-merges the first-seen doc."""
+    return {
+        "hashes": foreach_batch_rollup(_path(state_dir, "hashes"), ["h"], []),
+        "bands": foreach_batch_rollup(
+            _path(state_dir, "bands"), ["bucket", "doc_id"], []
+        ),
+        "bloom": foreach_batch_rollup(_path(state_dir, "bloom"), ["pos"], []),
+        "novelty": foreach_batch_rollup(
+            _path(state_dir, "novelty"), ["gk"], [], min_cols=["doc_id"]
+        ),
+    }
+
+
+def _batch_tables(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> dict:
+    """The four state-delta frames for one batch of documents — the
+    only place signatures are ever computed, and it only ever sees
+    ONE batch."""
+    hashes = docs.select(F.sha2(text_col, 256).alias("h"))
+    bands = dedup.minhash_band_table(
+        docs, id_col, text_col, NUM_HASHES, BANDS, SHINGLE_N
+    ).select(F.col("__bucket").alias("bucket"), F.col("__id").alias("doc_id"))
+    bloom = docs.select(
+        F.explode(
+            dedup._bloom_positions(F.sha2(text_col, 256), BLOOM_M, BLOOM_K)
+        ).alias("pos")
+    )
+    novelty = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(dedup.shingles(text_col, SHINGLE_N)).alias("__gram"),
+    ).select("doc_id", dedup.hash128("__gram").alias("gk"))
+    return {"hashes": hashes, "bands": bands, "bloom": bloom, "novelty": novelty}
+
+
+def init_state(
+    spark: SparkSession,
+    docs: DataFrame,
+    state_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    train_quality_on: str | None = None,
+) -> None:
+    """Seed the corpus state from an initial (trusted, already-kept)
+    corpus as batch 0. ``train_quality_on`` names a boolean label
+    column; when given, classifier weights are trained on the seed
+    corpus (bounded-sample deterministic GD) and persisted via
+    artifacts.save_artifact so later batches score WITHOUT
+    retraining."""
+    tables = _batch_tables(docs, id_col, text_col)
+    for name, maintainer in _maintainers(state_dir).items():
+        maintainer(tables[name], 0)
+    if train_quality_on is not None:
+        weights = classifier.train_logreg(docs, train_quality_on)
+        artifacts.save_artifact(
+            spark, _path(state_dir, "quality"), "quality_logreg", weights
+        )
+
+
+def ingest_batch(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    state_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score one new batch against the persisted corpus state — pure
+    read, no state mutation (that's `commit_batch`). Returns one row
+    per new doc:
+
+        (doc_id, is_exact_dup, is_near_dup, n_grams, n_novel,
+         novel_frac_c, kept[, quality_prob, keep_quality])
+
+    kept = neither exact nor near duplicate of the EXISTING corpus;
+    novel_frac_c = scaled-integer share of the doc's distinct shingles
+    never seen before (10000 = all novel). Quality columns appear iff
+    init_state trained weights.
+
+    Plan: the new batch is hashed/banded/shingled ONCE; the corpus
+    side arrives as stored tables. Bloom (broadcast, <= m rows)
+    prefilters the hash probe so a mostly-novel batch skips the
+    hashes join for almost every doc; bands and novelty are
+    key-partitioned equi-joins sized by the batch."""
+    tables = _batch_tables(new_docs, id_col, text_col)
+    ids = new_docs.select(F.col(id_col).alias("doc_id"))
+
+    # exact: bloom prefilter -> confirm against stored hashes
+    stored_bits = spark.read.parquet(_path(state_dir, "bloom")).select("pos")
+    doc_hash = new_docs.select(
+        F.col(id_col).alias("doc_id"), F.sha2(text_col, 256).alias("h")
+    )
+    candidates = dedup.bloom_candidates(
+        doc_hash.select("h"), "h", stored_bits.withColumnRenamed("pos", "__pos"),
+        m=BLOOM_M, k=BLOOM_K,
+    )
+    stored_hashes = spark.read.parquet(_path(state_dir, "hashes")).select("h")
+    confirmed = candidates.join(stored_hashes, candidates["h"] == stored_hashes["h"]) \
+        .select(candidates["h"])
+    exact = (
+        doc_hash.join(confirmed, "h").select("doc_id").distinct()
+        .withColumn("__exact", F.lit(True))
+    )
+
+    # near: new band table probes the stored one (no corpus re-sign)
+    stored_bands = spark.read.parquet(_path(state_dir, "bands")).select("bucket")
+    near = (
+        tables["bands"].join(stored_bands, "bucket")
+        .select("doc_id").distinct()
+        .withColumn("__near", F.lit(True))
+    )
+
+    # novelty: stored gram keys are first-seen state; misses are novel
+    stored_grams = (
+        spark.read.parquet(_path(state_dir, "novelty"))
+        .select("gk").withColumn("__seen", F.lit(True))
+    )
+    nov = (
+        tables["novelty"].join(stored_grams, "gk", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.col("__seen").isNull().cast("long")).alias("n_novel"),
+        )
+    )
+
+    out = (
+        ids.join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .join(nov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("__exact", F.lit(False)).alias("is_exact_dup"),
+            F.coalesce("__near", F.lit(False)).alias("is_near_dup"),
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.col("n_novel").cast("long").alias("n_novel"),
+            (F.col("n_novel") * 10000 / F.col("n_grams"))
+            .cast("long")
+            .alias("novel_frac_c"),
+            (
+                ~F.coalesce("__exact", F.lit(False))
+                & ~F.coalesce("__near", F.lit(False))
+            ).alias("kept"),
+        )
+    )
+    if os.path.exists(_path(state_dir, "quality")):
+        _, weights = artifacts.load_artifact(
+            spark, _path(state_dir, "quality"), "quality_logreg"
+        )
+        scored = classifier.score_docs(new_docs, weights, id_col, text_col).select(
+            F.col(id_col).alias("doc_id"),
+            "quality_prob",
+            F.col("keep").alias("keep_quality"),
+        )
+        out = out.join(scored, "doc_id", "left")
+    return out
+
+
+def commit_batch(
+    new_docs: DataFrame,
+    decisions: DataFrame,
+    state_dir: str,
+    batch_id: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Fold the batch's KEPT docs into every state table under
+    ``batch_id``. Dropped docs never enter state (they are not part
+    of the corpus); a FULLY committed batch_id replays as a no-op
+    without evaluating anything (the per-table _APPLIED_BATCH markers
+    also guard each maintainer individually, so a crash between
+    maintainers resumes mid-commit). For crash-safe resume of the
+    whole score-then-commit unit use `ingest_and_commit`, which
+    persists the decision frame first."""
+    if all(
+        _applied_batch(_path(state_dir, t)) >= batch_id for t in _TABLES
+    ):
+        return  # full replay of a committed batch: nothing to evaluate
+    kept = new_docs.join(
+        decisions.filter("kept").select(F.col("doc_id").alias(id_col)),
+        id_col,
+        "semi",
+    ).localCheckpoint()  # snapshot BEFORE mutating state: `decisions`
+    # lazily reads the state tables, and the first maintainer's swap
+    # would yank those files out from under the later maintainers'
+    # plans (observed FAILED_READ_FILE without this)
+    tables = _batch_tables(kept, id_col, text_col)
+    for name, maintainer in _maintainers(state_dir).items():
+        maintainer(tables[name], batch_id)
+
+
+def ingest_and_commit(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    state_dir: str,
+    batch_id: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The crash-safe score-then-commit unit — what a foreachBatch
+    sink calls per micro-batch. Persists the decision frame to
+    ``state_dir/decisions-<batch_id>`` BEFORE mutating any state, so
+    every crash point resumes correctly:
+
+    - crash while scoring/writing decisions (no _SUCCESS yet): state
+      untouched; resume recomputes decisions from pristine state;
+    - crash mid-commit (some maintainers applied): the _SUCCESS'd
+      decisions table is REUSED — never rescored against
+      half-mutated state, which would see the batch's own
+      already-committed docs as duplicates — and each remaining
+      maintainer applies exactly once via its marker.
+
+    Returns the (persisted) decision frame. The decisions tables
+    double as the pipeline's audit log: one frame per batch recording
+    why each doc was kept or dropped."""
+    dec_path = _path(state_dir, f"decisions-{batch_id}")
+    if os.path.exists(os.path.join(dec_path, "_SUCCESS")):
+        decisions = spark.read.parquet(dec_path)
+    else:
+        ingest_batch(spark, new_docs, state_dir, id_col, text_col).write.mode(
+            "overwrite"
+        ).parquet(dec_path)
+        decisions = spark.read.parquet(dec_path)
+    commit_batch(new_docs, decisions, state_dir, batch_id, id_col, text_col)
+    return decisions

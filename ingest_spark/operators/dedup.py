@@ -215,6 +215,40 @@ def minhash_signatures_df(
     return ex.groupBy(id_col).agg(*aggs)
 
 
+def minhash_band_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The LSH band table ``(__id, __bucket)`` — one row per (doc,
+    band), bucket = band index + the band's signature rows. This is
+    the PERSISTABLE near-dup state: store the corpus's band table
+    once and every future batch probes it with an equi-join instead
+    of re-signing the corpus (`ingest_spark.incremental` does exactly
+    that). Factored out of :func:`minhash_lsh_candidates` so the
+    within-corpus self-join and the cross-corpus probe share one
+    banding definition."""
+    assert num_hashes % bands == 0, (num_hashes, bands)
+    # a remainder would silently drop trailing hash functions from the
+    # banding, changing the candidate-probability curve unannounced
+    rows = num_hashes // bands
+    sig = minhash_signatures_df(df, id_col, text_col, num_hashes, shingle_n)
+    buckets = [
+        F.concat_ws(
+            ",",
+            F.lit(str(b)),
+            *[F.col(f"m{b * rows + r}").cast("string") for r in range(rows)],
+        )
+        for b in range(bands)
+    ]
+    return sig.select(
+        F.col(id_col).alias("__id"), F.explode(F.array(*buckets)).alias("__bucket")
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,
@@ -230,25 +264,12 @@ def minhash_lsh_candidates(
     Only bucket-mates join, so the pair space never materializes.
     Returns (id_a, id_b) candidate pairs, id_a < id_b.
     """
-    # a remainder would silently drop trailing hash functions from the
-    # banding, changing the candidate-probability curve unannounced
-    assert num_hashes % bands == 0, (num_hashes, bands)
-    rows = num_hashes // bands
-    sig = minhash_signatures_df(df, id_col, text_col, num_hashes, shingle_n)
-    buckets = [
-        F.concat_ws(
-            ",",
-            F.lit(str(b)),
-            *[F.col(f"m{b * rows + r}").cast("string") for r in range(rows)],
-        )
-        for b in range(bands)
-    ]
     # pin the banded table before the self-join: exchange reuse is NOT
     # guaranteed across the two sides (observed recompute — the whole
     # shingle-explode + signature aggregate ran twice), and the table
     # is tiny relative to its input (docs x bands rows)
-    banded = sig.select(
-        F.col(id_col).alias("__id"), F.explode(F.array(*buckets)).alias("__bucket")
+    banded = minhash_band_table(
+        df, id_col, text_col, num_hashes, bands, shingle_n
     ).localCheckpoint()
     left = banded.alias("l")
     right = banded.alias("r")

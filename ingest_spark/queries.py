@@ -6601,3 +6601,82 @@ def session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# ============================================================ round 7 additions
+
+@q(
+    "incremental_ingest_e2e",
+    f"""
+    WITH ex_docs AS (SELECT * FROM documents WHERE source <> 'src1'),
+    new_docs AS (SELECT * FROM documents WHERE source = 'src1'),
+    sig AS ({_sql_minhash_sig()[0]}),
+    b AS (
+      SELECT doc_id, '0:' || m0 || ',' || m1 AS bucket FROM sig
+      UNION ALL
+      SELECT doc_id, '1:' || m2 || ',' || m3 AS bucket FROM sig),
+    near AS (
+      SELECT DISTINCT bn.doc_id
+      FROM b bn JOIN new_docs n ON n.doc_id = bn.doc_id
+      JOIN b be ON be.bucket = bn.bucket
+      JOIN ex_docs e ON e.doc_id = be.doc_id),
+    exact AS (
+      SELECT DISTINCT n.doc_id
+      FROM new_docs n JOIN ex_docs e ON sha256(n.text) = sha256(e.text)),
+    g_new AS (
+      SELECT doc_id, unnest(sh) AS gram
+      FROM (SELECT doc_id, {sql_shingles(3)} AS sh FROM new_docs)),
+    g_old AS (
+      SELECT DISTINCT unnest(sh) AS gram
+      FROM (SELECT {sql_shingles(3)} AS sh FROM ex_docs)),
+    nov AS (
+      SELECT g_new.doc_id,
+             CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(sum(CASE WHEN g_old.gram IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_novel
+      FROM g_new LEFT JOIN g_old ON g_new.gram = g_old.gram
+      GROUP BY g_new.doc_id)
+    SELECT n.doc_id,
+           n.doc_id IN (SELECT doc_id FROM exact) AS is_exact_dup,
+           n.doc_id IN (SELECT doc_id FROM near) AS is_near_dup,
+           nov.n_grams, nov.n_novel,
+           CAST(nov.n_novel * 10000 // nov.n_grams AS BIGINT) AS novel_frac_c,
+           NOT (n.doc_id IN (SELECT doc_id FROM exact)
+                OR n.doc_id IN (SELECT doc_id FROM near)) AS kept
+    FROM new_docs n JOIN nov ON nov.doc_id = n.doc_id
+    """,
+)
+def incremental_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persist-and-resume ingestion WALKTHROUGH as one
+    driver-checked query (VERDICT r6 §Next #1): seed the corpus state
+    from the existing side (source <> 'src1') — signatures, bloom
+    bits, novelty grams persisted under a state dir by the SAME
+    replay-idempotent foreach_batch_rollup maintainer the streaming
+    engine uses — then ingest the 'src1' batch AGAINST THE STORED
+    TABLES ONLY (the batch is hashed/banded/shingled once; the
+    existing corpus is never re-signed). The oracle recomputes every
+    decision from scratch with full data in hand, so a hash match
+    proves the two-phase persisted path equals the one-shot batch
+    computation: exact dups (content hash), near dups (same 4-hash /
+    2-band LSH as `incremental_dedup_new`), per-doc novelty fraction
+    (share of distinct 3-gram shingles never seen in the corpus),
+    and the keep decision. `ingest_spark.incremental` docstring has
+    the state layout and per-batch cost bounds; tests/test_incremental
+    adds the multi-batch, crash-resume, and bounded-state gates that
+    SQL can't express."""
+    import shutil
+    import tempfile
+
+    from ingest_spark import incremental
+
+    docs = load_table(spark, sf_dir, "documents")
+    state = tempfile.mkdtemp(prefix="ingest_state_")
+    try:
+        incremental.init_state(
+            spark, docs.filter(F.col("source") != "src1"), state
+        )
+        return incremental.ingest_batch(
+            spark, docs.filter(F.col("source") == "src1"), state
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(state, ignore_errors=True)

@@ -1,0 +1,224 @@
+"""Persist-and-resume incremental ingestion walkthrough
+(VERDICT r6 §Next #1): batch 1 persists signature/bloom/novelty state,
+later batches load it and dedup/score WITHOUT re-signing the corpus.
+The gate: incremental decisions == the from-scratch computation over
+everything kept so far, state sizes stay bounded, replays are no-ops.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo")
+
+from ingest_spark import incremental
+from ingest_spark.operators import dedup
+
+
+def _corpus(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+SEED = [
+    (0, "the quick brown fox jumps over the lazy dog today"),
+    (1, "completely different words about distributed query engines"),
+    (2, "spark catalyst optimizer rewrites declarative plans well"),
+]
+BATCH1 = [
+    (10, "the quick brown fox jumps over the lazy dog today"),  # exact dup of 0
+    (11, "the quick brown fox jumps over the lazy dog tonight"),  # near dup of 0
+    (12, "entirely novel content about bloom filters and banding"),
+]
+BATCH2 = [
+    (20, "entirely novel content about bloom filters and banding"),  # exact dup of KEPT 12
+    (21, "the quick brown fox jumps over the lazy dog today"),  # exact dup of seed 0
+    (22, "fresh sentences mentioning catalyst optimizer rewrites plans"),  # partial gram overlap
+]
+
+
+def _from_scratch(spark, existing_rows, new_rows):
+    """Oracle: the same decisions computed with full data in hand —
+    exact via content hash, near via the SAME LSH banding over the
+    union (cross-side pairs only), novelty via string-gram anti-join."""
+    ex = _corpus(spark, existing_rows)
+    new = _corpus(spark, new_rows)
+    exact_ids = {
+        r.doc_id
+        for r in new.select("doc_id", F.sha2("text", 256).alias("h"))
+        .join(ex.select(F.sha2("text", 256).alias("h")).distinct(), "h")
+        .collect()
+    }
+    both = ex.withColumn("__new", F.lit(False)).unionByName(
+        new.withColumn("__new", F.lit(True))
+    )
+    pairs = dedup.minhash_lsh_candidates(
+        both, "doc_id", "text",
+        incremental.NUM_HASHES, incremental.BANDS, incremental.SHINGLE_N,
+    )
+    sides = both.select("doc_id", "__new")
+    tagged = (
+        pairs.join(
+            sides.withColumnRenamed("doc_id", "id_a").withColumnRenamed("__new", "__na"),
+            "id_a",
+        ).join(
+            sides.withColumnRenamed("doc_id", "id_b").withColumnRenamed("__new", "__nb"),
+            "id_b",
+        ).filter(F.col("__na") != F.col("__nb"))
+    )
+    near_ids = {
+        r.doc_id
+        for r in tagged.select(
+            F.when(F.col("__na"), F.col("id_a")).otherwise(F.col("id_b")).alias("doc_id")
+        ).collect()
+    }
+    old_grams = (
+        ex.select(F.explode(dedup.shingles("text", incremental.SHINGLE_N)).alias("g"))
+        .distinct()
+        .withColumn("__seen", F.lit(True))
+    )
+    nov = {
+        r.doc_id: (r.n, r.novel)
+        for r in new.select(
+            "doc_id", F.explode(dedup.shingles("text", incremental.SHINGLE_N)).alias("g")
+        )
+        .join(old_grams, "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("__seen").isNull().cast("long")).alias("novel"),
+        )
+        .collect()
+    }
+    return {
+        r.doc_id: (
+            r.doc_id in exact_ids,
+            r.doc_id in near_ids,
+            nov[r.doc_id][0],
+            nov[r.doc_id][1],
+        )
+        for r in new.select("doc_id").collect()
+    }
+
+
+def _decisions_dict(df):
+    return {
+        r.doc_id: (r.is_exact_dup, r.is_near_dup, r.n_grams, r.n_novel)
+        for r in df.collect()
+    }
+
+
+def test_walkthrough_matches_from_scratch_across_batches(spark, tmp_path):
+    """Two committed batches after a seed corpus: every batch's
+    incremental decisions must equal the from-scratch recompute where
+    'existing' = seed + previously KEPT docs (dropped docs never
+    enter state)."""
+    state = str(tmp_path / "state")
+    incremental.init_state(spark, _corpus(spark, SEED), state)
+
+    d1 = incremental.ingest_batch(spark, _corpus(spark, BATCH1), state)
+    assert _decisions_dict(d1) == _from_scratch(spark, SEED, BATCH1)
+    kept1 = [r for r in BATCH1 if _decisions_dict(d1)[r[0]][:2] == (False, False)]
+    assert [r[0] for r in kept1] == [12]  # 10 exact, 11 near, 12 kept
+    incremental.commit_batch(_corpus(spark, BATCH1), d1, state, batch_id=1)
+
+    d2 = incremental.ingest_batch(spark, _corpus(spark, BATCH2), state)
+    # existing side for the oracle = seed + kept batch-1 docs
+    assert _decisions_dict(d2) == _from_scratch(spark, SEED + kept1, BATCH2)
+    got2 = _decisions_dict(d2)
+    assert got2[20][:2] == (True, True)  # dup of a doc KEPT from batch 1
+    assert got2[21][0] is True  # still a dup of the seed corpus
+    assert got2[22][:2] == (False, False)
+    # novelty fraction: doc 22 shares some grams with the seed corpus
+    row22 = {r.doc_id: r for r in d2.collect()}[22]
+    assert 0 < row22.novel_frac_c < 10000
+
+
+def test_commit_replay_is_noop_and_state_bounded(spark, tmp_path):
+    """Replaying a committed batch_id must not grow any state table
+    (the maintainer's marker skips it); state sizes match their
+    documented bounds."""
+    state = str(tmp_path / "state")
+    incremental.init_state(spark, _corpus(spark, SEED), state)
+    b1 = _corpus(spark, BATCH1)
+    d1 = incremental.ingest_batch(spark, b1, state)
+    incremental.commit_batch(b1, d1, state, batch_id=1)
+
+    def sizes():
+        return {
+            t: spark.read.parquet(os.path.join(state, t)).count()
+            for t in ("hashes", "bands", "bloom", "novelty")
+        }
+
+    before = sizes()
+    incremental.commit_batch(b1, d1, state, batch_id=1)  # at-least-once replay
+    assert sizes() == before
+
+    kept_docs = 3 + 1  # seed + doc 12
+    assert before["hashes"] == kept_docs  # distinct content hashes
+    assert before["bands"] == kept_docs * incremental.BANDS
+    assert before["bloom"] <= kept_docs * incremental.BLOOM_K  # <= m always
+    # novelty = distinct grams of kept corpus (positive, not per-batch)
+    assert before["novelty"] > 0
+
+
+def test_ingest_and_commit_resumes_mid_commit_crash(spark, tmp_path):
+    """Crash between maintainers: some state tables already carry the
+    batch, others don't. ingest_and_commit must REUSE the persisted
+    decision frame (not rescore against half-mutated state, which
+    would see the batch's own docs as duplicates) and bring every
+    table to exactly-once."""
+    state = str(tmp_path / "state")
+    incremental.init_state(spark, _corpus(spark, SEED), state)
+    b1 = _corpus(spark, BATCH1)
+
+    # simulate: decisions persisted + ONLY the hashes maintainer ran
+    d1 = incremental.ingest_batch(spark, b1, state)
+    d1.write.mode("overwrite").parquet(os.path.join(state, "decisions-1"))
+    d1_stored = spark.read.parquet(os.path.join(state, "decisions-1"))
+    kept = b1.join(
+        d1_stored.filter("kept").select("doc_id"), "doc_id", "semi"
+    ).localCheckpoint()
+    incremental._maintainers(state)["hashes"](
+        incremental._batch_tables(kept)["hashes"], 1
+    )
+    # ...crash here; resume:
+    out = incremental.ingest_and_commit(spark, b1, state, batch_id=1)
+    assert _decisions_dict(out) == _decisions_dict(d1_stored)
+    sizes = {
+        t: spark.read.parquet(os.path.join(state, t)).count()
+        for t in ("hashes", "bands", "bloom", "novelty")
+    }
+    kept_docs = 3 + 1
+    assert sizes["hashes"] == kept_docs
+    assert sizes["bands"] == kept_docs * incremental.BANDS
+    # a second full replay changes nothing anywhere
+    incremental.ingest_and_commit(spark, b1, state, batch_id=1)
+    assert sizes == {
+        t: spark.read.parquet(os.path.join(state, t)).count()
+        for t in ("hashes", "bands", "bloom", "novelty")
+    }
+
+
+def test_quality_artifact_trains_once_scores_later(spark, tmp_path):
+    """init_state persists classifier weights; a later batch gets
+    quality columns WITHOUT retraining (weights load from the
+    artifact; deleting the label column from the batch proves no
+    training happens at ingest time)."""
+    state = str(tmp_path / "state")
+    # big enough that the trainer's hash-slice sample is non-empty
+    seed_rows = [
+        (i, ("good clean useful prose " if i % 2 else "spam junk noise ") * 4)
+        for i in range(40)
+    ]
+    seed = _corpus(spark, seed_rows).withColumn(
+        "label", F.col("doc_id") % 2 == 1
+    )
+    incremental.init_state(spark, seed, state, train_quality_on="label")
+    out = incremental.ingest_batch(spark, _corpus(spark, BATCH1), state)
+    cols = set(out.columns)
+    assert {"quality_prob", "keep_quality"} <= cols
+    rows = out.collect()
+    assert all(r.quality_prob is not None for r in rows)
