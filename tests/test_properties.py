@@ -595,3 +595,256 @@ def test_join_distribution_matches_duckdb_on_random_orders(
         ORACLES["tpch_q13_order_distribution"], sf,
     )
     assert not problems, (problems, seed, n_cust, n_orders)
+
+
+# ------------------------------------------------------------------
+# Streaming batch-split invariance (VERDICT r6 §Next #7): same rows,
+# RANDOM partition into micro-batches, result must equal the batch
+# oracle — the property that makes "incremental == recompute" true
+# for ANY arrival slicing, not just the splits the unit tests chose.
+
+
+def _split(rows, cuts):
+    """Partition rows into contiguous non-empty chunks at cut points."""
+    points = sorted({c % (len(rows) + 1) for c in cuts} - {0, len(rows)})
+    chunks, prev = [], 0
+    for p in points + [len(rows)]:
+        if rows[prev:p]:
+            chunks.append(rows[prev:p])
+        prev = p
+    return chunks
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.sampled_from("abcd"), st.integers(-100, 100)),
+        min_size=1,
+        max_size=30,
+    ),
+    st.lists(st.integers(0, 29), max_size=3),
+)
+def test_rollup_batch_split_invariance(spark, tmp_path_factory, rows, cuts):
+    """foreach_batch_rollup (count/sum/min): any micro-batch slicing
+    of the same rows yields the identical maintained rollup as one
+    batch groupBy over everything."""
+    from ingest_spark.streaming.pipeline import foreach_batch_rollup
+
+    tmp = str(tmp_path_factory.mktemp("rollup_fuzz"))
+    path = f"{tmp}/rollup"
+    apply = foreach_batch_rollup(path, ["k"], ["v"], min_cols=["v"])
+    for bid, chunk in enumerate(_split(rows, cuts)):
+        apply(spark.createDataFrame(chunk, "k string, v long"), bid)
+    got = {
+        r.k: (r.n_rows, r.sum_v, r.min_v)
+        for r in spark.read.parquet(path).collect()
+    }
+    want = {}
+    for k, v in rows:
+        n, s, m = want.get(k, (0, 0, None))
+        want[k] = (n + 1, s + v, v if m is None else min(m, v))
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 3),           # user
+            st.sampled_from("xyz"),      # state
+            st.integers(0, 5000),        # ts minute (collisions allowed)
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    st.lists(st.integers(0, 19), max_size=3),
+)
+def test_scd2_batch_split_invariance(spark, tmp_path_factory, events, cuts):
+    """foreach_batch_scd2: any slicing (INCLUDING out-of-order
+    arrivals across batches — chunks are arbitrary, not time-ordered)
+    equals the batch interval recompute over everything."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import Window as W
+
+    from ingest_spark.streaming.pipeline import foreach_batch_scd2
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (u, s, base + timedelta(minutes=m), i)
+        for i, (u, s, m) in enumerate(events)
+    ]
+    schema = "user_id long, event_type string, ts timestamp, event_id long"
+    tmp = str(tmp_path_factory.mktemp("scd2_fuzz"))
+    path = f"{tmp}/scd2"
+    apply = foreach_batch_scd2(path, "user_id", "event_type", "ts", "event_id")
+    for bid, chunk in enumerate(_split(rows, cuts)):
+        apply(spark.createDataFrame(chunk, schema), bid)
+    got = {
+        (r.user_id, r.valid_from, r.state, r.valid_to, r.is_current)
+        for r in spark.read.parquet(path).collect()
+    }
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    want = {
+        (r.user_id, r.valid_from, r.state, r.valid_to, r.is_current)
+        for r in spark.createDataFrame(rows, schema)
+        .select(
+            "user_id",
+            F.col("ts").alias("valid_from"),
+            F.col("event_type").alias("state"),
+            F.lead("ts").over(w).alias("valid_to"),
+            F.lead("ts").over(w).isNull().alias("is_current"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.sampled_from("abcdef"), st.integers(0, 29)),
+        min_size=1,
+        max_size=15,
+    ),
+    st.lists(st.integers(0, 14), max_size=2),
+)
+def test_watermarked_dedup_batch_split_invariance(
+    spark, tmp_path_factory, rows, cuts
+):
+    """dropDuplicatesWithinWatermark under a REAL checkpointed
+    streaming query: duplicates split across micro-batches still
+    collapse to one row per key (all event times inside the watermark
+    window, so dedup state covers every arrival — the engine's exact
+    regime). Oracle: batch distinct keys."""
+    import json as _json
+    import os as _os
+
+    from ingest_spark.streaming.pipeline import read_file_stream
+    from pyspark.sql import types as T
+
+    tmp = str(tmp_path_factory.mktemp("wm_dedup_fuzz"))
+    src, out, ckpt = f"{tmp}/src", f"{tmp}/out", f"{tmp}/ckpt"
+    _os.makedirs(src)
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+
+    def run_once():
+        stream = read_file_stream(spark, src, schema, fmt="json")
+        q = (
+            stream.withWatermark("ts", "1 hour")
+            .dropDuplicatesWithinWatermark(["k"])
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    for bid, chunk in enumerate(_split(rows, cuts)):
+        with open(f"{src}/batch-{bid}.json", "w") as fh:
+            for k, minute in chunk:
+                fh.write(
+                    _json.dumps(
+                        {"k": k, "ts": f"2024-01-01T00:{minute:02d}:00.000Z"}
+                    )
+                    + "\n"
+                )
+        run_once()
+    got = sorted(r.k for r in spark.read.parquet(out).collect())
+    assert got == sorted({k for k, _ in rows})
+
+
+@settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(0, 48), min_size=2, max_size=12, unique=True),
+    st.lists(st.integers(0, 11), max_size=2),
+)
+def test_sessionize_stream_batch_split_invariance(
+    spark, tmp_path_factory, offsets, cuts
+):
+    """sessionize_stream (applyInPandasWithState, drain mode): closed
+    sessions after draining randomly sliced TIME-ORDERED micro-batches
+    equal the Python gap-split reference minus the open tail —
+    state carries sessions across batch boundaries, so a batch cut
+    inside a session must never split it."""
+    import json as _json
+    import os as _os
+
+    from ingest_spark.streaming.pipeline import read_file_stream, sessionize_stream
+    from pyspark.sql import types as T
+
+    gap_min = 30
+    # offsets are 10-minute steps so ~1/3 of consecutive gaps exceed
+    # the 30-min session gap — most examples have >= 1 closed session
+    times = sorted(o * 10 for o in offsets)
+    rows = [(i, t) for i, t in enumerate(times)]
+    tmp = str(tmp_path_factory.mktemp("sess_fuzz"))
+    src, out, ckpt = f"{tmp}/src", f"{tmp}/out", f"{tmp}/ckpt"
+    _os.makedirs(src)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+    def run_once():
+        stream = read_file_stream(spark, src, schema, fmt="json")
+        q = (
+            sessionize_stream(stream, gap_minutes=gap_min, idle_timeout=False)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    for bid, chunk in enumerate(_split(rows, cuts)):
+        with open(f"{src}/batch-{bid}.json", "w") as fh:
+            for i, minute in chunk:
+                fh.write(
+                    _json.dumps(
+                        {
+                            "event_id": i,
+                            "ts": f"2024-01-01T{minute // 60:02d}:{minute % 60:02d}:00.000Z",
+                            "user_id": 7,
+                            "event_type": "click",
+                            "value": 0.0,
+                            "props": "{}",
+                        }
+                    )
+                    + "\n"
+                )
+        run_once()
+    got = sorted(
+        (r.n_events, str(r.session_start), str(r.session_end))
+        for r in spark.read.parquet(out).collect()
+    )
+    # python reference: gap-split, DROP the open tail (never emitted)
+    sessions, cur = [], []
+    for t in times:
+        if cur and t - cur[-1] > gap_min:
+            sessions.append(cur)
+            cur = []
+        cur.append(t)
+    want = sorted(
+        (
+            len(s),
+            f"2024-01-01 {s[0] // 60:02d}:{s[0] % 60:02d}:00",
+            f"2024-01-01 {s[-1] // 60:02d}:{s[-1] % 60:02d}:00",
+        )
+        for s in sessions  # open tail (cur) deliberately excluded
+    )
+    assert got == want
