@@ -17,6 +17,11 @@ standard library (VERDICT r4 §Next #1; GIF added r6 per r5 §Next #5):
   RGB. First frame; extensions skipped.
 - **TIFF** (`decode_tiff`): baseline uncompressed, both byte orders,
   IFD walk + strip assembly, 8-bit grey/RGB.
+- **JPEG** (`decode_jpeg`): baseline sequential DCT (VERDICT r6
+  §Next #4 — the last format that was still a marked stub): marker
+  walk, DQT (8/16-bit), canonical Huffman rebuild (T.81 C.2),
+  magnitude decode, dequant + float IDCT, DRI/RSTn. Greyscale and
+  YCbCr 4:4:4; progressive / 12-bit / subsampled raise.
 
 Matching encoders (``encode_png`` / ``encode_wav``) exist so tests can
 fabricate REAL media bytes deterministically — no image/audio library
@@ -35,6 +40,7 @@ touching the Spark plumbing.
 
 from __future__ import annotations
 
+import math
 import struct
 import zlib
 
@@ -667,6 +673,8 @@ def sniff_mime(data: bytes | None) -> str | None:
         return "image/tiff"
     if len(data) >= 54 and data[:2] == b"BM":
         return "image/bmp"
+    if len(data) >= 4 and data[:3] == b"\xff\xd8\xff":
+        return "image/jpeg"
     return None
 
 
@@ -801,3 +809,600 @@ def encode_tiff(
     out += extra
     out += pixels
     return bytes(out)
+
+
+# --------------------------------------------------------------- JPEG
+
+# 8x8 DCT basis: _DCT_C[u][x] = c(u)/2 * cos((2x+1) u pi / 16), the
+# orthonormal form from T.81 A.3.3, so FDCT and IDCT use the SAME
+# table (the matrix is its own inverse-transpose).
+_DCT_C = [
+    [
+        ((0.7071067811865476 if u == 0 else 1.0) / 2.0)
+        * math.cos((2 * x + 1) * u * math.pi / 16.0)
+        for x in range(8)
+    ]
+    for u in range(8)
+]
+
+# zigzag index i -> raster offset (8*row + col), built by the T.81
+# diagonal walk: even anti-diagonals run bottom-left -> top-right.
+_JPEG_ZIGZAG = [
+    8 * r + (s - r)
+    for s in range(15)
+    for r in (
+        range(min(s, 7), max(0, s - 7) - 1, -1)
+        if s % 2 == 0
+        else range(max(0, s - 7), min(s, 7) + 1)
+    )
+]
+
+# Annex K.1/K.2 base quantization tables (spec constants), zigzag?
+# No — raster order here; zigzag applied only in the DQT segment.
+_JPEG_QUANT_LUMA = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+_JPEG_QUANT_CHROMA = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+] + [99] * 32
+
+
+def _jpeg_quant_table(base: list[int], quality: int | None) -> list[int]:
+    """IJG quality scaling; quality=None -> all-ones (near-lossless:
+    constant 8x8 tiles round-trip bit-exactly, which is what the SQL
+    oracle fixtures rely on)."""
+    if quality is None:
+        return [1] * 64
+    if not 1 <= quality <= 100:
+        raise ValueError("quality must be 1..100")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return [min(255, max(1, (q * scale + 50) // 100)) for q in base]
+
+
+def _fdct_quant(samples: list[int], quant: list[int]) -> list[int]:
+    """One level-shifted 8x8 block -> 64 quantized zigzag coefficients."""
+    tmp = [0.0] * 64  # tmp[8x+v] = sum_y p[x][y] C[v][y]
+    for x in range(8):
+        row = samples[8 * x : 8 * x + 8]
+        for v in range(8):
+            cv = _DCT_C[v]
+            tmp[8 * x + v] = sum(row[y] * cv[y] for y in range(8))
+    out = [0] * 64
+    for i, z in enumerate(_JPEG_ZIGZAG):
+        u, v = z >> 3, z & 7
+        cu = _DCT_C[u]
+        coef = sum(tmp[8 * x + v] * cu[x] for x in range(8))
+        q = quant[z]
+        # symmetric round-half-away (Python round() is banker's)
+        out[i] = int(math.floor(coef / q + 0.5)) if coef >= 0 else -int(
+            math.floor(-coef / q + 0.5)
+        )
+    return out
+
+
+def _dequant_idct(zz: list[int], quant: list[int]) -> list[int]:
+    """64 zigzag coefficients -> 8x8 clamped samples (0..255)."""
+    coefs = [0.0] * 64
+    for i, z in enumerate(_JPEG_ZIGZAG):
+        coefs[z] = zz[i] * quant[z]
+    tmp = [0.0] * 64  # tmp[8u+y] = sum_v F[u][v] C[v][y]
+    for u in range(8):
+        frow = coefs[8 * u : 8 * u + 8]
+        for y in range(8):
+            tmp[8 * u + y] = sum(frow[v] * _DCT_C[v][y] for v in range(8))
+    out = [0] * 64
+    for x in range(8):
+        cx = [_DCT_C[u][x] for u in range(8)]
+        for y in range(8):
+            s = sum(tmp[8 * u + y] * cx[u] for u in range(8))
+            p = int(math.floor(s + 128.5))
+            out[8 * x + y] = 0 if p < 0 else (255 if p > 255 else p)
+    return out
+
+
+def _jpeg_huffman_lengths(freqs: dict[int, int]) -> dict[int, int]:
+    """Symbol -> canonical code length (<=16). Plain Huffman over the
+    observed frequencies plus one phantom symbol (freq 1, sorts last)
+    so the all-ones code is never assigned to a real symbol — the IJG
+    convention. Falls back to equal-length codes if any length would
+    exceed JPEG's 16-bit ceiling (tiny images never hit this)."""
+    _PHANTOM = 0x100
+    nodes = [(f, sym, sym) for sym, f in freqs.items() if f] + [(1, _PHANTOM, _PHANTOM)]
+    if len(nodes) == 1:
+        return {}
+    import heapq
+
+    depth: dict[int, int] = {}
+    heap = [(f, sym, [sym]) for f, sym, _ in nodes]
+    heapq.heapify(heap)
+    while len(heap) > 1:
+        f1, t1, s1 = heapq.heappop(heap)
+        f2, t2, s2 = heapq.heappop(heap)
+        for s in s1 + s2:
+            depth[s] = depth.get(s, 0) + 1
+        heapq.heappush(heap, (f1 + f2, min(t1, t2), s1 + s2))
+    depth.pop(_PHANTOM, None)
+    if depth and max(depth.values()) > 16:
+        n = len(depth) + 1  # +1 keeps the all-ones code unused
+        width = max(1, (n - 1).bit_length())
+        return {sym: width for sym in depth}
+    return depth
+
+
+def _jpeg_canonical(lengths: dict[int, int]):
+    """Canonical code assignment (T.81 C.2): returns (bits[1..16],
+    huffval, {symbol: (code, length)})."""
+    bits = [0] * 17
+    huffval: list[int] = []
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    prev_len = 0
+    for sym, ln in sorted(lengths.items(), key=lambda kv: (kv[1], kv[0])):
+        code <<= ln - prev_len
+        prev_len = ln
+        codes[sym] = (code, ln)
+        code += 1
+        bits[ln] += 1
+        huffval.append(sym)
+    return bits, huffval, codes
+
+
+class _BitWriter:
+    """MSB-first bit packing with JPEG 0xFF byte stuffing."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, value: int, n_bits: int) -> None:
+        self._acc = (self._acc << n_bits) | (value & ((1 << n_bits) - 1))
+        self._n += n_bits
+        while self._n >= 8:
+            self._n -= 8
+            byte = (self._acc >> self._n) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+        self._acc &= (1 << self._n) - 1
+
+    def flush(self) -> None:
+        if self._n:
+            self.write((1 << (8 - self._n)) - 1, 8 - self._n)  # 1-pad
+
+
+def _jpeg_magnitude(v: int) -> tuple[int, int]:
+    """(size category, appended bits) per T.81 F.1.2.1."""
+    if v == 0:
+        return 0, 0
+    size = abs(v).bit_length()
+    return size, v if v >= 0 else v + (1 << size) - 1
+
+
+def _rgb_to_ycbcr(pixels: bytes, n: int) -> tuple[list[int], list[int], list[int]]:
+    y, cb, cr = [0] * n, [0] * n, [0] * n
+    for i in range(n):
+        r, g, b = pixels[3 * i], pixels[3 * i + 1], pixels[3 * i + 2]
+        y[i] = min(255, max(0, int(0.299 * r + 0.587 * g + 0.114 * b + 0.5)))
+        cb[i] = min(255, max(0, int(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.5)))
+        cr[i] = min(255, max(0, int(0.5 * r - 0.418688 * g - 0.081312 * b + 128.5)))
+    return y, cb, cr
+
+
+def encode_jpeg(
+    width: int,
+    height: int,
+    pixels: bytes,
+    channels: int = 1,
+    quality: int | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Pixels -> a complete baseline-sequential JFIF file (VERDICT r6
+    §Next #4 — the last media format; the byte-stat fallback now only
+    sees genuinely opaque payloads).
+
+    ``channels=1``: greyscale, one component. ``channels=3``:
+    interleaved RGB -> YCbCr 4:4:4 (no subsampling), luma + chroma
+    quant tables. ``quality=None`` writes all-ones quant tables so
+    constant 8x8 tiles survive bit-exactly (the oracle-fixture mode);
+    an int 1..100 scales the Annex K tables the IJG way. Huffman
+    tables are computed per image (two-pass, canonical per T.81 C.2)
+    rather than copied from Annex K — the DHT segment is therefore
+    exercised end-to-end instead of being a constant both sides agree
+    on."""
+    if channels not in (1, 3):
+        raise ValueError("channels must be 1 or 3")
+    if len(pixels) != width * height * channels:
+        raise ValueError(
+            f"expected {width * height * channels} bytes, got {len(pixels)}"
+        )
+    if not (0 < width <= 0xFFFF and 0 < height <= 0xFFFF):
+        raise ValueError("dimensions out of range")
+    n = width * height
+    if channels == 1:
+        planes = [list(pixels)]
+        quants = [_jpeg_quant_table(_JPEG_QUANT_LUMA, quality)]
+        comp_q = [0]
+    else:
+        planes = list(_rgb_to_ycbcr(pixels, n))
+        quants = [
+            _jpeg_quant_table(_JPEG_QUANT_LUMA, quality),
+            _jpeg_quant_table(_JPEG_QUANT_CHROMA, quality),
+        ]
+        comp_q = [0, 1, 1]
+    bw = (width + 7) // 8
+    bh = (height + 7) // 8
+
+    def block_at(plane: list[int], bx: int, by: int) -> list[int]:
+        out = [0] * 64
+        for r in range(8):
+            sy = min(by * 8 + r, height - 1)
+            base = sy * width
+            for c in range(8):
+                sx = min(bx * 8 + c, width - 1)
+                out[8 * r + c] = plane[base + sx] - 128
+        return out
+
+    # MCU-interleaved quantized blocks: (component, 64 zigzag coefs)
+    mcu_blocks: list[tuple[int, list[int]]] = []
+    for by in range(bh):
+        for bx in range(bw):
+            for ci in range(channels):
+                mcu_blocks.append(
+                    (ci, _fdct_quant(block_at(planes[ci], bx, by), quants[comp_q[ci]]))
+                )
+
+    # pass 1: symbol frequencies (per table class; chroma shares one)
+    n_tables = 1 if channels == 1 else 2
+    dc_freq = [dict() for _ in range(n_tables)]
+    ac_freq = [dict() for _ in range(n_tables)]
+    comp_t = [0] if channels == 1 else [0, 1, 1]
+    pred = [0] * channels
+
+    def symbols(zz: list[int], ci: int):
+        t = comp_t[ci]
+        diff = zz[0] - pred[ci]
+        pred[ci] = zz[0]
+        size, bits_val = _jpeg_magnitude(diff)
+        yield ("dc", t, size, bits_val, size)
+        run = 0
+        last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+        for i in range(1, last_nz + 1):
+            if zz[i] == 0:
+                run += 1
+                continue
+            while run > 15:
+                yield ("ac", t, 0xF0, 0, 0)
+                run -= 16
+            size, bits_val = _jpeg_magnitude(zz[i])
+            yield ("ac", t, (run << 4) | size, bits_val, size)
+            run = 0
+        if last_nz < 63:
+            yield ("ac", t, 0x00, 0, 0)
+
+    # ``restart_interval`` > 0 resets DC prediction every N MCUs in
+    # BOTH passes (symbol categories depend on the predictor), so the
+    # DRI/RSTn decode path can be exercised with real files.
+    n_mcus = len(mcu_blocks) // channels
+
+    def at_restart(mcu_i: int) -> bool:
+        return bool(restart_interval) and mcu_i and mcu_i % restart_interval == 0
+
+    for mcu_i in range(n_mcus):
+        if at_restart(mcu_i):
+            pred = [0] * channels
+        for ci, zz in mcu_blocks[mcu_i * channels : (mcu_i + 1) * channels]:
+            for kind, t, sym, _bv, _sz in symbols(zz, ci):
+                table = dc_freq[t] if kind == "dc" else ac_freq[t]
+                table[sym] = table.get(sym, 0) + 1
+
+    dc_tabs = [_jpeg_canonical(_jpeg_huffman_lengths(f)) for f in dc_freq]
+    ac_tabs = [_jpeg_canonical(_jpeg_huffman_lengths(f)) for f in ac_freq]
+
+    # pass 2: entropy-coded scan
+    pred = [0] * channels
+    w = _BitWriter()
+    for mcu_i in range(n_mcus):
+        if at_restart(mcu_i):
+            w.flush()
+            w.out += bytes([0xFF, 0xD0 + (mcu_i // restart_interval - 1) % 8])
+            pred = [0] * channels
+        for ci, zz in mcu_blocks[mcu_i * channels : (mcu_i + 1) * channels]:
+            for kind, t, sym, bits_val, size in symbols(zz, ci):
+                code, ln = (dc_tabs if kind == "dc" else ac_tabs)[t][2][sym]
+                w.write(code, ln)
+                if size:
+                    w.write(bits_val, size)
+    w.flush()
+
+    def segment(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += segment(
+        0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0)
+    )
+    for ti, q in enumerate(quants):
+        zzq = bytes(q[z] for z in _JPEG_ZIGZAG)
+        out += segment(0xDB, bytes([ti]) + zzq)
+    sof = struct.pack(">BHHB", 8, height, width, channels)
+    for ci in range(channels):
+        sof += bytes([ci + 1, 0x11, comp_q[ci]])  # 1x1 sampling
+    out += segment(0xC0, sof)
+    for cls, tabs in ((0, dc_tabs), (1, ac_tabs)):
+        for ti, (bits, huffval, _codes) in enumerate(tabs):
+            out += segment(
+                0xC4, bytes([(cls << 4) | ti]) + bytes(bits[1:]) + bytes(huffval)
+            )
+    if restart_interval:
+        out += segment(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([channels])
+    for ci in range(channels):
+        sos += bytes([ci + 1, (comp_t[ci] << 4) | comp_t[ci]])
+    sos += b"\x00\x3f\x00"
+    out += segment(0xDA, sos)
+    out += w.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """MSB-first reader over entropy-coded data with 0xFF00
+    unstuffing; stops at any real marker (RSTn handled by caller)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+
+    def bit(self) -> int:
+        if self._n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG truncated inside entropy data")
+            b = self.data[self.pos]
+            if b == 0xFF:
+                nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else None
+                if nxt == 0x00:
+                    self.pos += 2
+                else:
+                    raise ValueError("JPEG marker inside entropy data")
+            else:
+                self.pos += 1
+            self._acc = b
+            self._n = 8
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align_to_marker(self) -> None:
+        self._n = 0
+
+
+def _jpeg_decode_huffman(br: "_BitReader", table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | br.bit()
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("JPEG invalid Huffman code")
+
+
+def _jpeg_extend(v: int, size: int) -> int:
+    return v if size == 0 or v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(data: bytes) -> dict:
+    """Baseline-sequential JFIF bytes -> dims + pixel stats + RGB/grey
+    pixels. Pure stdlib: marker walk, DQT (8- and 16-bit), canonical
+    DHT rebuild (T.81 C.2), Huffman + magnitude decode, dequant +
+    float IDCT, optional DRI/RSTn. Greyscale and YCbCr 4:4:4 only;
+    progressive (SOF2), extended/arithmetic, 12-bit, and subsampled
+    streams raise ValueError — callers dispatch, they don't guess."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (bad SOI)")
+    pos = 2
+    quants: dict[int, list[int]] = {}
+    dc_tables: dict[int, dict] = {}
+    ac_tables: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    scan = None
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"JPEG expected marker at {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI before scan
+            raise ValueError("JPEG contains no scan")
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue
+        if pos + 2 > len(data):
+            raise ValueError("JPEG truncated in segment header")
+        seg_len = struct.unpack_from(">H", data, pos)[0]
+        seg = data[pos + 2 : pos + seg_len]
+        if len(seg) != seg_len - 2:
+            raise ValueError("JPEG truncated segment")
+        pos += seg_len
+        if marker == 0xDB:
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                p += 1
+                zzq = [0] * 64
+                if pq == 0:
+                    for i in range(64):
+                        zzq[i] = seg[p + i]
+                    p += 64
+                elif pq == 1:
+                    for i in range(64):
+                        zzq[i] = struct.unpack_from(">H", seg, p + 2 * i)[0]
+                    p += 128
+                else:
+                    raise ValueError("JPEG bad DQT precision")
+                q = [0] * 64
+                for i, z in enumerate(_JPEG_ZIGZAG):
+                    q[z] = zzq[i]
+                quants[tq] = q
+        elif marker == 0xC4:
+            p = 0
+            while p < len(seg):
+                cls, ti = seg[p] >> 4, seg[p] & 15
+                counts = seg[p + 1 : p + 17]
+                p += 17
+                table: dict[tuple[int, int], int] = {}
+                code = 0
+                for ln in range(1, 17):
+                    for _ in range(counts[ln - 1]):
+                        table[(ln, code)] = seg[p]
+                        code += 1
+                        p += 1
+                    code <<= 1
+                (dc_tables if cls == 0 else ac_tables)[ti] = table
+        elif marker == 0xC0:
+            prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise ValueError("JPEG 12-bit precision unsupported")
+            if nc not in (1, 3):
+                raise ValueError(f"JPEG {nc}-component unsupported")
+            comps = []
+            for i in range(nc):
+                cid, samp, tq = seg[6 + 3 * i : 9 + 3 * i]
+                if samp != 0x11:
+                    raise ValueError("subsampled JPEG unsupported")
+                comps.append((cid, tq))
+            frame = (w, h, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(f"JPEG SOF 0x{marker:02x} (non-baseline) unsupported")
+        elif marker == 0xDD:
+            restart_interval = struct.unpack_from(">H", seg, 0)[0]
+        elif marker == 0xDA:
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            scan = []
+            for i in range(ns):
+                cs, tt = seg[1 + 2 * i : 3 + 2 * i]
+                scan.append((cs, tt >> 4, tt & 15))
+            pos -= len(seg) - (1 + 2 * ns + 3)  # rewind to entropy data
+            break
+        # APPn / COM / anything else with a length: skipped
+    if scan is None or frame is None:
+        raise ValueError("JPEG contains no scan")
+    width, height, comps = frame
+    if len(scan) != len(comps):
+        raise ValueError("JPEG scan/frame component mismatch")
+    by_id = {cid: tq for cid, tq in comps}
+    order = []  # (quant, dc_table, ac_table) per scan component
+    for cs, td, ta in scan:
+        if cs not in by_id:
+            raise ValueError("JPEG scan names unknown component")
+        if by_id[cs] not in quants or td not in dc_tables or ta not in ac_tables:
+            raise ValueError("JPEG missing quant/Huffman table")
+        order.append((quants[by_id[cs]], dc_tables[td], ac_tables[ta]))
+    nc = len(order)
+    bw_blocks = (width + 7) // 8
+    bh_blocks = (height + 7) // 8
+    planes = [[0] * (bw_blocks * 8 * bh_blocks * 8) for _ in range(nc)]
+    br = _BitReader(data, pos)
+    pred = [0] * nc
+    mcu_index = 0
+    for by in range(bh_blocks):
+        for bx in range(bw_blocks):
+            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+                br.align_to_marker()
+                # an all-ones pad byte is itself stuffed (FF 00) —
+                # step over it before expecting the RST marker
+                while (
+                    br.pos + 1 < len(data)
+                    and data[br.pos] == 0xFF
+                    and data[br.pos + 1] == 0x00
+                ):
+                    br.pos += 2
+                if not (
+                    br.pos + 1 < len(data)
+                    and data[br.pos] == 0xFF
+                    and 0xD0 <= data[br.pos + 1] <= 0xD7
+                ):
+                    raise ValueError("JPEG expected restart marker")
+                br.pos += 2
+                pred = [0] * nc
+            mcu_index += 1
+            for ci, (quant, dct, act) in enumerate(order):
+                zz = [0] * 64
+                size = _jpeg_decode_huffman(br, dct)
+                diff = _jpeg_extend(br.bits(size), size) if size else 0
+                pred[ci] += diff
+                zz[0] = pred[ci]
+                k = 1
+                while k < 64:
+                    rs = _jpeg_decode_huffman(br, act)
+                    run, size = rs >> 4, rs & 15
+                    if size == 0:
+                        if run == 15:
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += run
+                    if k > 63:
+                        raise ValueError("JPEG AC run overflows block")
+                    zz[k] = _jpeg_extend(br.bits(size), size)
+                    k += 1
+                block = _dequant_idct(zz, quant)
+                row_w = bw_blocks * 8
+                for r in range(8):
+                    dst = (by * 8 + r) * row_w + bx * 8
+                    planes[ci][dst : dst + 8] = block[8 * r : 8 * r + 8]
+    row_w = bw_blocks * 8
+    if nc == 1:
+        pixels = bytearray(width * height)
+        for y in range(height):
+            src = y * row_w
+            pixels[y * width : (y + 1) * width] = bytes(
+                planes[0][src : src + width]
+            )
+        channels = 1
+    else:
+        pixels = bytearray(width * height * 3)
+        for y in range(height):
+            src = y * row_w
+            for x in range(width):
+                Y = planes[0][src + x]
+                cb = planes[1][src + x] - 128
+                cr = planes[2][src + x] - 128
+                i = 3 * (y * width + x)
+                for j, v in enumerate(
+                    (Y + 1.402 * cr, Y - 0.344136 * cb - 0.714136 * cr, Y + 1.772 * cb)
+                ):
+                    p = int(math.floor(v + 0.5))
+                    pixels[i + j] = 0 if p < 0 else (255 if p > 255 else p)
+        channels = 3
+    n = len(pixels)
+    return {
+        "kind": "jpeg",
+        "width": width,
+        "height": height,
+        "channels": channels,
+        "bit_depth": 8,
+        "n_pixels": width * height,
+        "mean_value": sum(pixels) / n if n else 0.0,
+        "min_value": min(pixels) if n else 0,
+        "max_value": max(pixels) if n else 0,
+        "pixels": bytes(pixels),
+    }

@@ -3,13 +3,14 @@
 Image/audio/video payloads ride as opaque ``binary`` columns next to a
 typed metadata struct. Everything Spark-side is real — schema, Arrow
 batch shape, partition-friendly layout — and, since round 5, so is the
-decode: PNG (incl. palette), WAV, BMP, GIF (real LZW) and baseline
-TIFF payloads go through the pure-stdlib codecs in
+decode: PNG (incl. palette), WAV, BMP, GIF (real LZW), baseline TIFF
+and — since round 7 — baseline-sequential JPEG (real Huffman + DCT)
+payloads go through the pure-stdlib codecs in
 ``operators.media_codecs``, emitting real dimensions/channels/sample
-stats. Only payloads in a format the codecs don't cover (e.g. JPEG)
-fall back to the clearly-marked deterministic byte-stat stub (on a
-cluster with PIL/ffmpeg installed, swap the dispatcher's fallback —
-the Spark plumbing doesn't change).
+stats. Only payloads in a format no codec covers (video containers,
+progressive JPEG, ...) fall back to the clearly-marked deterministic
+byte-stat stub (on a cluster with PIL/ffmpeg installed, swap the
+dispatcher's fallback — the Spark plumbing doesn't change).
 
 At scale: payloads dominate row size, so operators (a) never shuffle
 the binary column unless the payload itself is needed downstream,
@@ -29,6 +30,7 @@ from pyspark.sql import types as T
 from ingest_spark.operators.media_codecs import (
     decode_bmp,
     decode_gif,
+    decode_jpeg,
     decode_png,
     decode_tiff,
     decode_wav,
@@ -123,12 +125,13 @@ def _decode_media(payload: bytes) -> dict:
         "mean_value": None,
     }
     mime = sniff_mime(payload)
-    if mime in ("image/png", "image/bmp", "image/gif", "image/tiff"):
+    if mime in ("image/png", "image/bmp", "image/gif", "image/tiff", "image/jpeg"):
         d = {
             "image/png": decode_png,
             "image/bmp": decode_bmp,
             "image/gif": decode_gif,
             "image/tiff": decode_tiff,
+            "image/jpeg": decode_jpeg,
         }[mime](payload)
         out.update(
             kind=d["kind"],
@@ -189,30 +192,38 @@ GIF_PALETTE = bytes(v for i in range(16) for v in (i * 17,) * 3)  # 16 greys
 
 def attach_media_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Synthesize REAL media bytes per row — a PNG, a WAV, a BMP, a
-    GIF, a TIFF, or opaque text, cycling on ``id % 6`` — with every media
-    parameter a closed-form function of the id, so a SQL oracle can
-    predict the decoded features without being able to inflate a PNG
-    or LZW-decode a GIF:
+    GIF, a TIFF, a JPEG, or opaque text, cycling on ``id % 7`` — with
+    every media parameter a closed-form function of the id, so a SQL
+    oracle can predict the decoded features without being able to
+    inflate a PNG or LZW-decode a GIF:
 
-    - id%6==0 -> greyscale PNG, width=1+id%16, height=1+id%8, every
+    - id%7==0 -> greyscale PNG, width=1+id%16, height=1+id%8, every
       pixel = id%256  => mean_value == id%256 exactly;
-    - id%6==1 -> mono 16-bit 8 kHz WAV, n_samples=1+id%64, every
+    - id%7==1 -> mono 16-bit 8 kHz WAV, n_samples=1+id%64, every
       sample = (id%100)*10  => mean_value == (id%100)*10 exactly;
-    - id%6==2 -> 24-bit BMP, width=1+id%8, height=1+id%4, every
+    - id%7==2 -> 24-bit BMP, width=1+id%8, height=1+id%4, every
       channel byte = id%256  => mean_value == id%256 exactly;
-    - id%6==3 -> GIF89a over a 16-grey palette (entry i = i*17),
+    - id%7==3 -> GIF89a over a 16-grey palette (entry i = i*17),
       width=1+id%12, height=1+id%6, every pixel index = id%16
       => mean_value == (id%16)*17 exactly;
-    - id%6==4 -> greyscale baseline TIFF (alternating II/MM byte
+    - id%7==4 -> greyscale baseline TIFF (alternating II/MM byte
       order on id%12), width=1+id%10, height=1+id%5, every pixel =
       id%256  => mean_value == id%256 exactly;
-    - id%6==5 -> utf-8 text bytes (opaque fallback exercise).
+    - id%7==5 -> greyscale baseline JPEG (r6 §Next #4), width =
+      8*(1+id%2), height = 8*(1+id%3), 8x8 tile t (raster order) all
+      = (id*37 + t*101)%256. With the all-ones quant tables
+      (quality=None) a constant DCT block survives quantization
+      bit-exactly, so mean_value == avg over tiles of
+      (id*37 + t*101)%256 EXACTLY — a real Huffman+DCT decode the
+      oracle can still predict closed-form;
+    - id%7==6 -> utf-8 text bytes (opaque fallback exercise).
 
     Encoding runs distributed (mapInPandas), so the fixture generation
     itself exercises the Arrow binary-column write path."""
     from ingest_spark.operators.media_codecs import (
         encode_bmp,
         encode_gif,
+        encode_jpeg,
         encode_tiff,
     )
 
@@ -224,7 +235,7 @@ def attach_media_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame
             payloads = []
             for doc_id, txt in zip(pdf["doc_id"], pdf["text"]):
                 doc_id = int(doc_id)
-                m = doc_id % 6
+                m = doc_id % 7
                 if m == 0:
                     w, h = 1 + doc_id % 16, 1 + doc_id % 8
                     payloads.append(
@@ -253,6 +264,15 @@ def attach_media_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame
                             byte_order="II" if doc_id % 12 == 4 else "MM",
                         )
                     )
+                elif m == 5:
+                    w, h = 8 * (1 + doc_id % 2), 8 * (1 + doc_id % 3)
+                    tiles_per_row = w // 8
+                    px = bytearray(w * h)
+                    for y in range(h):
+                        for x in range(w):
+                            t = (y // 8) * tiles_per_row + (x // 8)
+                            px[y * w + x] = (doc_id * 37 + t * 101) % 256
+                    payloads.append(encode_jpeg(w, h, bytes(px)))
                 else:
                     payloads.append(str(txt).encode("utf-8"))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})

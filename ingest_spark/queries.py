@@ -1099,38 +1099,48 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_media_decode",
     """
     SELECT doc_id,
-           CASE CAST(doc_id % 6 AS INTEGER)
+           CASE CAST(doc_id % 7 AS INTEGER)
                 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' WHEN 2 THEN 'bmp'
-                WHEN 3 THEN 'gif' WHEN 4 THEN 'tiff' ELSE 'opaque' END AS kind,
-           CASE WHEN doc_id % 6 = 0 THEN CAST(1 + doc_id % 16 AS INTEGER)
-                WHEN doc_id % 6 = 2 THEN CAST(1 + doc_id % 8 AS INTEGER)
-                WHEN doc_id % 6 = 3 THEN CAST(1 + doc_id % 12 AS INTEGER)
-                WHEN doc_id % 6 = 4 THEN CAST(1 + doc_id % 10 AS INTEGER) END AS width,
-           CASE WHEN doc_id % 6 = 0 THEN CAST(1 + doc_id % 8 AS INTEGER)
-                WHEN doc_id % 6 = 2 THEN CAST(1 + doc_id % 4 AS INTEGER)
-                WHEN doc_id % 6 = 3 THEN CAST(1 + doc_id % 6 AS INTEGER)
-                WHEN doc_id % 6 = 4 THEN CAST(1 + doc_id % 5 AS INTEGER) END AS height,
-           CASE WHEN doc_id % 6 IN (0, 1, 4) THEN CAST(1 AS INTEGER)
-                WHEN doc_id % 6 IN (2, 3) THEN CAST(3 AS INTEGER) END AS channels,
-           CASE WHEN doc_id % 6 = 1 THEN CAST(8000 AS INTEGER) END AS sample_rate,
-           CASE WHEN doc_id % 6 = 1 THEN CAST(1 + doc_id % 64 AS BIGINT) END AS n_samples,
-           CASE WHEN doc_id % 6 IN (0, 2, 4) THEN CAST(doc_id % 256 AS DOUBLE)
-                WHEN doc_id % 6 = 1 THEN CAST((doc_id % 100) * 10 AS DOUBLE)
-                WHEN doc_id % 6 = 3 THEN CAST((doc_id % 16) * 17 AS DOUBLE)
+                WHEN 3 THEN 'gif' WHEN 4 THEN 'tiff' WHEN 5 THEN 'jpeg'
+                ELSE 'opaque' END AS kind,
+           CASE WHEN doc_id % 7 = 0 THEN CAST(1 + doc_id % 16 AS INTEGER)
+                WHEN doc_id % 7 = 2 THEN CAST(1 + doc_id % 8 AS INTEGER)
+                WHEN doc_id % 7 = 3 THEN CAST(1 + doc_id % 12 AS INTEGER)
+                WHEN doc_id % 7 = 4 THEN CAST(1 + doc_id % 10 AS INTEGER)
+                WHEN doc_id % 7 = 5 THEN CAST(8 * (1 + doc_id % 2) AS INTEGER) END AS width,
+           CASE WHEN doc_id % 7 = 0 THEN CAST(1 + doc_id % 8 AS INTEGER)
+                WHEN doc_id % 7 = 2 THEN CAST(1 + doc_id % 4 AS INTEGER)
+                WHEN doc_id % 7 = 3 THEN CAST(1 + doc_id % 6 AS INTEGER)
+                WHEN doc_id % 7 = 4 THEN CAST(1 + doc_id % 5 AS INTEGER)
+                WHEN doc_id % 7 = 5 THEN CAST(8 * (1 + doc_id % 3) AS INTEGER) END AS height,
+           CASE WHEN doc_id % 7 IN (0, 1, 4, 5) THEN CAST(1 AS INTEGER)
+                WHEN doc_id % 7 IN (2, 3) THEN CAST(3 AS INTEGER) END AS channels,
+           CASE WHEN doc_id % 7 = 1 THEN CAST(8000 AS INTEGER) END AS sample_rate,
+           CASE WHEN doc_id % 7 = 1 THEN CAST(1 + doc_id % 64 AS BIGINT) END AS n_samples,
+           CASE WHEN doc_id % 7 IN (0, 2, 4) THEN CAST(doc_id % 256 AS DOUBLE)
+                WHEN doc_id % 7 = 1 THEN CAST((doc_id % 100) * 10 AS DOUBLE)
+                WHEN doc_id % 7 = 3 THEN CAST((doc_id % 16) * 17 AS DOUBLE)
+                WHEN doc_id % 7 = 5 THEN list_avg(list_transform(
+                       range((1 + doc_id % 2) * (1 + doc_id % 3)),
+                       t -> CAST((doc_id * 37 + t * 101) % 256 AS DOUBLE)))
            END AS mean_value
     FROM documents
     """,
 )
 def multimodal_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E5 REAL media decode (VERDICT r4 §Next #1; GIF + TIFF added r6
-    per r5 §Next #5): synthesize genuine PNG / WAV / BMP / GIF / TIFF / text
-    payloads per doc (parameters closed-form in doc_id), then run the
-    pure-stdlib decoders — zlib inflate + scanline unfilter for PNG,
-    RIFF/PCM parse for WAV, LZW + palette mapping for GIF, IFD walk +
-    strip assembly for TIFF (both byte orders) —
+    """E5 REAL media decode (VERDICT r4 §Next #1; GIF + TIFF added r6,
+    JPEG added r7 per r6 §Next #4): synthesize genuine PNG / WAV /
+    BMP / GIF / TIFF / JPEG / text payloads per doc (parameters
+    closed-form in doc_id), then run the pure-stdlib decoders — zlib
+    inflate + scanline unfilter for PNG, RIFF/PCM parse for WAV,
+    LZW + palette mapping for GIF, IFD walk + strip assembly for TIFF
+    (both byte orders), Huffman + dequant + IDCT for baseline JPEG —
     distributed over Arrow batches. The oracle predicts every decoded
     feature (dimensions, channels, sample counts, exact means) without
-    needing to inflate a PNG or LZW-decode a GIF, so a hash match
+    needing to inflate a PNG, LZW-decode a GIF, or entropy-decode a
+    JPEG: the JPEG fixtures are 8x8-tile-constant images under
+    all-ones quant tables, which round-trip the lossy pipeline
+    bit-exactly, so the tile average IS the decoded mean. A hash match
     proves the decode is real."""
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.attach_media_payload(docs, "doc_id", "text")

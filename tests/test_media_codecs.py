@@ -159,10 +159,10 @@ def test_audio_features_from_real_wav(spark):
 
 
 def test_distributed_media_decode_mixed_batch(spark):
-    """One Arrow batch containing a PNG, a WAV, a BMP, a GIF, a TIFF
-    and opaque text decodes to the right per-kind features (the
+    """One Arrow batch containing a PNG, a WAV, a BMP, a GIF, a TIFF,
+    a JPEG and opaque text decodes to the right per-kind features (the
     multimodal_media_decode query shape, minus the parquet source)."""
-    rows = [(i, f"doc{i}") for i in range(7)]
+    rows = [(i, f"doc{i}") for i in range(8)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     media = multimodal.attach_media_payload(df, "doc_id", "text")
     out = {r.doc_id: r for r in multimodal.decode_media_features(media).collect()}
@@ -175,9 +175,16 @@ def test_distributed_media_decode_mixed_batch(spark):
     assert out[3].channels == 3 and out[3].mean_value == 3 * 17.0
     assert out[4].kind == "tiff" and (out[4].width, out[4].height) == (5, 5)
     assert out[4].channels == 1 and out[4].mean_value == 4.0
-    assert out[5].kind == "opaque" and out[5].width is None
-    assert out[6].kind == "png" and (out[6].width, out[6].height) == (7, 7)
-    assert out[6].mean_value == 6.0
+    # doc 5: 16x24 greyscale JPEG, 8x8 tile t all = (5*37 + 101*t)%256;
+    # all-ones quant => the lossy pipeline is bit-exact on constants
+    assert out[5].kind == "jpeg" and (out[5].width, out[5].height) == (16, 24)
+    assert out[5].channels == 1
+    assert out[5].mean_value == pytest.approx(
+        sum((5 * 37 + 101 * t) % 256 for t in range(6)) / 6
+    )
+    assert out[6].kind == "opaque" and out[6].width is None
+    assert out[7].kind == "png" and (out[7].width, out[7].height) == (8, 8)
+    assert out[7].mean_value == 7.0
 
 
 def test_bmp_round_trip_including_padding():
@@ -417,3 +424,169 @@ def test_tiff_through_resize(spark):
     d = decode_png(bytes(out.resized))
     assert (d["width"], d["height"], d["channels"]) == (2, 2, 1)
     assert d["pixels"] == bytes((0, 0, 255, 255))
+
+
+# ------------------------------------------------------------- JPEG
+
+
+def _tile_image(width: int, height: int, seed: int) -> bytes:
+    """Greyscale image whose 8x8 tiles are each a distinct constant —
+    the shape whose lossy JPEG round-trip is bit-exact under all-ones
+    quant tables (constant blocks have a DC-only spectrum)."""
+    tiles_per_row = (width + 7) // 8
+    return bytes(
+        (seed * 37 + ((y // 8) * tiles_per_row + (x // 8)) * 101) % 256
+        for y in range(height)
+        for x in range(width)
+    )
+
+
+@pytest.mark.parametrize("width,height", [(8, 8), (16, 8), (16, 24), (8, 16)])
+def test_jpeg_round_trip_constant_tiles_exact(width, height):
+    from ingest_spark.operators.media_codecs import decode_jpeg, encode_jpeg
+
+    px = _tile_image(width, height, seed=9)
+    d = decode_jpeg(encode_jpeg(width, height, px))
+    assert (d["kind"], d["width"], d["height"], d["channels"]) == (
+        "jpeg", width, height, 1,
+    )
+    assert d["pixels"] == px  # bit-exact through FDCT/quant/Huffman/IDCT
+    assert d["mean_value"] == pytest.approx(sum(px) / len(px))
+
+
+def test_jpeg_gradient_near_lossless_and_edge_crop():
+    """Non-multiple-of-8 dims force edge-replicated padding blocks and
+    the decoder's crop path; with all-ones quant tables the only error
+    left is float DCT rounding (<= 1 per sample)."""
+    from ingest_spark.operators.media_codecs import decode_jpeg, encode_jpeg
+
+    w, h = 13, 9
+    px = bytes((19 * x + 7 * y) % 256 for y in range(h) for x in range(w))
+    d = decode_jpeg(encode_jpeg(w, h, px))
+    assert (d["width"], d["height"]) == (w, h)
+    assert len(d["pixels"]) == w * h
+    assert max(abs(a - b) for a, b in zip(px, d["pixels"])) <= 1
+
+
+def test_jpeg_color_round_trip():
+    from ingest_spark.operators.media_codecs import decode_jpeg, encode_jpeg
+
+    w, h = 16, 8
+    px = bytes(
+        b
+        for y in range(h)
+        for x in range(w)
+        for b in ((x * 16) % 256, (y * 30) % 256, 128)
+    )
+    d = decode_jpeg(encode_jpeg(w, h, px, channels=3))
+    assert (d["channels"], len(d["pixels"])) == (3, w * h * 3)
+    # YCbCr 4:4:4 with unit quant: only per-channel rounding remains
+    assert max(abs(a - b) for a, b in zip(px, d["pixels"])) <= 4
+
+
+def test_jpeg_quality_scaling_is_monotone():
+    """IJG-scaled Annex K tables: lower quality -> coarser quant ->
+    larger reconstruction error; both decode structurally intact."""
+    import random
+
+    from ingest_spark.operators.media_codecs import decode_jpeg, encode_jpeg
+
+    rng = random.Random(3)
+    w, h = 24, 16
+    px = bytes(rng.randrange(256) for _ in range(w * h))
+
+    def err(quality):
+        d = decode_jpeg(encode_jpeg(w, h, px, quality=quality))
+        assert (d["width"], d["height"]) == (w, h)
+        return sum(abs(a - b) for a, b in zip(px, d["pixels"]))
+
+    assert err(5) > err(95) > 0
+
+
+def test_jpeg_restart_markers_do_not_change_pixels():
+    """DRI/RSTn: DC predictors reset every N MCUs on both sides, so
+    the decoded pixels must equal the no-restart encoding's."""
+    from ingest_spark.operators.media_codecs import decode_jpeg, encode_jpeg
+
+    w, h = 25, 9  # 4x2 MCU grid with crop on both axes
+    px = bytes((x * 11 + y * 29) % 256 for y in range(h) for x in range(w))
+    plain = decode_jpeg(encode_jpeg(w, h, px))
+    for interval in (1, 2, 3):
+        data = encode_jpeg(w, h, px, restart_interval=interval)
+        assert any(  # real RST markers present in the scan
+            bytes([0xFF, 0xD0 + i]) in data for i in range(8)
+        )
+        assert decode_jpeg(data)["pixels"] == plain["pixels"]
+
+
+def test_jpeg_sixteen_bit_dqt():
+    """Pq=1 (16-bit) quantization entries parse correctly: rewrite the
+    8-bit all-ones DQT segment as 16-bit and expect identical pixels."""
+    import struct as _s
+
+    from ingest_spark.operators.media_codecs import decode_jpeg, encode_jpeg
+
+    px = _tile_image(16, 16, seed=4)
+    data = encode_jpeg(16, 16, px)
+    i = data.find(b"\xff\xdb")
+    seg_len = _s.unpack_from(">H", data, i + 2)[0]
+    assert seg_len == 2 + 1 + 64
+    values = data[i + 5 : i + 5 + 64]
+    wide = b"\xff\xdb" + _s.pack(">H", 2 + 1 + 128) + b"\x10" + b"".join(
+        _s.pack(">H", v) for v in values
+    )
+    patched = data[:i] + wide + data[i + 2 + seg_len :]
+    assert decode_jpeg(patched)["pixels"] == decode_jpeg(data)["pixels"]
+
+
+def test_jpeg_rejects_unsupported():
+    from ingest_spark.operators.media_codecs import decode_jpeg, encode_jpeg
+
+    px = _tile_image(16, 8, seed=2)
+    good = encode_jpeg(16, 8, px)
+    sof = good.find(b"\xff\xc0")
+
+    progressive = bytearray(good)
+    progressive[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="non-baseline"):
+        decode_jpeg(bytes(progressive))
+
+    twelve_bit = bytearray(good)
+    twelve_bit[sof + 4] = 12
+    with pytest.raises(ValueError, match="12-bit"):
+        decode_jpeg(bytes(twelve_bit))
+
+    subsampled = bytearray(good)
+    subsampled[sof + 11] = 0x22  # comp 0 sampling 2x2
+    with pytest.raises(ValueError, match="subsampled"):
+        decode_jpeg(bytes(subsampled))
+
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x89PNG" + good)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_jpeg(good[:40])
+    with pytest.raises(ValueError):
+        decode_jpeg(good[:-30])  # inside entropy data
+    with pytest.raises(ValueError, match="no scan"):
+        decode_jpeg(b"\xff\xd8\xff\xd9")
+
+    # encoder-side validation
+    with pytest.raises(ValueError, match="channels"):
+        encode_jpeg(2, 2, bytes(8), channels=2)
+    with pytest.raises(ValueError, match="expected"):
+        encode_jpeg(4, 4, bytes(3))
+    with pytest.raises(ValueError, match="quality"):
+        encode_jpeg(8, 8, bytes(64), quality=0)
+
+
+def test_jpeg_through_dispatcher_and_sniff():
+    from ingest_spark.operators.media_codecs import encode_jpeg
+    from ingest_spark.operators.multimodal import _decode_media
+
+    px = _tile_image(16, 24, seed=5)
+    data = encode_jpeg(16, 24, px)
+    assert sniff_mime(data) == "image/jpeg"
+    out = _decode_media(data)
+    assert out["kind"] == "jpeg"
+    assert (out["width"], out["height"], out["channels"]) == (16, 24, 1)
+    assert out["mean_value"] == pytest.approx(sum(px) / len(px))
