@@ -1227,6 +1227,12 @@ def decode_jpeg(data: bytes) -> dict:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"JPEG expected marker at {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker code — skip the run so a padded file parses (r7 ADVICE).
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 1 >= len(data):
+            raise ValueError("JPEG truncated at marker")
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI before scan

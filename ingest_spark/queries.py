@@ -1144,7 +1144,72 @@ def multimodal_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     proves the decode is real."""
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.attach_media_payload(docs, "doc_id", "text")
-    return multimodal.decode_media_features(media)
+    # n_bytes (encoded payload size) is not closed-form for compressed
+    # formats, so the oracle-checked projection excludes it.
+    return multimodal.decode_media_features(media).drop("n_bytes")
+
+
+@q(
+    "media_decode_errors",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0 AND doc_id % 7 IN (0, 1, 4, 5)
+                THEN 'decode_error'
+                ELSE CASE CAST(doc_id % 7 AS INTEGER)
+                     WHEN 0 THEN 'png' WHEN 1 THEN 'wav' WHEN 2 THEN 'bmp'
+                     WHEN 3 THEN 'gif' WHEN 4 THEN 'tiff' WHEN 5 THEN 'jpeg'
+                     ELSE 'opaque' END END AS kind,
+           CASE WHEN doc_id % 5 = 0 AND doc_id % 7 IN (0, 1, 4, 5) THEN NULL
+                WHEN doc_id % 7 = 0 THEN CAST(1 + doc_id % 16 AS INTEGER)
+                WHEN doc_id % 7 = 2 THEN CAST(1 + doc_id % 8 AS INTEGER)
+                WHEN doc_id % 7 = 3 THEN CAST(1 + doc_id % 12 AS INTEGER)
+                WHEN doc_id % 7 = 4 THEN CAST(1 + doc_id % 10 AS INTEGER)
+                WHEN doc_id % 7 = 5 THEN CAST(8 * (1 + doc_id % 2) AS INTEGER)
+                END AS width,
+           CASE WHEN doc_id % 5 = 0 AND doc_id % 7 IN (0, 1, 4, 5) THEN NULL
+                WHEN doc_id % 7 IN (0, 2, 4) THEN CAST(doc_id % 256 AS DOUBLE)
+                WHEN doc_id % 7 = 1 THEN CAST((doc_id % 100) * 10 AS DOUBLE)
+                WHEN doc_id % 7 = 3 THEN CAST((doc_id % 16) * 17 AS DOUBLE)
+                WHEN doc_id % 7 = 5 THEN list_avg(list_transform(
+                       range((1 + doc_id % 2) * (1 + doc_id % 3)),
+                       t -> CAST((doc_id * 37 + t * 101) % 256 AS DOUBLE)))
+                END AS mean_value,
+           CASE WHEN doc_id % 5 = 0 AND doc_id % 7 IN (0, 1, 4, 5)
+                THEN CAST(12 AS BIGINT) END AS err_n_bytes
+    FROM documents
+    """,
+)
+def media_decode_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 decode robustness (VERDICT r7 §Next #1): corrupt a
+    deterministic subset of the media payloads — truncate PNG / WAV /
+    TIFF / JPEG rows with doc_id%5==0 to their first 12 bytes, which
+    keeps the magic sniffable but makes the decode fail — then run the
+    REAL decoder over the mixed batch. The job completes (the
+    dispatcher is exception-total), corrupt rows come back
+    kind='decode_error' with NULL media fields and n_bytes preserved
+    (surfaced as err_n_bytes == 12, closed-form for the oracle), and
+    every untouched row still decodes to its exact closed-form
+    features. A hash match proves one bad payload can neither kill the
+    job nor perturb its neighbors."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_media_payload(docs, "doc_id", "text")
+    corrupt = (F.col("doc_id") % 5 == 0) & (F.col("doc_id") % 7).isin(0, 1, 4, 5)
+    media = media.withColumn(
+        "payload",
+        F.when(corrupt, F.expr("substring(payload, 1, 12)")).otherwise(
+            F.col("payload")
+        ),
+    )
+    decoded = multimodal.decode_media_features(media)
+    return decoded.select(
+        "doc_id",
+        "kind",
+        "width",
+        "mean_value",
+        F.when(F.col("kind") == "decode_error", F.col("n_bytes")).alias(
+            "err_n_bytes"
+        ),
+    )
 
 
 # ============================================================ E4/E6 round 2

@@ -590,3 +590,90 @@ def test_jpeg_through_dispatcher_and_sniff():
     assert out["kind"] == "jpeg"
     assert (out["width"], out["height"], out["channels"]) == (16, 24, 1)
     assert out["mean_value"] == pytest.approx(sum(px) / len(px))
+
+
+# ------------------------------------------------- exception totality (r8)
+
+
+def test_decode_media_is_exception_total():
+    """VERDICT r7 §Next #1: a payload that sniffs as a known format but
+    cannot decode must yield kind='decode_error' (n_bytes preserved),
+    never raise — per-format, at the dispatcher level."""
+    from ingest_spark.operators.media_codecs import (
+        encode_bmp,
+        encode_gif,
+        encode_jpeg,
+        encode_tiff,
+    )
+    from ingest_spark.operators.multimodal import GIF_PALETTE, _decode_media
+
+    png = encode_png(4, 4, bytes(16))
+    idx = png.index(b"IDAT") + 10
+    bitflip_png = png[:idx] + bytes([png[idx] ^ 0xFF]) + png[idx + 1 :]
+
+    jpeg = encode_jpeg(8, 8, bytes([50]) * 64)
+    sof = jpeg.index(b"\xff\xc0")
+    progressive = jpeg[:sof + 1] + b"\xc2" + jpeg[sof + 2 :]
+
+    bad = {
+        "bitflip_png": bitflip_png,
+        "progressive_jpeg": progressive,
+        "trunc_png": png[:12],
+        "trunc_wav": encode_wav([100] * 5)[:12],
+        "trunc_tiff": encode_tiff(4, 3, bytes(12))[:12],
+        "trunc_jpeg": jpeg[:12],
+        "trunc_gif": encode_gif(4, 3, bytes(12), GIF_PALETTE)[:14],
+        "trunc_bmp": encode_bmp(4, 4, bytes(48))[:54],
+    }
+    for name, payload in bad.items():
+        out = _decode_media(payload)
+        assert out["kind"] == "decode_error", (name, out)
+        assert out["n_bytes"] == len(payload), name
+        assert out["width"] is None and out["mean_value"] is None, name
+
+
+def test_mixed_batch_with_corrupt_payloads_completes(spark):
+    """The judge's done-condition: one Arrow batch holding a
+    bit-flipped PNG, a progressive JPEG, and good payloads — the job
+    completes, bad rows are marked decode_error, good rows decode to
+    their exact features."""
+    from ingest_spark.operators.media_codecs import encode_jpeg
+
+    png = encode_png(5, 3, bytes([10]) * 15)
+    idx = png.index(b"IDAT") + 10
+    bitflip = png[:idx] + bytes([png[idx] ^ 0xFF]) + png[idx + 1 :]
+
+    jpeg = encode_jpeg(8, 8, bytes([60]) * 64)
+    sof = jpeg.index(b"\xff\xc0")
+    progressive = jpeg[:sof + 1] + b"\xc2" + jpeg[sof + 2 :]
+
+    rows = [
+        (0, bytearray(png)),
+        (1, bytearray(bitflip)),
+        (2, bytearray(progressive)),
+        (3, bytearray(encode_wav([70] * 4, sample_rate=8000))),
+        (4, bytearray(b"just text")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in multimodal.decode_media_features(df).collect()}
+    assert out[0].kind == "png" and out[0].mean_value == 10.0
+    assert out[1].kind == "decode_error" and out[1].n_bytes == len(bitflip)
+    assert out[1].width is None and out[1].mean_value is None
+    assert out[2].kind == "decode_error" and out[2].n_bytes == len(progressive)
+    assert out[3].kind == "wav" and out[3].mean_value == 70.0
+    assert out[4].kind == "opaque" and out[4].n_bytes == 9
+
+
+def test_jpeg_fill_bytes_before_marker():
+    """T.81 B.1.1.2: runs of 0xFF fill bytes before a marker code are
+    legal padding — the marker walk must skip them (r7 ADVICE)."""
+    from ingest_spark.operators.media_codecs import decode_jpeg, encode_jpeg
+
+    data = encode_jpeg(8, 8, bytes([90]) * 64)
+    # pad before the DQT marker (after SOI+APP0) and before EOI
+    app0_end = 2 + 2 + struct.unpack(">H", data[4:6])[0]
+    padded = (
+        data[:app0_end] + b"\xff\xff\xff" + data[app0_end:]
+    )
+    d = decode_jpeg(padded)
+    assert d["mean_value"] == 90.0 and (d["width"], d["height"]) == (8, 8)
