@@ -119,11 +119,14 @@ def init_state(
     train_quality_on: str | None = None,
 ) -> None:
     """Seed the corpus state from an initial (trusted, already-kept)
-    corpus as batch 0. ``train_quality_on`` names a boolean label
-    column; when given, classifier weights are trained on the seed
-    corpus (bounded-sample deterministic GD) and persisted via
-    artifacts.save_artifact so later batches score WITHOUT
-    retraining."""
+    corpus as batch 0. BATCH-ID CONTRACT (r7 ADVICE): batch 0 belongs
+    to init; ingestion batches MUST use ids >= 1 (commit_batch and
+    ingest_and_commit enforce this), otherwise the maintainers' marker
+    would silently skip a batch_id=0 commit as a replay of the seed.
+    ``train_quality_on`` names a boolean label column; when given,
+    classifier weights are trained on the seed corpus (bounded-sample
+    deterministic GD) and persisted via artifacts.save_artifact so
+    later batches score WITHOUT retraining."""
     tables = _batch_tables(docs, id_col, text_col)
     for name, maintainer in _maintainers(state_dir).items():
         maintainer(tables[name], 0)
@@ -247,7 +250,16 @@ def commit_batch(
     also guard each maintainer individually, so a crash between
     maintainers resumes mid-commit). For crash-safe resume of the
     whole score-then-commit unit use `ingest_and_commit`, which
-    persists the decision frame first."""
+    persists the decision frame first.
+
+    ``batch_id`` must be >= 1: batch 0 is reserved for init_state's
+    seed, and a 0 here would be skipped by the seed's marker as if it
+    were a replay — silently dropping the batch from state (r7
+    ADVICE)."""
+    if batch_id < 1:
+        raise ValueError(
+            f"batch_id must be >= 1 (0 is init_state's seed), got {batch_id}"
+        )
     if all(
         _applied_batch(_path(state_dir, t)) >= batch_id for t in _TABLES
     ):
@@ -288,7 +300,14 @@ def ingest_and_commit(
 
     Returns the (persisted) decision frame. The decisions tables
     double as the pipeline's audit log: one frame per batch recording
-    why each doc was kept or dropped."""
+    why each doc was kept or dropped.
+
+    ``batch_id`` must be >= 1 (0 is init_state's seed — see
+    commit_batch)."""
+    if batch_id < 1:
+        raise ValueError(
+            f"batch_id must be >= 1 (0 is init_state's seed), got {batch_id}"
+        )
     dec_path = _path(state_dir, f"decisions-{batch_id}")
     if os.path.exists(os.path.join(dec_path, "_SUCCESS")):
         decisions = spark.read.parquet(dec_path)
@@ -299,3 +318,41 @@ def ingest_and_commit(
         decisions = spark.read.parquet(dec_path)
     commit_batch(new_docs, decisions, state_dir, batch_id, id_col, text_col)
     return decisions
+
+
+def streaming_ingest_sink(
+    state_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """The foreachBatch adapter (VERDICT r7 §Next #4): wires
+    `ingest_and_commit` under a real StreamingQuery.
+
+        (stream.writeStream
+             .foreachBatch(streaming_ingest_sink(state_dir))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+
+    Streaming batch ids are 0-based; the adapter maps them to the
+    ingestion contract's 1-based ids (0 is init_state's seed), so
+    users don't hand-roll the off-by-one. Crash/replay safety is the
+    composed property already tested batch-driven: foreachBatch is
+    at-least-once, and every replay point (rescore, mid-commit,
+    full-commit) resumes exactly-once via the persisted decision
+    frame + per-table markers. The STREAMING checkpoint must be as
+    durable as the state dir — a fresh checkpoint restarts ids at 0
+    and would re-ingest the source from scratch (ids then collide
+    with committed ones and are skipped; the state stays correct, but
+    re-delivered docs are not re-scored under new ids)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_and_commit(
+            batch_df.sparkSession,
+            batch_df,
+            state_dir,
+            int(batch_id) + 1,
+            id_col,
+            text_col,
+        )
+
+    return sink

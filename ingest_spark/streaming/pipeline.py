@@ -591,12 +591,23 @@ def with_ingest_metrics(
 
 # ------------------------------- swap discipline shared helpers (r7)
 # Marker file inside the maintained table dir recording the last
-# applied batch id. The leading underscore makes spark.read.parquet
-# ignore it, and because it is written INTO the staging dir before the
-# swap, the single final rename installs data + marker atomically:
-# there is no window where the data reflects a batch the marker
-# doesn't (ADVICE r6: at-least-once foreachBatch replay must not
-# re-merge an already-merged batch).
+# applied batch id (and, optionally, the run id it belongs to). The
+# leading underscore makes spark.read.parquet ignore it, and because
+# it is written INTO the staging dir before the swap, the single final
+# install step ships data + marker atomically: there is no window
+# where the data reflects a batch the marker doesn't (ADVICE r6:
+# at-least-once foreachBatch replay must not re-merge an
+# already-merged batch).
+#
+# FILESYSTEM CONTRACT (VERDICT r7 §Next #3): the default RenameSwap
+# strategy performs the install as directory renames on the DRIVER's
+# filesystem view of the table path, and its crash-safety argument
+# requires rename to be atomic — true on POSIX local filesystems and
+# on HDFS, FALSE on S3-style object stores where "rename" is
+# copy+delete. On an object store pass swap=PointerSwap, which never
+# renames a directory: each batch writes an immutable version dir and
+# flips one small pointer file (a single PUT), so the table is never
+# absent and no multi-object operation needs atomicity.
 _APPLIED_MARKER = "_APPLIED_BATCH"
 
 
@@ -630,22 +641,36 @@ def _recover_swap(table_path: str) -> None:
             _sh.rmtree(p, ignore_errors=True)
 
 
-def _applied_batch(table_path: str) -> int:
+def _applied_batch(table_path: str, run_id: str | None = None) -> int:
     """Last batch id merged into the table at ``table_path``; -1 if
-    the table (or marker) does not exist yet."""
+    the table (or marker) does not exist yet.
+
+    ``run_id`` guards the fresh-checkpoint restart (r7 ADVICE): a
+    streaming query restarted with a NEW checkpoint resets batch ids
+    to 0, and comparing raw ids against an existing table's marker
+    would silently skip every batch until the new ids catch up. When
+    the caller passes a run id and the marker records a DIFFERENT
+    one, the marker does not apply (-1 is returned and the batch
+    merges). A marker with no recorded run (written by a run-less
+    maintainer) keeps its id for backward compatibility."""
     try:
         with open(os.path.join(table_path, _APPLIED_MARKER)) as fh:
-            return int(fh.read().strip())
-    except (OSError, ValueError):
+            lines = fh.read().split("\n")
+        stored_run = lines[1] if len(lines) > 1 and lines[1] else None
+        if run_id is not None and stored_run is not None and stored_run != run_id:
+            return -1  # marker belongs to another run: merge, don't skip
+        return int(lines[0].strip())
+    except (OSError, ValueError, IndexError):
         return -1
 
 
-def _mark_applied(staging: str, batch_id: int) -> None:
-    """Stamp the staging dir with ``batch_id`` — must run AFTER the
-    Spark write (mode("overwrite") clears the dir) and BEFORE the
-    swap, so marker and data always travel together."""
+def _mark_applied(staging: str, batch_id: int, run_id: str | None = None) -> None:
+    """Stamp the staging dir with ``batch_id`` (and the owning run id,
+    when known) — must run AFTER the Spark write (mode("overwrite")
+    clears the dir) and BEFORE the swap, so marker and data always
+    travel together."""
     with open(os.path.join(staging, _APPLIED_MARKER), "w") as fh:
-        fh.write(str(batch_id))
+        fh.write(str(batch_id) if run_id is None else f"{batch_id}\n{run_id}")
 
 
 def _swap_in(table_path: str, staging: str, batch_id: int) -> None:
@@ -663,12 +688,88 @@ def _swap_in(table_path: str, staging: str, batch_id: int) -> None:
     _sh.rmtree(old, ignore_errors=True)
 
 
+class RenameSwap:
+    """Default swap strategy: staging dir + atomic directory rename
+    (the r7 discipline, unchanged). FILESYSTEM CONTRACT: requires
+    rename-atomic storage under the table path — POSIX local FS or
+    HDFS. NOT safe on S3-style object stores, where directory rename
+    is copy+delete; use PointerSwap there (VERDICT r7 §Next #3)."""
+
+    @staticmethod
+    def recover(table_path: str) -> None:
+        _recover_swap(table_path)
+
+    @staticmethod
+    def resolve(table_path: str) -> str:
+        return table_path
+
+    @staticmethod
+    def staging(table_path: str, batch_id: int) -> str:
+        return f"{table_path}.staging-{batch_id}"
+
+    @staticmethod
+    def install(table_path: str, staging: str, batch_id: int) -> None:
+        _swap_in(table_path, staging, batch_id)
+
+
+class PointerSwap:
+    """Object-store-safe swap strategy: each batch writes an IMMUTABLE
+    version dir ``<table>.v-<batch_id>`` and then commits it by
+    replacing one small pointer file ``<table>.ptr`` (locally an
+    os.replace; on an object store a single PUT — the only operation
+    whose atomicity the scheme relies on). Readers resolve the pointer
+    to the live version dir, so the table is NEVER absent mid-swap: a
+    crash after the version write but before the pointer flip leaves
+    the previous version live and the dangling dir is simply
+    rewritten when the batch replays. Superseded versions older than
+    the previous one are garbage-collected on install (the previous
+    version is retained one extra batch so in-flight reader plans
+    opened just before a flip still find their files)."""
+
+    PTR = ".ptr"
+
+    @staticmethod
+    def recover(table_path: str) -> None:
+        return  # nothing to repair: an unflipped version is inert
+
+    @staticmethod
+    def resolve(table_path: str) -> str:
+        try:
+            with open(table_path + PointerSwap.PTR) as fh:
+                return fh.read().strip()
+        except OSError:
+            return table_path  # no pointer yet: first batch
+
+    @staticmethod
+    def staging(table_path: str, batch_id: int) -> str:
+        return f"{table_path}.v-{batch_id}"
+
+    @staticmethod
+    def install(table_path: str, staging: str, batch_id: int) -> None:
+        import glob
+        import shutil as _sh
+
+        prev = PointerSwap.resolve(table_path)  # live version pre-flip
+        tmp = f"{table_path}.ptr-tmp-{batch_id}"
+        with open(tmp, "w") as fh:
+            fh.write(staging)
+        os.replace(tmp, table_path + PointerSwap.PTR)
+        # GC: keep the new version plus the one that was live until
+        # this flip (grace for in-flight reader plans); drop the rest
+        keep = {staging, prev}
+        for p in glob.glob(table_path + ".v-*"):
+            if p not in keep:
+                _sh.rmtree(p, ignore_errors=True)
+
+
 # -------------------------------------------- incremental rollup (r6)
 def foreach_batch_rollup(
     rollup_path: str,
     key_cols: list[str],
     sum_cols: list[str],
     min_cols: list[str] | None = None,
+    run_id: str | None = None,
+    swap=RenameSwap,
 ):
     """Incremental MATERIALIZED ROLLUP maintenance: per micro-batch,
     aggregate the batch to (keys, partial sums + partial count), merge
@@ -695,13 +796,23 @@ def foreach_batch_rollup(
     swap itself is two renames; a crash between them leaves the table
     absent with its last good state at `.old-<id>`, which
     `_recover_swap` restores before the missing-path branch can
-    mistake the situation for a first batch and reset history."""
+    mistake the situation for a first batch and reset history.
+
+    ``run_id`` names the owning streaming run (pass the checkpoint
+    location, or anything stable per checkpoint): a restart with a
+    FRESH checkpoint resets streaming batch ids to 0, and without a
+    run id the marker would silently skip every batch until the new
+    ids exceed the stored one (r7 ADVICE). With a run id recorded in
+    the marker, replays skip only within the same run; a new run's
+    batches always merge. ``swap`` selects the install strategy:
+    RenameSwap (default, rename-atomic FS required — POSIX/HDFS) or
+    PointerSwap (object-store-safe pointer-file commit)."""
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.errors import AnalysisException
 
-        _recover_swap(rollup_path)
-        if _applied_batch(rollup_path) >= batch_id:
+        swap.recover(rollup_path)
+        if _applied_batch(swap.resolve(rollup_path), run_id) >= batch_id:
             return  # at-least-once replay of an already-merged batch
         spark = batch_df.sparkSession
         mins = min_cols or []
@@ -711,7 +822,7 @@ def foreach_batch_rollup(
             *[F.min(c).alias(f"min_{c}") for c in mins],
         )
         try:
-            current = spark.read.parquet(rollup_path)
+            current = spark.read.parquet(swap.resolve(rollup_path))
             merged = (
                 current.unionByName(partial)
                 .groupBy(*key_cols)
@@ -723,10 +834,10 @@ def foreach_batch_rollup(
             )
         except AnalysisException:  # first batch: rollup not created yet
             merged = partial
-        staging = f"{rollup_path}.staging-{batch_id}"
+        staging = swap.staging(rollup_path, batch_id)
         merged.write.mode("overwrite").parquet(staging)
-        _mark_applied(staging, batch_id)
-        _swap_in(rollup_path, staging, batch_id)
+        _mark_applied(staging, batch_id, run_id)
+        swap.install(rollup_path, staging, batch_id)
 
     return apply
 
@@ -738,6 +849,8 @@ def foreach_batch_scd2(
     state_col: str,
     time_col: str,
     tiebreak_col: str,
+    run_id: str | None = None,
+    swap=RenameSwap,
 ):
     """Incremental SCD2 (type-2 slowly-changing-dimension) table
     maintenance: per micro-batch, rebuild the validity intervals of
@@ -765,14 +878,17 @@ def foreach_batch_scd2(
     entity absent from that batch), and the `_APPLIED_BATCH` marker
     skips at-least-once replays (the merge itself is also replay-safe
     via dropDuplicates, so the skip is an optimization here, not a
-    correctness requirement)."""
+    correctness requirement). ``run_id`` / ``swap``: same contract as
+    foreach_batch_rollup — run-scoped replay skip and pluggable
+    install strategy (RenameSwap needs rename-atomic FS; PointerSwap
+    is object-store-safe)."""
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import Window
         from pyspark.errors import AnalysisException
 
-        _recover_swap(table_path)
-        if _applied_batch(table_path) >= batch_id:
+        swap.recover(table_path)
+        if _applied_batch(swap.resolve(table_path), run_id) >= batch_id:
             return  # at-least-once replay of an already-applied batch
         spark = batch_df.sparkSession
         new_events = batch_df.select(
@@ -783,7 +899,7 @@ def foreach_batch_scd2(
         )
         keys = new_events.select(key_col).distinct()
         try:
-            current = spark.read.parquet(table_path)
+            current = spark.read.parquet(swap.resolve(table_path))
             untouched = current.join(keys, key_col, "left_anti")
             affected_hist = current.join(keys, key_col, "semi").select(
                 key_col, "state", "valid_from", "__tb"
@@ -806,9 +922,9 @@ def foreach_batch_scd2(
             if untouched is None
             else untouched.unionByName(rebuilt)
         )
-        staging = f"{table_path}.staging-{batch_id}"
+        staging = swap.staging(table_path, batch_id)
         out.write.mode("overwrite").parquet(staging)
-        _mark_applied(staging, batch_id)
-        _swap_in(table_path, staging, batch_id)
+        _mark_applied(staging, batch_id, run_id)
+        swap.install(table_path, staging, batch_id)
 
     return apply
