@@ -18,10 +18,17 @@ standard library (VERDICT r4 §Next #1; GIF added r6 per r5 §Next #5):
 - **TIFF** (`decode_tiff`): baseline uncompressed, both byte orders,
   IFD walk + strip assembly, 8-bit grey/RGB.
 - **JPEG** (`decode_jpeg`): baseline sequential DCT (VERDICT r6
-  §Next #4 — the last format that was still a marked stub): marker
-  walk, DQT (8/16-bit), canonical Huffman rebuild (T.81 C.2),
-  magnitude decode, dequant + float IDCT, DRI/RSTn. Greyscale and
-  YCbCr 4:4:4; progressive / 12-bit / subsampled raise.
+  §Next #4; r8 adds chroma subsampling + numpy vectorization per r7
+  §Next #2/#5): marker walk (0xFF fill-byte tolerant), DQT
+  (8/16-bit), canonical Huffman rebuild (T.81 C.2), magnitude
+  decode, batch dequant + einsum IDCT, DRI/RSTn. Greyscale and
+  YCbCr with any per-component sampling factors 1..4 (4:4:4, 4:2:2,
+  4:4:0, 4:2:0); progressive / 12-bit raise.
+
+Everything is stdlib except numpy (a hard pyspark dependency, so
+always present) for the DCT/color/resample inner loops — measured
+3-4x on realistic images vs the r7 scalar loops, bit-identical
+decode (SCALE_RUNS.jsonl op=jpeg_codec_vectorize_ab).
 
 Matching encoders (``encode_png`` / ``encode_wav``) exist so tests can
 fabricate REAL media bytes deterministically — no image/audio library
@@ -869,45 +876,69 @@ def _jpeg_quant_table(base: list[int], quality: int | None) -> list[int]:
     return [min(255, max(1, (q * scale + 50) // 100)) for q in base]
 
 
+# numpy-vectorized DCT (VERDICT r7 §Next #5): all blocks of a plane go
+# through ONE einsum instead of a per-coefficient Python loop — the
+# media scale run's hot path. _DCT_M[u, x] = c(u)/2 cos((2x+1)u pi/16).
+_DCT_M = None  # built lazily so module import stays numpy-optional-ish
+
+
+def _dct_m():
+    global _DCT_M
+    if _DCT_M is None:
+        import numpy as np
+
+        _DCT_M = np.array(_DCT_C, dtype=np.float64)
+    return _DCT_M
+
+
+def _fdct_quant_blocks(blocks, quant: list[int]):
+    """(n, 8, 8) level-shifted samples -> (n, 64) int32 quantized
+    ZIGZAG coefficients. F[u,v] = sum_{x,y} p[x,y] C[u,x] C[v,y];
+    symmetric round-half-away-from-zero (Python round() is
+    banker's)."""
+    import numpy as np
+
+    c = _dct_m()
+    fcoef = np.einsum("ux,nxy,vy->nuv", c, blocks, c, optimize=True)
+    t = fcoef.reshape(-1, 64) / np.asarray(quant, dtype=np.float64)
+    out = np.sign(t) * np.floor(np.abs(t) + 0.5)
+    return out[:, _JPEG_ZIGZAG].astype(np.int32)
+
+
+def _idct_blocks(zz, quant: list[int]):
+    """(n, 64) zigzag coefficients -> (n, 8, 8) uint8 samples
+    (dequant + IDCT + level shift + clamp), matching the scalar
+    reference: p[x,y] = floor(sum_{u,v} F[u,v] C[u,x] C[v,y] + 128.5)
+    clamped to 0..255."""
+    import numpy as np
+
+    qzz = np.asarray(quant, dtype=np.float64)[_JPEG_ZIGZAG]
+    fcoef = (np.asarray(zz, dtype=np.float64) * qzz)
+    raster = np.zeros_like(fcoef)
+    raster[:, _JPEG_ZIGZAG] = fcoef
+    fmat = raster.reshape(-1, 8, 8)
+    c = _dct_m()
+    p = np.einsum("ux,nuv,vy->nxy", c, fmat, c, optimize=True)
+    return np.clip(np.floor(p + 128.5), 0, 255).astype(np.uint8)
+
+
 def _fdct_quant(samples: list[int], quant: list[int]) -> list[int]:
-    """One level-shifted 8x8 block -> 64 quantized zigzag coefficients."""
-    tmp = [0.0] * 64  # tmp[8x+v] = sum_y p[x][y] C[v][y]
-    for x in range(8):
-        row = samples[8 * x : 8 * x + 8]
-        for v in range(8):
-            cv = _DCT_C[v]
-            tmp[8 * x + v] = sum(row[y] * cv[y] for y in range(8))
-    out = [0] * 64
-    for i, z in enumerate(_JPEG_ZIGZAG):
-        u, v = z >> 3, z & 7
-        cu = _DCT_C[u]
-        coef = sum(tmp[8 * x + v] * cu[x] for x in range(8))
-        q = quant[z]
-        # symmetric round-half-away (Python round() is banker's)
-        out[i] = int(math.floor(coef / q + 0.5)) if coef >= 0 else -int(
-            math.floor(-coef / q + 0.5)
-        )
-    return out
+    """One level-shifted 8x8 block -> 64 quantized zigzag coefficients
+    (scalar convenience wrapper over the batch kernel)."""
+    import numpy as np
+
+    blocks = np.asarray(samples, dtype=np.float64).reshape(1, 8, 8)
+    return _fdct_quant_blocks(blocks, quant)[0].tolist()
 
 
 def _dequant_idct(zz: list[int], quant: list[int]) -> list[int]:
-    """64 zigzag coefficients -> 8x8 clamped samples (0..255)."""
-    coefs = [0.0] * 64
-    for i, z in enumerate(_JPEG_ZIGZAG):
-        coefs[z] = zz[i] * quant[z]
-    tmp = [0.0] * 64  # tmp[8u+y] = sum_v F[u][v] C[v][y]
-    for u in range(8):
-        frow = coefs[8 * u : 8 * u + 8]
-        for y in range(8):
-            tmp[8 * u + y] = sum(frow[v] * _DCT_C[v][y] for v in range(8))
-    out = [0] * 64
-    for x in range(8):
-        cx = [_DCT_C[u][x] for u in range(8)]
-        for y in range(8):
-            s = sum(tmp[8 * u + y] * cx[u] for u in range(8))
-            p = int(math.floor(s + 128.5))
-            out[8 * x + y] = 0 if p < 0 else (255 if p > 255 else p)
-    return out
+    """64 zigzag coefficients -> 8x8 clamped samples (0..255) (scalar
+    convenience wrapper over the batch kernel)."""
+    import numpy as np
+
+    return _idct_blocks(np.asarray(zz, dtype=np.float64).reshape(1, 64), quant)[
+        0
+    ].reshape(64).astype(int).tolist()
 
 
 def _jpeg_huffman_lengths(freqs: dict[int, int]) -> dict[int, int]:
@@ -989,14 +1020,54 @@ def _jpeg_magnitude(v: int) -> tuple[int, int]:
     return size, v if v >= 0 else v + (1 << size) - 1
 
 
-def _rgb_to_ycbcr(pixels: bytes, n: int) -> tuple[list[int], list[int], list[int]]:
-    y, cb, cr = [0] * n, [0] * n, [0] * n
-    for i in range(n):
-        r, g, b = pixels[3 * i], pixels[3 * i + 1], pixels[3 * i + 2]
-        y[i] = min(255, max(0, int(0.299 * r + 0.587 * g + 0.114 * b + 0.5)))
-        cb[i] = min(255, max(0, int(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.5)))
-        cr[i] = min(255, max(0, int(0.5 * r - 0.418688 * g - 0.081312 * b + 128.5)))
+def _rgb_to_ycbcr(pixels: bytes, n: int):
+    """Interleaved RGB bytes -> (Y, Cb, Cr) float64 arrays of length n
+    (JFIF full-range BT.601, truncating conversion like the scalar
+    reference: int(v + 0.5) == floor for the non-negative operands
+    here)."""
+    import numpy as np
+
+    arr = np.frombuffer(bytes(pixels), dtype=np.uint8).reshape(n, 3).astype(
+        np.float64
+    )
+    r, g, b = arr[:, 0], arr[:, 1], arr[:, 2]
+    y = np.clip(np.floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5), 0, 255)
+    cb = np.clip(
+        np.floor(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.5), 0, 255
+    )
+    cr = np.clip(
+        np.floor(0.5 * r - 0.418688 * g - 0.081312 * b + 128.5), 0, 255
+    )
     return y, cb, cr
+
+
+# chroma sampling layouts: component order (Y, Cb, Cr) -> (h_i, v_i)
+_JPEG_SAMPLING = {
+    "444": ((1, 1), (1, 1), (1, 1)),
+    "422": ((2, 1), (1, 1), (1, 1)),
+    "440": ((1, 2), (1, 1), (1, 1)),
+    "420": ((2, 2), (1, 1), (1, 1)),
+}
+
+
+def _plane_blocks(plane, blocks_w: int, blocks_h: int):
+    """Edge-pad a 2D float plane to the (blocks_h*8, blocks_w*8) block
+    grid and return level-shifted (n, 8, 8) blocks in raster block
+    order."""
+    import numpy as np
+
+    h, w = plane.shape
+    padded = np.pad(
+        plane,
+        ((0, blocks_h * 8 - h), (0, blocks_w * 8 - w)),
+        mode="edge",
+    )
+    return (
+        padded.reshape(blocks_h, 8, blocks_w, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+        - 128.0
+    )
 
 
 def encode_jpeg(
@@ -1006,20 +1077,25 @@ def encode_jpeg(
     channels: int = 1,
     quality: int | None = None,
     restart_interval: int = 0,
+    sampling: str = "444",
 ) -> bytes:
     """Pixels -> a complete baseline-sequential JFIF file (VERDICT r6
-    §Next #4 — the last media format; the byte-stat fallback now only
-    sees genuinely opaque payloads).
+    §Next #4; r8 adds chroma subsampling per r7 §Next #2).
 
     ``channels=1``: greyscale, one component. ``channels=3``:
-    interleaved RGB -> YCbCr 4:4:4 (no subsampling), luma + chroma
-    quant tables. ``quality=None`` writes all-ones quant tables so
-    constant 8x8 tiles survive bit-exactly (the oracle-fixture mode);
-    an int 1..100 scales the Annex K tables the IJG way. Huffman
-    tables are computed per image (two-pass, canonical per T.81 C.2)
-    rather than copied from Annex K — the DHT segment is therefore
-    exercised end-to-end instead of being a constant both sides agree
-    on."""
+    interleaved RGB -> YCbCr with ``sampling`` one of '444' (no
+    subsampling), '422' (2x1), '440' (1x2), or '420' (2x2 — the
+    real-world default layout); chroma is box-averaged down and the
+    scan interleaves h_i*v_i luma blocks per MCU per T.81 A.2.3.
+    ``quality=None`` writes all-ones quant tables so constant 8x8
+    tiles (constant 16x16 MCU tiles under 420) survive bit-exactly
+    (the oracle-fixture mode); an int 1..100 scales the Annex K
+    tables the IJG way. Huffman tables are computed per image
+    (two-pass, canonical per T.81 C.2) rather than copied from Annex
+    K. DCT/quant runs numpy-vectorized over all blocks of a plane at
+    once (r7 §Next #5)."""
+    import numpy as np
+
     if channels not in (1, 3):
         raise ValueError("channels must be 1 or 3")
     if len(pixels) != width * height * channels:
@@ -1028,63 +1104,92 @@ def encode_jpeg(
         )
     if not (0 < width <= 0xFFFF and 0 < height <= 0xFFFF):
         raise ValueError("dimensions out of range")
+    if sampling not in _JPEG_SAMPLING:
+        raise ValueError(f"sampling must be one of {sorted(_JPEG_SAMPLING)}")
     n = width * height
     if channels == 1:
-        planes = [list(pixels)]
+        factors = [(1, 1)]
+        full = [
+            np.frombuffer(bytes(pixels), dtype=np.uint8)
+            .reshape(height, width)
+            .astype(np.float64)
+        ]
         quants = [_jpeg_quant_table(_JPEG_QUANT_LUMA, quality)]
         comp_q = [0]
+        comp_t = [0]
     else:
-        planes = list(_rgb_to_ycbcr(pixels, n))
+        factors = list(_JPEG_SAMPLING[sampling])
+        y, cb, cr = _rgb_to_ycbcr(pixels, n)
+        full = [p.reshape(height, width) for p in (y, cb, cr)]
         quants = [
             _jpeg_quant_table(_JPEG_QUANT_LUMA, quality),
             _jpeg_quant_table(_JPEG_QUANT_CHROMA, quality),
         ]
         comp_q = [0, 1, 1]
-    bw = (width + 7) // 8
-    bh = (height + 7) // 8
+        comp_t = [0, 1, 1]
+    hmax = max(h for h, _ in factors)
+    vmax = max(v for _, v in factors)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
 
-    def block_at(plane: list[int], bx: int, by: int) -> list[int]:
-        out = [0] * 64
-        for r in range(8):
-            sy = min(by * 8 + r, height - 1)
-            base = sy * width
-            for c in range(8):
-                sx = min(bx * 8 + c, width - 1)
-                out[8 * r + c] = plane[base + sx] - 128
-        return out
+    # per component: downsample (box average, edge-padded), then cut
+    # into the MCU-aligned block grid; DCT+quant the whole plane at once
+    comp_zz = []  # (n_blocks, 64) int32 per component, raster block order
+    comp_bw = []
+    for ci, (h_i, v_i) in enumerate(factors):
+        fx, fy = hmax // h_i, vmax // v_i
+        cw = -(-width * h_i // hmax)
+        ch = -(-height * v_i // vmax)
+        plane = full[ci]
+        if fx != 1 or fy != 1:
+            padded = np.pad(
+                plane,
+                ((0, ch * fy - height), (0, cw * fx - width)),
+                mode="edge",
+            )
+            plane = np.floor(
+                padded.reshape(ch, fy, cw, fx).mean(axis=(1, 3)) + 0.5
+            )
+        bw_i, bh_i = mcus_x * h_i, mcus_y * v_i
+        blocks = _plane_blocks(plane, bw_i, bh_i)
+        comp_zz.append(_fdct_quant_blocks(blocks, quants[comp_q[ci]]))
+        comp_bw.append(bw_i)
 
-    # MCU-interleaved quantized blocks: (component, 64 zigzag coefs)
-    mcu_blocks: list[tuple[int, list[int]]] = []
-    for by in range(bh):
-        for bx in range(bw):
-            for ci in range(channels):
-                mcu_blocks.append(
-                    (ci, _fdct_quant(block_at(planes[ci], bx, by), quants[comp_q[ci]]))
-                )
+    # MCU-interleaved block sequence: per MCU, h_i*v_i blocks per
+    # component in raster order within the MCU (T.81 A.2.3)
+    def mcu_sequence():
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci, (h_i, v_i) in enumerate(factors):
+                    for by in range(v_i):
+                        for bx in range(h_i):
+                            idx = (my * v_i + by) * comp_bw[ci] + mx * h_i + bx
+                            yield ci, comp_zz[ci][idx]
 
-    # pass 1: symbol frequencies (per table class; chroma shares one)
     n_tables = 1 if channels == 1 else 2
     dc_freq = [dict() for _ in range(n_tables)]
     ac_freq = [dict() for _ in range(n_tables)]
-    comp_t = [0] if channels == 1 else [0, 1, 1]
     pred = [0] * channels
 
-    def symbols(zz: list[int], ci: int):
+    def symbols(zz, ci: int):
         t = comp_t[ci]
-        diff = zz[0] - pred[ci]
-        pred[ci] = zz[0]
+        dc = int(zz[0])
+        diff = dc - pred[ci]
+        pred[ci] = dc
         size, bits_val = _jpeg_magnitude(diff)
         yield ("dc", t, size, bits_val, size)
         run = 0
-        last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+        nz = [i for i in range(1, 64) if zz[i]]
+        last_nz = nz[-1] if nz else 0
         for i in range(1, last_nz + 1):
-            if zz[i] == 0:
+            v = int(zz[i])
+            if v == 0:
                 run += 1
                 continue
             while run > 15:
                 yield ("ac", t, 0xF0, 0, 0)
                 run -= 16
-            size, bits_val = _jpeg_magnitude(zz[i])
+            size, bits_val = _jpeg_magnitude(v)
             yield ("ac", t, (run << 4) | size, bits_val, size)
             run = 0
         if last_nz < 63:
@@ -1093,7 +1198,9 @@ def encode_jpeg(
     # ``restart_interval`` > 0 resets DC prediction every N MCUs in
     # BOTH passes (symbol categories depend on the predictor), so the
     # DRI/RSTn decode path can be exercised with real files.
-    n_mcus = len(mcu_blocks) // channels
+    n_mcus = mcus_x * mcus_y
+    blocks_per_mcu = sum(h_i * v_i for h_i, v_i in factors)
+    seq = list(mcu_sequence())
 
     def at_restart(mcu_i: int) -> bool:
         return bool(restart_interval) and mcu_i and mcu_i % restart_interval == 0
@@ -1101,7 +1208,9 @@ def encode_jpeg(
     for mcu_i in range(n_mcus):
         if at_restart(mcu_i):
             pred = [0] * channels
-        for ci, zz in mcu_blocks[mcu_i * channels : (mcu_i + 1) * channels]:
+        for ci, zz in seq[
+            mcu_i * blocks_per_mcu : (mcu_i + 1) * blocks_per_mcu
+        ]:
             for kind, t, sym, _bv, _sz in symbols(zz, ci):
                 table = dc_freq[t] if kind == "dc" else ac_freq[t]
                 table[sym] = table.get(sym, 0) + 1
@@ -1117,7 +1226,9 @@ def encode_jpeg(
             w.flush()
             w.out += bytes([0xFF, 0xD0 + (mcu_i // restart_interval - 1) % 8])
             pred = [0] * channels
-        for ci, zz in mcu_blocks[mcu_i * channels : (mcu_i + 1) * channels]:
+        for ci, zz in seq[
+            mcu_i * blocks_per_mcu : (mcu_i + 1) * blocks_per_mcu
+        ]:
             for kind, t, sym, bits_val, size in symbols(zz, ci):
                 code, ln = (dc_tabs if kind == "dc" else ac_tabs)[t][2][sym]
                 w.write(code, ln)
@@ -1137,7 +1248,8 @@ def encode_jpeg(
         out += segment(0xDB, bytes([ti]) + zzq)
     sof = struct.pack(">BHHB", 8, height, width, channels)
     for ci in range(channels):
-        sof += bytes([ci + 1, 0x11, comp_q[ci]])  # 1x1 sampling
+        h_i, v_i = factors[ci]
+        sof += bytes([ci + 1, (h_i << 4) | v_i, comp_q[ci]])
     out += segment(0xC0, sof)
     for cls, tabs in ((0, dc_tabs), (1, ac_tabs)):
         for ti, (bits, huffval, _codes) in enumerate(tabs):
@@ -1210,11 +1322,15 @@ def _jpeg_extend(v: int, size: int) -> int:
 
 def decode_jpeg(data: bytes) -> dict:
     """Baseline-sequential JFIF bytes -> dims + pixel stats + RGB/grey
-    pixels. Pure stdlib: marker walk, DQT (8- and 16-bit), canonical
-    DHT rebuild (T.81 C.2), Huffman + magnitude decode, dequant +
-    float IDCT, optional DRI/RSTn. Greyscale and YCbCr 4:4:4 only;
-    progressive (SOF2), extended/arithmetic, 12-bit, and subsampled
-    streams raise ValueError — callers dispatch, they don't guess."""
+    pixels. Marker walk, DQT (8- and 16-bit), canonical DHT rebuild
+    (T.81 C.2), Huffman + magnitude decode, vectorized dequant + float
+    IDCT, optional DRI/RSTn. Greyscale and YCbCr with ANY sampling
+    factors 1..4 per component (4:4:4, 4:2:2, 4:4:0, 4:2:0 — the
+    real-world camera default — all covered; r7 §Next #2): the MCU
+    loop follows per-component (h_i, v_i) geometry per T.81 A.2.3 and
+    chroma upsamples by nearest-index replication. Progressive
+    (SOF2), extended/arithmetic, and 12-bit streams raise ValueError —
+    callers dispatch, they don't guess."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (bad SOI)")
     pos = 2
@@ -1290,9 +1406,10 @@ def decode_jpeg(data: bytes) -> dict:
             comps = []
             for i in range(nc):
                 cid, samp, tq = seg[6 + 3 * i : 9 + 3 * i]
-                if samp != 0x11:
-                    raise ValueError("subsampled JPEG unsupported")
-                comps.append((cid, tq))
+                h_i, v_i = samp >> 4, samp & 15
+                if not (1 <= h_i <= 4 and 1 <= v_i <= 4):
+                    raise ValueError(f"JPEG bad sampling factors {h_i}x{v_i}")
+                comps.append((cid, h_i, v_i, tq))
             frame = (w, h, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"JPEG SOF 0x{marker:02x} (non-baseline) unsupported")
@@ -1311,26 +1428,45 @@ def decode_jpeg(data: bytes) -> dict:
         # APPn / COM / anything else with a length: skipped
     if scan is None or frame is None:
         raise ValueError("JPEG contains no scan")
+    import numpy as np
+
     width, height, comps = frame
     if len(scan) != len(comps):
         raise ValueError("JPEG scan/frame component mismatch")
-    by_id = {cid: tq for cid, tq in comps}
-    order = []  # (quant, dc_table, ac_table) per scan component
+    by_id = {cid: (h_i, v_i, tq) for cid, h_i, v_i, tq in comps}
+    order = []  # (h, v, quant, dc_table, ac_table) per scan component
     for cs, td, ta in scan:
         if cs not in by_id:
             raise ValueError("JPEG scan names unknown component")
-        if by_id[cs] not in quants or td not in dc_tables or ta not in ac_tables:
+        h_i, v_i, tq = by_id[cs]
+        if tq not in quants or td not in dc_tables or ta not in ac_tables:
             raise ValueError("JPEG missing quant/Huffman table")
-        order.append((quants[by_id[cs]], dc_tables[td], ac_tables[ta]))
+        order.append((h_i, v_i, quants[tq], dc_tables[td], ac_tables[ta]))
     nc = len(order)
-    bw_blocks = (width + 7) // 8
-    bh_blocks = (height + 7) // 8
-    planes = [[0] * (bw_blocks * 8 * bh_blocks * 8) for _ in range(nc)]
+    if nc == 1:
+        # T.81 A.2: a single-component scan is non-interleaved — the
+        # MCU is one data unit and the sampling factors do not shape
+        # the MCU grid (the lone component covers full resolution)
+        h_i, v_i, quant, dct, act = order[0]
+        order = [(1, 1, quant, dct, act)]
+    hmax = max(h for h, _, _, _, _ in order)
+    vmax = max(v for _, v, _, _, _ in order)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    # per-component block grid (full interleaved-MCU coverage) and a
+    # zigzag-coef buffer per block — entropy decode is serial, but the
+    # dequant+IDCT runs vectorized over every block of a plane at once
+    comp_bw = [mcus_x * h for h, _, _, _, _ in order]
+    comp_bh = [mcus_y * v for _, v, _, _, _ in order]
+    comp_zz = [
+        np.zeros((comp_bw[ci] * comp_bh[ci], 64), dtype=np.int32)
+        for ci in range(nc)
+    ]
     br = _BitReader(data, pos)
     pred = [0] * nc
     mcu_index = 0
-    for by in range(bh_blocks):
-        for bx in range(bw_blocks):
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
             if restart_interval and mcu_index and mcu_index % restart_interval == 0:
                 br.align_to_marker()
                 # an all-ones pad byte is itself stuffed (FF 00) —
@@ -1350,54 +1486,64 @@ def decode_jpeg(data: bytes) -> dict:
                 br.pos += 2
                 pred = [0] * nc
             mcu_index += 1
-            for ci, (quant, dct, act) in enumerate(order):
-                zz = [0] * 64
-                size = _jpeg_decode_huffman(br, dct)
-                diff = _jpeg_extend(br.bits(size), size) if size else 0
-                pred[ci] += diff
-                zz[0] = pred[ci]
-                k = 1
-                while k < 64:
-                    rs = _jpeg_decode_huffman(br, act)
-                    run, size = rs >> 4, rs & 15
-                    if size == 0:
-                        if run == 15:
-                            k += 16
-                            continue
-                        break  # EOB
-                    k += run
-                    if k > 63:
-                        raise ValueError("JPEG AC run overflows block")
-                    zz[k] = _jpeg_extend(br.bits(size), size)
-                    k += 1
-                block = _dequant_idct(zz, quant)
-                row_w = bw_blocks * 8
-                for r in range(8):
-                    dst = (by * 8 + r) * row_w + bx * 8
-                    planes[ci][dst : dst + 8] = block[8 * r : 8 * r + 8]
-    row_w = bw_blocks * 8
+            for ci, (h_i, v_i, quant, dct, act) in enumerate(order):
+                for iby in range(v_i):
+                    for ibx in range(h_i):
+                        zz = [0] * 64
+                        size = _jpeg_decode_huffman(br, dct)
+                        diff = _jpeg_extend(br.bits(size), size) if size else 0
+                        pred[ci] += diff
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _jpeg_decode_huffman(br, act)
+                            run, size = rs >> 4, rs & 15
+                            if size == 0:
+                                if run == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += run
+                            if k > 63:
+                                raise ValueError("JPEG AC run overflows block")
+                            zz[k] = _jpeg_extend(br.bits(size), size)
+                            k += 1
+                        idx = (my * v_i + iby) * comp_bw[ci] + mx * h_i + ibx
+                        comp_zz[ci][idx] = zz
+    # vectorized dequant + IDCT + plane assembly + upsample per comp
+    ys = None
+    planes = []
+    for ci, (h_i, v_i, quant, _dct, _act) in enumerate(order):
+        blocks = _idct_blocks(comp_zz[ci], quant)  # (n, 8, 8) uint8
+        plane = (
+            blocks.reshape(comp_bh[ci], comp_bw[ci], 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(comp_bh[ci] * 8, comp_bw[ci] * 8)
+        )
+        # crop to the component's real sample dims, then upsample to
+        # full resolution by nearest-index replication
+        cw = -(-width * h_i // hmax)
+        ch = -(-height * v_i // vmax)
+        plane = plane[:ch, :cw]
+        ys = (np.arange(height) * v_i) // vmax
+        xs = (np.arange(width) * h_i) // hmax
+        planes.append(plane[np.ix_(ys, xs)].astype(np.float64))
     if nc == 1:
-        pixels = bytearray(width * height)
-        for y in range(height):
-            src = y * row_w
-            pixels[y * width : (y + 1) * width] = bytes(
-                planes[0][src : src + width]
-            )
+        pixels = bytearray(planes[0].astype(np.uint8).tobytes())
         channels = 1
     else:
-        pixels = bytearray(width * height * 3)
-        for y in range(height):
-            src = y * row_w
-            for x in range(width):
-                Y = planes[0][src + x]
-                cb = planes[1][src + x] - 128
-                cr = planes[2][src + x] - 128
-                i = 3 * (y * width + x)
-                for j, v in enumerate(
-                    (Y + 1.402 * cr, Y - 0.344136 * cb - 0.714136 * cr, Y + 1.772 * cb)
-                ):
-                    p = int(math.floor(v + 0.5))
-                    pixels[i + j] = 0 if p < 0 else (255 if p > 255 else p)
+        Y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+        rgb = np.stack(
+            (
+                Y + 1.402 * cr,
+                Y - 0.344136 * cb - 0.714136 * cr,
+                Y + 1.772 * cb,
+            ),
+            axis=-1,
+        )
+        pixels = bytearray(
+            np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8).tobytes()
+        )
         channels = 3
     n = len(pixels)
     return {

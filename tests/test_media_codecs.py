@@ -556,10 +556,17 @@ def test_jpeg_rejects_unsupported():
     with pytest.raises(ValueError, match="12-bit"):
         decode_jpeg(bytes(twelve_bit))
 
+    # r8: subsampling is now SUPPORTED. For a single-component frame
+    # the factors don't shape the MCU grid (non-interleaved scan, T.81
+    # A.2), so patching them must decode identically, not raise.
     subsampled = bytearray(good)
     subsampled[sof + 11] = 0x22  # comp 0 sampling 2x2
-    with pytest.raises(ValueError, match="subsampled"):
-        decode_jpeg(bytes(subsampled))
+    assert decode_jpeg(bytes(subsampled))["pixels"] == decode_jpeg(good)["pixels"]
+
+    bad_factors = bytearray(good)
+    bad_factors[sof + 11] = 0x50  # h=5 out of the 1..4 legal range
+    with pytest.raises(ValueError, match="sampling"):
+        decode_jpeg(bytes(bad_factors))
 
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"\x89PNG" + good)
@@ -677,3 +684,93 @@ def test_jpeg_fill_bytes_before_marker():
     )
     d = decode_jpeg(padded)
     assert d["mean_value"] == 90.0 and (d["width"], d["height"]) == (8, 8)
+
+
+# ------------------------------------------- chroma subsampling (r8)
+
+
+def _mcu_tile_rgb(width: int, height: int, tile: int, seed: int) -> bytes:
+    """RGB image constant within each tile x tile cell — under 4:2:0
+    with tile=16 every luma block AND every chroma block is constant,
+    so the all-ones-quant pipeline (and the box chroma downsample) is
+    exact through the DCT."""
+    tpr = (width + tile - 1) // tile
+    out = bytearray()
+    for y in range(height):
+        for x in range(width):
+            t = (y // tile) * tpr + (x // tile)
+            out += bytes(
+                (seed * 31 + t * 59 + c * 83) % 200 + 28 for c in range(3)
+            )
+    return bytes(out)
+
+
+@pytest.mark.parametrize("sampling,tile", [("444", 8), ("422", 16), ("440", 16), ("420", 16)])
+def test_jpeg_subsampled_round_trip_mcu_constant(sampling, tile):
+    """Encode->decode for every supported chroma layout on MCU-constant
+    color images: the YCbCr<->RGB conversions are the only lossy steps
+    (each off by <=1/channel from rounding), so every decoded pixel is
+    within 2 of the source and the per-tile structure survives."""
+    from ingest_spark.operators.media_codecs import decode_jpeg, encode_jpeg
+
+    w, h = 32, 32
+    px = _mcu_tile_rgb(w, h, tile, seed=3)
+    blob = encode_jpeg(w, h, px, channels=3, sampling=sampling)
+    d = decode_jpeg(blob)
+    assert (d["width"], d["height"], d["channels"]) == (w, h, 3)
+    assert max(abs(a - b) for a, b in zip(d["pixels"], px)) <= 2
+
+
+@pytest.mark.parametrize("sampling", ["420", "422", "440"])
+@pytest.mark.parametrize("width,height", [(17, 13), (24, 16), (9, 25)])
+def test_jpeg_subsampled_odd_dims_decode(sampling, width, height):
+    """Odd (non-MCU-multiple) dimensions: the padded MCU grid must
+    crop back to the exact source size and a smooth gradient must
+    survive the quantized pipeline within JPEG-typical error."""
+    from ingest_spark.operators.media_codecs import decode_jpeg, encode_jpeg
+
+    px = bytes(
+        c
+        for y in range(height)
+        for x in range(width)
+        for c in (
+            min(255, 2 * x + 3 * y),
+            min(255, 128 + x),
+            min(255, 64 + 2 * y),
+        )
+    )
+    blob = encode_jpeg(width, height, px, channels=3, sampling=sampling)
+    d = decode_jpeg(blob)
+    assert (d["width"], d["height"], d["channels"]) == (width, height, 3)
+    n = width * height * 3
+    mean_err = sum(abs(a - b) for a, b in zip(d["pixels"], px)) / n
+    assert mean_err < 8.0, f"mean abs error {mean_err}"
+
+
+def test_jpeg_420_with_quality_and_restarts():
+    """4:2:0 + lossy Annex-K tables + DRI/RSTn together (the layout a
+    real camera file uses)."""
+    from ingest_spark.operators.media_codecs import decode_jpeg, encode_jpeg
+
+    w, h = 48, 32
+    px = _mcu_tile_rgb(w, h, 16, seed=7)
+    blob = encode_jpeg(
+        w, h, px, channels=3, quality=90, restart_interval=2, sampling="420"
+    )
+    d = decode_jpeg(blob)
+    assert (d["width"], d["height"], d["channels"]) == (w, h, 3)
+    n = w * h * 3
+    mean_err = sum(abs(a - b) for a, b in zip(d["pixels"], px)) / n
+    assert mean_err < 6.0, f"mean abs error {mean_err}"
+    # and through the dispatcher: a 420 file is decoded, not errored
+    from ingest_spark.operators.multimodal import _decode_media
+
+    out = _decode_media(blob)
+    assert out["kind"] == "jpeg" and (out["width"], out["height"]) == (w, h)
+
+
+def test_jpeg_sampling_validation():
+    from ingest_spark.operators.media_codecs import encode_jpeg
+
+    with pytest.raises(ValueError, match="sampling"):
+        encode_jpeg(8, 8, bytes(192), channels=3, sampling="411")

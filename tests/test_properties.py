@@ -848,3 +848,102 @@ def test_sessionize_stream_batch_split_invariance(
         for s in sessions  # open tail (cur) deliberately excluded
     )
     assert got == want
+
+
+# ----------------------------------------------- JPEG codec fuzz (r8)
+# VERDICT r7 §Next #7: random dims (incl. non-multiple-of-8), quality
+# None/1-100, DRI on/off, grey/RGB, every sampling layout.
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    width=st.integers(min_value=1, max_value=40),
+    height=st.integers(min_value=1, max_value=40),
+    seed=st.integers(min_value=0, max_value=255),
+    restart=st.sampled_from([0, 1, 3]),
+)
+def test_jpeg_grey_tile_roundtrip_exact(width, height, seed, restart):
+    """Greyscale, all-ones quant, constant 8x8 tiles: encode->decode
+    must invert EXACTLY for any dims/DRI (constant blocks are DC-only,
+    and the DC path is integer-exact under q=1)."""
+    from ingest_spark.operators.media_codecs import decode_jpeg, encode_jpeg
+
+    tpr = (width + 7) // 8
+    px = bytes(
+        (seed * 37 + ((y // 8) * tpr + (x // 8)) * 101) % 256
+        for y in range(height)
+        for x in range(width)
+    )
+    blob = encode_jpeg(width, height, px, restart_interval=restart)
+    d = decode_jpeg(blob)
+    assert (d["width"], d["height"], d["channels"]) == (width, height, 1)
+    assert bytes(d["pixels"]) == px
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    width=st.integers(min_value=1, max_value=33),
+    height=st.integers(min_value=1, max_value=33),
+    seed=st.integers(min_value=0, max_value=255),
+    quality=st.sampled_from([None, 1, 25, 50, 75, 90, 100]),
+    sampling=st.sampled_from(["444", "422", "440", "420"]),
+    restart=st.sampled_from([0, 2]),
+)
+def test_jpeg_rgb_lossy_roundtrip_close(width, height, seed, quality, sampling, restart):
+    """RGB across the full option grid: smooth-gradient images must
+    survive encode->decode with bounded mean error (tight when
+    quality is None/high, loose at quality=1), and dims/channels are
+    always exact."""
+    from ingest_spark.operators.media_codecs import decode_jpeg, encode_jpeg
+
+    px = bytes(
+        min(255, (seed + a * x + b * y) % 256)
+        for y in range(height)
+        for x in range(width)
+        for a, b in ((2, 3), (1, 2), (3, 1))
+    )
+    blob = encode_jpeg(
+        width, height, px, channels=3,
+        quality=quality, sampling=sampling, restart_interval=restart,
+    )
+    d = decode_jpeg(blob)
+    assert (d["width"], d["height"], d["channels"]) == (width, height, 3)
+    n = width * height * 3
+    mean_err = sum(abs(a - b) for a, b in zip(d["pixels"], px)) / n
+    # gradients with %256 seams are hard content; the bound only needs
+    # to catch structural bugs (wrong block placement explodes it)
+    limit = 16.0 if (quality is None or quality >= 50) else 48.0
+    assert mean_err < limit, f"mean abs error {mean_err} (q={quality})"
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    data=st.data(),
+)
+def test_jpeg_random_byte_flip_never_hangs_or_escapes(seed, data):
+    """Random single-byte corruption anywhere in a valid file: decode
+    either raises ValueError (headers/tables/structure) or returns a
+    well-formed frame with the original dims (an entropy-bit flip is
+    undetectable by design — JPEG has no checksum); it must never
+    hang, loop, or raise any other exception type. The dispatcher
+    (_decode_media) must never raise at all."""
+    from ingest_spark.operators.media_codecs import decode_jpeg, encode_jpeg
+    from ingest_spark.operators.multimodal import _CODEC_ERRORS, _decode_media
+
+    w, h = 16 + seed % 17, 8 + seed % 13
+    px = bytes((seed + 5 * x + 11 * y) % 256 for y in range(h) for x in range(w))
+    blob = bytearray(encode_jpeg(w, h, px, quality=75, restart_interval=2))
+    pos = data.draw(st.integers(min_value=2, max_value=len(blob) - 3))
+    flip = data.draw(st.integers(min_value=1, max_value=255))
+    blob[pos] ^= flip
+    blob = bytes(blob)
+    try:
+        d = decode_jpeg(blob)
+        # silent-corruption case: frame must still be structurally sane
+        assert d["channels"] in (1, 3)
+        assert len(d["pixels"]) == d["width"] * d["height"] * d["channels"]
+    except _CODEC_ERRORS:
+        pass  # detected corruption: the legal loud outcome
+    out = _decode_media(blob)
+    assert out["kind"] in ("jpeg", "decode_error", "opaque")
