@@ -72,6 +72,11 @@ HEADLINE = [
     # r6: ExactSubstr span extraction (positional-gram seed count +
     # doc-local island windows)
     "exact_substring_spans",
+    # r8 (VERDICT r7 §Next #6): the two r7 composites — persist-and-
+    # resume scoring against stored corpus state, and the real media
+    # decode over Arrow batches (now exception-total + vectorized)
+    "incremental_ingest_e2e",
+    "multimodal_media_decode",
 ]
 
 
