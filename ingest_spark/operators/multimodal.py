@@ -398,13 +398,14 @@ def resize_images(df: DataFrame, width: int = 32, height: int = 32) -> DataFrame
 
     def _png_resize(payload: bytes) -> bytes:
         """Nearest-neighbor via the pure codecs: real pixels in (PNG,
-        BMP, or GIF), real PNG out."""
+        BMP, GIF, TIFF, or JPEG), real PNG out."""
         mime = sniff_mime(payload)
         d = {
             "image/png": decode_png,
             "image/bmp": decode_bmp,
             "image/gif": decode_gif,
             "image/tiff": decode_tiff,
+            "image/jpeg": decode_jpeg,
         }[mime](payload)
         sw, sh, ch = d["width"], d["height"], d["channels"]
         src = d["pixels"]
@@ -436,7 +437,7 @@ def resize_images(df: DataFrame, width: int = 32, height: int = 32) -> DataFrame
 
         def _resize(payload: bytes) -> bytes:
             if sniff_mime(payload) in ("image/png", "image/bmp", "image/gif",
-                                       "image/tiff"):
+                                       "image/tiff", "image/jpeg"):
                 try:
                     return _png_resize(bytes(payload))
                 except _CODEC_ERRORS:

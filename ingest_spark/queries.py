@@ -1150,6 +1150,89 @@ def multimodal_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "multimodal_jpeg420_decode",
+    """
+    WITH src AS (
+        SELECT doc_id,
+               CAST(doc_id % 256 AS DOUBLE) AS r,
+               CAST((doc_id * 7) % 256 AS DOUBLE) AS g,
+               CAST((doc_id * 13) % 256 AS DOUBLE) AS b
+        FROM documents WHERE doc_id % 3 = 0
+    ), ycc AS (
+        SELECT doc_id,
+               floor(CAST(0.299 AS DOUBLE) * r + CAST(0.587 AS DOUBLE) * g
+                     + CAST(0.114 AS DOUBLE) * b + 0.5) AS y,
+               floor(CAST(-0.168736 AS DOUBLE) * r
+                     + CAST(-0.331264 AS DOUBLE) * g
+                     + CAST(0.5 AS DOUBLE) * b + 128.5) AS cb,
+               floor(CAST(0.5 AS DOUBLE) * r
+                     + CAST(-0.418688 AS DOUBLE) * g
+                     + CAST(-0.081312 AS DOUBLE) * b + 128.5) AS cr
+        FROM src
+    ), rgb AS (
+        SELECT doc_id,
+               least(255, greatest(0, floor(
+                   y + CAST(1.402 AS DOUBLE) * (cr - 128) + 0.5))) AS r2,
+               least(255, greatest(0, floor(
+                   y + CAST(-0.344136 AS DOUBLE) * (cb - 128)
+                     + CAST(-0.714136 AS DOUBLE) * (cr - 128) + 0.5))) AS g2,
+               least(255, greatest(0, floor(
+                   y + CAST(1.772 AS DOUBLE) * (cb - 128) + 0.5))) AS b2
+        FROM ycc
+    )
+    SELECT doc_id, 'jpeg' AS kind,
+           CAST(16 * (1 + doc_id % 2) AS INTEGER) AS width,
+           CAST(16 * (1 + doc_id % 3) AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS channels,
+           CAST(r2 + g2 + b2 AS DOUBLE) / 3 AS mean_value
+    FROM rgb
+    """,
+)
+def multimodal_jpeg420_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5: the REAL 4:2:0 color decode path, oracle-checked (VERDICT
+    r7 §Next #2's optional fixture widening). Every doc with
+    doc_id%3==0 gets a constant-color YCbCr-4:2:0 baseline JPEG whose
+    RGB is arithmetic in the id; under all-ones quant tables a
+    constant image is DC-only, so the decoder reconstructs the exact
+    (Y, Cb, Cr) triple the encoder quantized, the 2x2 chroma box
+    average is the identity on constants, and the only transformation
+    the oracle must mirror is the integer-rounded BT.601 round trip —
+    which it computes in closed form with the SAME float64 expression
+    order. A hash match proves the subsampled MCU geometry, the
+    chroma upsample, and the color conversion are all exact — not
+    just 'close'."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 3 == 0
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        from ingest_spark.operators.media_codecs import encode_jpeg
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                r, g, b = doc_id % 256, (doc_id * 7) % 256, (doc_id * 13) % 256
+                w, h = 16 * (1 + doc_id % 2), 16 * (1 + doc_id % 3)
+                payloads.append(
+                    encode_jpeg(
+                        w, h, bytes([r, g, b]) * (w * h),
+                        channels=3, sampling="420",
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.select("doc_id").mapInPandas(
+        run, "doc_id long, payload binary"
+    )
+    return multimodal.decode_media_features(media).select(
+        "doc_id", "kind", "width", "height", "channels", "mean_value"
+    )
+
+
+@q(
     "media_decode_errors",
     """
     SELECT doc_id,

@@ -774,3 +774,19 @@ def test_jpeg_sampling_validation():
 
     with pytest.raises(ValueError, match="sampling"):
         encode_jpeg(8, 8, bytes(192), channels=3, sampling="411")
+
+
+def test_jpeg_resize_through_dispatcher(spark):
+    """resize_images on a JPEG payload must decode real pixels (r8:
+    jpeg joined the resize dispatch): a half-dark / half-light image
+    resized down keeps both levels."""
+    from ingest_spark.operators.media_codecs import encode_jpeg
+
+    w, h = 16, 16
+    px = bytes([40] * (w * h // 2) + [200] * (w * h // 2))  # top/bottom
+    src = encode_jpeg(w, h, px)  # all-ones quant: constant tiles exact
+    df = spark.createDataFrame([(1, src)], "doc_id long, payload binary")
+    out = multimodal.resize_images(df, width=4, height=4).collect()[0]
+    resized = decode_png(bytes(out.resized))
+    assert (resized["width"], resized["height"]) == (4, 4)
+    assert set(resized["pixels"]) == {40, 200}
