@@ -52,7 +52,11 @@ from pyspark.sql import functions as F
 
 from ingest_spark import artifacts
 from ingest_spark.operators import classifier, dedup
-from ingest_spark.streaming.pipeline import _applied_batch, foreach_batch_rollup
+from ingest_spark.streaming.pipeline import (
+    RenameSwap,
+    _applied_batch,
+    foreach_batch_rollup,
+)
 
 # LSH/banding/bloom knobs — module-level so every batch of a corpus
 # uses one consistent signature definition (a mismatch would silently
@@ -71,19 +75,27 @@ def _path(state_dir: str, table: str) -> str:
     return os.path.join(state_dir, table)
 
 
-def _maintainers(state_dir: str) -> dict:
+def _maintainers(state_dir: str, swap=RenameSwap) -> dict:
     """One foreach_batch_rollup closure per state table. Key-only
     tables (hashes/bands/bloom) use the rollup's groupBy identity —
     membership = key existence, n_rows rides along as a free
-    occurrence count; novelty min-merges the first-seen doc."""
+    occurrence count; novelty min-merges the first-seen doc. ``swap``
+    picks the install strategy (SCALING.md §9): RenameSwap needs
+    rename-atomic storage under state_dir (POSIX/HDFS); PointerSwap
+    is object-store-safe."""
     return {
-        "hashes": foreach_batch_rollup(_path(state_dir, "hashes"), ["h"], []),
-        "bands": foreach_batch_rollup(
-            _path(state_dir, "bands"), ["bucket", "doc_id"], []
+        "hashes": foreach_batch_rollup(
+            _path(state_dir, "hashes"), ["h"], [], swap=swap
         ),
-        "bloom": foreach_batch_rollup(_path(state_dir, "bloom"), ["pos"], []),
+        "bands": foreach_batch_rollup(
+            _path(state_dir, "bands"), ["bucket", "doc_id"], [], swap=swap
+        ),
+        "bloom": foreach_batch_rollup(
+            _path(state_dir, "bloom"), ["pos"], [], swap=swap
+        ),
         "novelty": foreach_batch_rollup(
-            _path(state_dir, "novelty"), ["gk"], [], min_cols=["doc_id"]
+            _path(state_dir, "novelty"), ["gk"], [], min_cols=["doc_id"],
+            swap=swap,
         ),
     }
 
@@ -117,6 +129,7 @@ def init_state(
     id_col: str = "doc_id",
     text_col: str = "text",
     train_quality_on: str | None = None,
+    swap=RenameSwap,
 ) -> None:
     """Seed the corpus state from an initial (trusted, already-kept)
     corpus as batch 0. BATCH-ID CONTRACT (r7 ADVICE): batch 0 belongs
@@ -128,7 +141,7 @@ def init_state(
     deterministic GD) and persisted via artifacts.save_artifact so
     later batches score WITHOUT retraining."""
     tables = _batch_tables(docs, id_col, text_col)
-    for name, maintainer in _maintainers(state_dir).items():
+    for name, maintainer in _maintainers(state_dir, swap).items():
         maintainer(tables[name], 0)
     if train_quality_on is not None:
         weights = classifier.train_logreg(docs, train_quality_on)
@@ -143,6 +156,7 @@ def ingest_batch(
     state_dir: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    swap=RenameSwap,
 ) -> DataFrame:
     """Score one new batch against the persisted corpus state — pure
     read, no state mutation (that's `commit_batch`). Returns one row
@@ -165,7 +179,9 @@ def ingest_batch(
     ids = new_docs.select(F.col(id_col).alias("doc_id"))
 
     # exact: bloom prefilter -> confirm against stored hashes
-    stored_bits = spark.read.parquet(_path(state_dir, "bloom")).select("pos")
+    stored_bits = spark.read.parquet(
+        swap.resolve(_path(state_dir, "bloom"))
+    ).select("pos")
     doc_hash = new_docs.select(
         F.col(id_col).alias("doc_id"), F.sha2(text_col, 256).alias("h")
     )
@@ -173,7 +189,9 @@ def ingest_batch(
         doc_hash.select("h"), "h", stored_bits.withColumnRenamed("pos", "__pos"),
         m=BLOOM_M, k=BLOOM_K,
     )
-    stored_hashes = spark.read.parquet(_path(state_dir, "hashes")).select("h")
+    stored_hashes = spark.read.parquet(
+        swap.resolve(_path(state_dir, "hashes"))
+    ).select("h")
     confirmed = candidates.join(stored_hashes, candidates["h"] == stored_hashes["h"]) \
         .select(candidates["h"])
     exact = (
@@ -182,7 +200,9 @@ def ingest_batch(
     )
 
     # near: new band table probes the stored one (no corpus re-sign)
-    stored_bands = spark.read.parquet(_path(state_dir, "bands")).select("bucket")
+    stored_bands = spark.read.parquet(
+        swap.resolve(_path(state_dir, "bands"))
+    ).select("bucket")
     near = (
         tables["bands"].join(stored_bands, "bucket")
         .select("doc_id").distinct()
@@ -191,7 +211,7 @@ def ingest_batch(
 
     # novelty: stored gram keys are first-seen state; misses are novel
     stored_grams = (
-        spark.read.parquet(_path(state_dir, "novelty"))
+        spark.read.parquet(swap.resolve(_path(state_dir, "novelty")))
         .select("gk").withColumn("__seen", F.lit(True))
     )
     nov = (
@@ -242,6 +262,7 @@ def commit_batch(
     batch_id: int,
     id_col: str = "doc_id",
     text_col: str = "text",
+    swap=RenameSwap,
 ) -> None:
     """Fold the batch's KEPT docs into every state table under
     ``batch_id``. Dropped docs never enter state (they are not part
@@ -261,7 +282,8 @@ def commit_batch(
             f"batch_id must be >= 1 (0 is init_state's seed), got {batch_id}"
         )
     if all(
-        _applied_batch(_path(state_dir, t)) >= batch_id for t in _TABLES
+        _applied_batch(swap.resolve(_path(state_dir, t))) >= batch_id
+        for t in _TABLES
     ):
         return  # full replay of a committed batch: nothing to evaluate
     kept = new_docs.join(
@@ -273,7 +295,7 @@ def commit_batch(
     # would yank those files out from under the later maintainers'
     # plans (observed FAILED_READ_FILE without this)
     tables = _batch_tables(kept, id_col, text_col)
-    for name, maintainer in _maintainers(state_dir).items():
+    for name, maintainer in _maintainers(state_dir, swap).items():
         maintainer(tables[name], batch_id)
 
 
@@ -284,6 +306,7 @@ def ingest_and_commit(
     batch_id: int,
     id_col: str = "doc_id",
     text_col: str = "text",
+    swap=RenameSwap,
 ) -> DataFrame:
     """The crash-safe score-then-commit unit — what a foreachBatch
     sink calls per micro-batch. Persists the decision frame to
@@ -312,11 +335,13 @@ def ingest_and_commit(
     if os.path.exists(os.path.join(dec_path, "_SUCCESS")):
         decisions = spark.read.parquet(dec_path)
     else:
-        ingest_batch(spark, new_docs, state_dir, id_col, text_col).write.mode(
-            "overwrite"
-        ).parquet(dec_path)
+        ingest_batch(
+            spark, new_docs, state_dir, id_col, text_col, swap
+        ).write.mode("overwrite").parquet(dec_path)
         decisions = spark.read.parquet(dec_path)
-    commit_batch(new_docs, decisions, state_dir, batch_id, id_col, text_col)
+    commit_batch(
+        new_docs, decisions, state_dir, batch_id, id_col, text_col, swap
+    )
     return decisions
 
 
@@ -324,6 +349,7 @@ def streaming_ingest_sink(
     state_dir: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    swap=RenameSwap,
 ):
     """The foreachBatch adapter (VERDICT r7 §Next #4): wires
     `ingest_and_commit` under a real StreamingQuery.
@@ -353,6 +379,7 @@ def streaming_ingest_sink(
             int(batch_id) + 1,
             id_col,
             text_col,
+            swap,
         )
 
     return sink

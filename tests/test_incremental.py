@@ -307,3 +307,28 @@ def test_batch_id_zero_rejected(spark, tmp_path):
         incremental.commit_batch(b1, d1, state, batch_id=0)
     with pytest.raises(ValueError, match="batch_id"):
         incremental.ingest_and_commit(spark, b1, state, batch_id=0)
+
+
+def test_walkthrough_under_pointer_swap(spark, tmp_path):
+    """SCALING.md §9 end-to-end: the whole init/ingest/commit
+    walkthrough on the object-store-safe PointerSwap strategy must
+    produce decisions identical to the default RenameSwap run."""
+    from ingest_spark.streaming.pipeline import PointerSwap
+
+    results = {}
+    for name, swap in (("rename", None), ("pointer", PointerSwap)):
+        state = str(tmp_path / f"state_{name}")
+        kw = {} if swap is None else {"swap": swap}
+        incremental.init_state(spark, _corpus(spark, SEED), state, **kw)
+        d1 = incremental.ingest_and_commit(
+            spark, _corpus(spark, BATCH1), state, 1, **kw
+        )
+        d2 = incremental.ingest_and_commit(
+            spark, _corpus(spark, BATCH2), state, 2, **kw
+        )
+        results[name] = (_decisions_dict(d1), _decisions_dict(d2))
+        # replay under the same strategy: no-op
+        incremental.ingest_and_commit(
+            spark, _corpus(spark, BATCH2), state, 2, **kw
+        )
+    assert results["rename"] == results["pointer"]
