@@ -307,16 +307,22 @@ def decode_wav(data: bytes) -> dict:
             frames = body
     if fmt is None or frames is None:
         raise ValueError("WAV missing fmt or data chunk")
+    import numpy as np
+
     n_channels, sample_rate, bits = fmt
     if bits == 16:
         count = len(frames) // 2
-        samples = struct.unpack(f"<{count}h", frames[: count * 2])
+        samples = np.frombuffer(frames[: count * 2], dtype="<i2").astype(
+            np.int64
+        )
     else:  # 8-bit WAV is unsigned, centered at 128
-        samples = tuple(b - 128 for b in frames)
-    n_samples = len(samples) // n_channels if n_channels else 0
-    n = len(samples)
-    mean = sum(samples) / n if n else 0.0
-    rms = (sum(s * s for s in samples) / n) ** 0.5 if n else 0.0
+        samples = np.frombuffer(frames, dtype=np.uint8).astype(np.int64) - 128
+    n = int(samples.size)
+    n_samples = n // n_channels if n_channels else 0
+    # int64 accumulation is exact (|s| <= 2^15, s^2 <= 2^30), so the
+    # vectorized stats match the old per-sample Python sums bit-for-bit
+    mean = float(samples.sum()) / n if n else 0.0
+    rms = (float((samples * samples).sum()) / n) ** 0.5 if n else 0.0
     return {
         "kind": "wav",
         "channels": n_channels,
@@ -326,8 +332,8 @@ def decode_wav(data: bytes) -> dict:
         "duration_sec": n_samples / sample_rate if sample_rate else 0.0,
         "mean_value": mean,
         "rms": rms,
-        "min_value": min(samples) if n else 0,
-        "max_value": max(samples) if n else 0,
+        "min_value": int(samples.min()) if n else 0,
+        "max_value": int(samples.max()) if n else 0,
     }
 
 
