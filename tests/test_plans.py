@@ -469,3 +469,16 @@ def test_key_skew_report_is_takeordered_plus_broadcast(spark):
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in p
     assert "CartesianProduct" not in p
+
+
+def test_media_decode_pipeline_has_no_shuffle(spark):
+    """The E5 decode path (attach_media_payload -> decode_media_features,
+    two stacked mapInPandas stages) must compose into one shuffle-free
+    plan: payloads are the dominant bytes at scale, and an Exchange
+    between the encode and decode stages would move every payload
+    across the cluster for no semantic reason."""
+    for name in ("multimodal_media_decode", "multimodal_jpeg420_decode",
+                 "media_decode_errors"):
+        p = _plan(spark, name)
+        assert "Exchange" not in p, f"{name} shuffles payloads:\n{p}"
+        assert p.count("MapInPandas") >= 1, name
