@@ -1295,50 +1295,105 @@ def encode_jpeg(
     return bytes(out)
 
 
-class _BitReader:
-    """MSB-first reader over entropy-coded data with 0xFF00
-    unstuffing; stops at any real marker (RSTn handled by caller)."""
+def _split_entropy_segments(data: bytes, pos: int) -> list[bytes]:
+    """Destuff the entropy-coded stream starting at ``pos`` in ONE
+    forward pass: returns the byte segments between RSTn markers
+    (FF00 stuffing removed, FF fill-byte runs skipped), stopping at
+    the first real marker. Doing this up front lets the bit reader be
+    pure shift arithmetic over a contiguous buffer — no per-byte
+    stuffing checks in the hot loop."""
+    segs: list[bytes] = []
+    cur = bytearray()
+    n = len(data)
+    i = pos
+    while i < n:
+        j = data.find(b"\xff", i)
+        if j < 0:
+            cur += data[i:]
+            break
+        cur += data[i:j]
+        if j + 1 >= n:
+            break
+        nxt = data[j + 1]
+        if nxt == 0x00:
+            cur.append(0xFF)
+            i = j + 2
+        elif 0xD0 <= nxt <= 0xD7:
+            segs.append(bytes(cur))
+            cur = bytearray()
+            i = j + 2
+        elif nxt == 0xFF:
+            i = j + 1  # fill byte: re-examine from the next 0xFF
+        else:
+            break  # real marker: end of scan
+    segs.append(bytes(cur))
+    return segs
 
-    def __init__(self, data: bytes, pos: int) -> None:
-        self.data = data
-        self.pos = pos
-        self._acc = 0
-        self._n = 0
 
-    def bit(self) -> int:
-        if self._n == 0:
-            if self.pos >= len(self.data):
-                raise ValueError("JPEG truncated inside entropy data")
-            b = self.data[self.pos]
-            if b == 0xFF:
-                nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else None
-                if nxt == 0x00:
-                    self.pos += 2
-                else:
-                    raise ValueError("JPEG marker inside entropy data")
-            else:
-                self.pos += 1
-            self._acc = b
-            self._n = 8
-        self._n -= 1
-        return (self._acc >> self._n) & 1
+class _SegReader:
+    """MSB-first bit reader over one destuffed entropy segment: an
+    integer accumulator refilled a byte at a time; masked after every
+    consume so it stays machine-word sized."""
+
+    __slots__ = ("buf", "pos", "acc", "nbits")
+
+    def __init__(self, buf: bytes) -> None:
+        self.buf = buf
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
 
     def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
+        acc, nbits, pos, buf = self.acc, self.nbits, self.pos, self.buf
+        while nbits < n:
+            if pos >= len(buf):
+                raise ValueError("JPEG truncated inside entropy data")
+            acc = (acc << 8) | buf[pos]
+            pos += 1
+            nbits += 8
+        nbits -= n
+        v = (acc >> nbits) & ((1 << n) - 1)
+        self.acc = acc & ((1 << nbits) - 1)
+        self.nbits, self.pos = nbits, pos
         return v
 
-    def align_to_marker(self) -> None:
-        self._n = 0
+    def peek(self, n: int) -> int:
+        """Next n bits, zero-padded past the end (a padded phantom
+        match is caught by skip(), which refuses to consume past the
+        real data)."""
+        acc, nbits, pos, buf = self.acc, self.nbits, self.pos, self.buf
+        while nbits < n and pos < len(buf):
+            acc = (acc << 8) | buf[pos]
+            pos += 1
+            nbits += 8
+        self.acc, self.nbits, self.pos = acc, nbits, pos
+        if nbits >= n:
+            return (acc >> (nbits - n)) & ((1 << n) - 1)
+        return (acc << (n - nbits)) & ((1 << n) - 1)
+
+    def skip(self, n: int) -> None:
+        if self.nbits < n:
+            raise ValueError("JPEG truncated inside entropy data")
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
 
 
-def _jpeg_decode_huffman(br: "_BitReader", table: dict[tuple[int, int], int]) -> int:
-    code = 0
-    for ln in range(1, 17):
-        code = (code << 1) | br.bit()
-        sym = table.get((ln, code))
+def _jpeg_decode_sym(r: "_SegReader", table) -> int:
+    """Table-driven Huffman decode (r8, VERDICT r7 §Next #5 follow-on:
+    entropy decode was 85% of post-vectorization decode time): an
+    8-bit first-level LUT resolves the common short codes in one
+    lookup; codes of 9..16 bits fall back to the canonical (len, code)
+    dict."""
+    lut, longdict = table
+    e = lut[r.peek(8)]
+    if e is not None:
+        r.skip(e[1])
+        return e[0]
+    code = r.peek(16)
+    for ln in range(9, 17):
+        sym = longdict.get((ln, code >> (16 - ln)))
         if sym is not None:
+            r.skip(ln)
             return sym
     raise ValueError("JPEG invalid Huffman code")
 
@@ -1416,14 +1471,21 @@ def decode_jpeg(data: bytes) -> dict:
                 counts = seg[p + 1 : p + 17]
                 p += 17
                 table: dict[tuple[int, int], int] = {}
+                lut: list = [None] * 256
                 code = 0
                 for ln in range(1, 17):
                     for _ in range(counts[ln - 1]):
-                        table[(ln, code)] = seg[p]
+                        sym = seg[p]
+                        table[(ln, code)] = sym
+                        if ln <= 8:  # first-level LUT fill
+                            base = code << (8 - ln)
+                            entry = (sym, ln)
+                            for k in range(1 << (8 - ln)):
+                                lut[base + k] = entry
                         code += 1
                         p += 1
                     code <<= 1
-                (dc_tables if cls == 0 else ac_tables)[ti] = table
+                (dc_tables if cls == 0 else ac_tables)[ti] = (lut, table)
         elif marker == 0xC0:
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
@@ -1489,41 +1551,33 @@ def decode_jpeg(data: bytes) -> dict:
         np.zeros((comp_bw[ci] * comp_bh[ci], 64), dtype=np.int32)
         for ci in range(nc)
     ]
-    br = _BitReader(data, pos)
+    segments = _split_entropy_segments(data, pos)
+    seg_i = 0
+    br = _SegReader(segments[0])
     pred = [0] * nc
     mcu_index = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
             if restart_interval and mcu_index and mcu_index % restart_interval == 0:
-                br.align_to_marker()
-                # an all-ones pad byte is itself stuffed (FF 00) —
-                # step over it before expecting the RST marker
-                while (
-                    br.pos + 1 < len(data)
-                    and data[br.pos] == 0xFF
-                    and data[br.pos + 1] == 0x00
-                ):
-                    br.pos += 2
-                if not (
-                    br.pos + 1 < len(data)
-                    and data[br.pos] == 0xFF
-                    and 0xD0 <= data[br.pos + 1] <= 0xD7
-                ):
+                # next destuffed segment IS the post-RSTn data; a
+                # missing segment means the marker never came
+                seg_i += 1
+                if seg_i >= len(segments):
                     raise ValueError("JPEG expected restart marker")
-                br.pos += 2
+                br = _SegReader(segments[seg_i])
                 pred = [0] * nc
             mcu_index += 1
             for ci, (h_i, v_i, quant, dct, act) in enumerate(order):
                 for iby in range(v_i):
                     for ibx in range(h_i):
                         zz = [0] * 64
-                        size = _jpeg_decode_huffman(br, dct)
+                        size = _jpeg_decode_sym(br, dct)
                         diff = _jpeg_extend(br.bits(size), size) if size else 0
                         pred[ci] += diff
                         zz[0] = pred[ci]
                         k = 1
                         while k < 64:
-                            rs = _jpeg_decode_huffman(br, act)
+                            rs = _jpeg_decode_sym(br, act)
                             run, size = rs >> 4, rs & 15
                             if size == 0:
                                 if run == 15:
