@@ -1196,71 +1196,77 @@ def encode_jpeg(
     n_tables = 1 if channels == 1 else 2
     dc_freq = [dict() for _ in range(n_tables)]
     ac_freq = [dict() for _ in range(n_tables)]
-    pred = [0] * channels
 
-    def symbols(zz, ci: int):
-        t = comp_t[ci]
-        dc = int(zz[0])
-        diff = dc - pred[ci]
-        pred[ci] = dc
-        size, bits_val = _jpeg_magnitude(diff)
-        yield ("dc", t, size, bits_val, size)
-        run = 0
-        nz = [i for i in range(1, 64) if zz[i]]
-        last_nz = nz[-1] if nz else 0
-        for i in range(1, last_nz + 1):
-            v = int(zz[i])
-            if v == 0:
-                run += 1
-                continue
-            while run > 15:
-                yield ("ac", t, 0xF0, 0, 0)
-                run -= 16
-            size, bits_val = _jpeg_magnitude(v)
-            yield ("ac", t, (run << 4) | size, bits_val, size)
-            run = 0
-        if last_nz < 63:
-            yield ("ac", t, 0x00, 0, 0)
-
-    # ``restart_interval`` > 0 resets DC prediction every N MCUs in
-    # BOTH passes (symbol categories depend on the predictor), so the
-    # DRI/RSTn decode path can be exercised with real files.
+    # The symbol stream is deterministic given the blocks and restart
+    # interval (DC predictor resets included), so it is generated ONCE
+    # and replayed for both passes — pass 1 counts frequencies, pass 2
+    # writes bits (r8: was generated twice). Elements: None = restart
+    # boundary, else (is_dc, table, symbol, appended_bits, bit_count).
+    # ``restart_interval`` > 0 resets DC prediction every N MCUs, so
+    # the DRI/RSTn decode path can be exercised with real files.
     n_mcus = mcus_x * mcus_y
     blocks_per_mcu = sum(h_i * v_i for h_i, v_i in factors)
     seq = list(mcu_sequence())
-
-    def at_restart(mcu_i: int) -> bool:
-        return bool(restart_interval) and mcu_i and mcu_i % restart_interval == 0
-
+    stream: list = []
+    pred = [0] * channels
     for mcu_i in range(n_mcus):
-        if at_restart(mcu_i):
+        if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+            stream.append(None)
             pred = [0] * channels
-        for ci, zz in seq[
+        for ci, zz_row in seq[
             mcu_i * blocks_per_mcu : (mcu_i + 1) * blocks_per_mcu
         ]:
-            for kind, t, sym, _bv, _sz in symbols(zz, ci):
-                table = dc_freq[t] if kind == "dc" else ac_freq[t]
-                table[sym] = table.get(sym, 0) + 1
+            t = comp_t[ci]
+            zz = zz_row.tolist()  # one C-level conversion per block
+            diff = zz[0] - pred[ci]
+            pred[ci] = zz[0]
+            size, bits_val = _jpeg_magnitude(diff)
+            stream.append((True, t, size, bits_val, size))
+            dc_freq[t][size] = dc_freq[t].get(size, 0) + 1
+            run = 0
+            last_nz = 0
+            for i in range(63, 0, -1):
+                if zz[i]:
+                    last_nz = i
+                    break
+            af = ac_freq[t]
+            for i in range(1, last_nz + 1):
+                v = zz[i]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    stream.append((False, t, 0xF0, 0, 0))
+                    af[0xF0] = af.get(0xF0, 0) + 1
+                    run -= 16
+                size, bits_val = _jpeg_magnitude(v)
+                sym = (run << 4) | size
+                stream.append((False, t, sym, bits_val, size))
+                af[sym] = af.get(sym, 0) + 1
+                run = 0
+            if last_nz < 63:
+                stream.append((False, t, 0x00, 0, 0))
+                af[0x00] = af.get(0x00, 0) + 1
 
     dc_tabs = [_jpeg_canonical(_jpeg_huffman_lengths(f)) for f in dc_freq]
     ac_tabs = [_jpeg_canonical(_jpeg_huffman_lengths(f)) for f in ac_freq]
 
-    # pass 2: entropy-coded scan
-    pred = [0] * channels
+    # pass 2: entropy-coded scan (replay the stored stream)
     w = _BitWriter()
-    for mcu_i in range(n_mcus):
-        if at_restart(mcu_i):
+    dc_codes = [tab[2] for tab in dc_tabs]
+    ac_codes = [tab[2] for tab in ac_tabs]
+    rst_i = 0
+    for item in stream:
+        if item is None:
             w.flush()
-            w.out += bytes([0xFF, 0xD0 + (mcu_i // restart_interval - 1) % 8])
-            pred = [0] * channels
-        for ci, zz in seq[
-            mcu_i * blocks_per_mcu : (mcu_i + 1) * blocks_per_mcu
-        ]:
-            for kind, t, sym, bits_val, size in symbols(zz, ci):
-                code, ln = (dc_tabs if kind == "dc" else ac_tabs)[t][2][sym]
-                w.write(code, ln)
-                if size:
-                    w.write(bits_val, size)
+            w.out += bytes([0xFF, 0xD0 + rst_i % 8])
+            rst_i += 1
+            continue
+        is_dc, t, sym, bits_val, size = item
+        code, ln = (dc_codes if is_dc else ac_codes)[t][sym]
+        w.write(code, ln)
+        if size:
+            w.write(bits_val, size)
     w.flush()
 
     def segment(marker: int, payload: bytes) -> bytes:
