@@ -947,3 +947,49 @@ def test_jpeg_random_byte_flip_never_hangs_or_escapes(seed, data):
         pass  # detected corruption: the legal loud outcome
     out = _decode_media(blob)
     assert out["kind"] in ("jpeg", "decode_error", "opaque")
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    fmt=st.sampled_from(["png", "wav", "bmp", "gif", "tiff", "jpeg"]),
+    seed=st.integers(min_value=0, max_value=10**6),
+    data=st.data(),
+)
+def test_any_format_byte_flip_never_escapes_dispatcher(fmt, seed, data):
+    """Exception totality across ALL six formats (r8): a valid payload
+    with one random byte flipped (or the payload truncated at a random
+    point) must always come back from _decode_media as a well-formed
+    row — kind in {fmt, decode_error, opaque, others-on-magic-damage}
+    — and NEVER raise. This is the one-bad-payload-cannot-kill-the-job
+    property the mapInPandas path relies on."""
+    from ingest_spark.operators.media_codecs import (
+        encode_bmp,
+        encode_gif,
+        encode_jpeg,
+        encode_png,
+        encode_tiff,
+        encode_wav,
+    )
+    from ingest_spark.operators.multimodal import GIF_PALETTE, _decode_media
+
+    w, h = 5 + seed % 9, 3 + seed % 6
+    grey = bytes((seed + 3 * i) % 256 for i in range(w * h))
+    rgb = bytes((seed + 5 * i) % 256 for i in range(w * h * 3))
+    payload = {
+        "png": lambda: encode_png(w, h, grey),
+        "wav": lambda: encode_wav([(seed + i) % 2000 - 1000 for i in range(w * h)]),
+        "bmp": lambda: encode_bmp(w, h, rgb),
+        "gif": lambda: encode_gif(w, h, bytes(b % 16 for b in grey), GIF_PALETTE),
+        "tiff": lambda: encode_tiff(w, h, grey),
+        "jpeg": lambda: encode_jpeg(w, h, grey, quality=80),
+    }[fmt]()
+    mutated = bytearray(payload)
+    if data.draw(st.booleans()):
+        pos = data.draw(st.integers(min_value=0, max_value=len(mutated) - 1))
+        mutated[pos] ^= data.draw(st.integers(min_value=1, max_value=255))
+    else:
+        cut = data.draw(st.integers(min_value=0, max_value=len(mutated) - 1))
+        mutated = mutated[:cut]
+    out = _decode_media(bytes(mutated))  # must not raise, whatever happened
+    assert isinstance(out["kind"], str)
+    assert out["n_bytes"] == len(mutated)
