@@ -384,6 +384,10 @@ def decode_bmp(data: bytes) -> dict:
     top_down = height < 0
     height = abs(height)
     row_size = (width * 3 + 3) & ~3  # 4-byte aligned
+    # guard BEFORE allocating: corrupt headers must not turn into a
+    # multi-GB bytearray (one bad payload would OOM the executor)
+    if width < 0 or row_size * height > len(data):
+        raise ValueError("BMP truncated inside pixel data")
     pixels = bytearray(width * height * 3)
     for y in range(height):
         src_row = y if top_down else height - 1 - y
@@ -435,11 +439,18 @@ def encode_bmp(width: int, height: int, pixels: bytes) -> bytes:
 _GIF_MAX_WIDTH = 12  # spec: LZW codes never exceed 12 bits
 
 
-def _lzw_decode(data: bytes, min_code_size: int) -> bytearray:
+def _lzw_decode(
+    data: bytes, min_code_size: int, max_out: int | None = None
+) -> bytearray:
     """GIF-variant LZW decode (spec appendix F): variable code width
     starting at min_code_size+1, LSB-first bit packing, clear/end
     codes, width bump when the table reaches the current code range,
-    12-bit ceiling with append-freeze until the next clear."""
+    12-bit ceiling with append-freeze until the next clear.
+    ``max_out`` caps the output (r8): LZW expands up to ~4096x per
+    code, so without a cap a tiny crafted stream could balloon into a
+    multi-GB buffer — the caller passes the pixel count it needs and
+    decode stops there (a decompression-bomb guard, not a format
+    rule)."""
     clear = 1 << min_code_size
     end = clear + 1
     out = bytearray()
@@ -486,6 +497,8 @@ def _lzw_decode(data: bytes, min_code_size: int) -> bytearray:
         else:
             raise ValueError(f"GIF LZW code {code} beyond table {len(table)}")
         out += entry
+        if max_out is not None and len(out) >= max_out:
+            return out
         prev = entry
         if len(table) == (1 << width) and width < _GIF_MAX_WIDTH:
             width += 1
@@ -625,18 +638,21 @@ def decode_gif(data: bytes) -> dict:
                 raise ValueError("GIF truncated inside image sub-block")
             lzw += chunk
             pos += 1 + n
-        indices = _lzw_decode(bytes(lzw), min_code_size)
+        indices = _lzw_decode(bytes(lzw), min_code_size, width * height)
         if len(indices) < width * height:
             raise ValueError(
                 f"GIF decoded {len(indices)} indices for {width}x{height}"
             )
+        import numpy as np
+
         palette_size = len(table) // 3
-        pixels = bytearray(width * height * 3)
-        for i in range(width * height):
-            idx = indices[i]
-            if idx >= palette_size:
-                raise ValueError(f"GIF pixel index {idx} outside palette")
-            pixels[3 * i : 3 * i + 3] = table[3 * idx : 3 * idx + 3]
+        idxs = np.frombuffer(bytes(indices[: width * height]), dtype=np.uint8)
+        if idxs.size and int(idxs.max()) >= palette_size:
+            bad = int(idxs[idxs >= palette_size][0])
+            raise ValueError(f"GIF pixel index {bad} outside palette")
+        pal = np.frombuffer(bytes(table[: palette_size * 3]),
+                            dtype=np.uint8).reshape(palette_size, 3)
+        pixels = bytearray(pal[idxs].tobytes())
         n = len(pixels)
         return {
             "kind": "gif",
@@ -1553,11 +1569,20 @@ def decode_jpeg(data: bytes) -> dict:
     # dequant+IDCT runs vectorized over every block of a plane at once
     comp_bw = [mcus_x * h for h, _, _, _, _ in order]
     comp_bh = [mcus_y * v for _, v, _, _, _ in order]
+    segments = _split_entropy_segments(data, pos)
+    # plausibility guard BEFORE the coefficient buffers are allocated:
+    # every block costs at least 2 entropy bits (1-bit DC code + 1-bit
+    # EOB), so a corrupt SOF declaring a frame far larger than the
+    # available scan data must fail here, not OOM the executor with a
+    # multi-GB allocation
+    n_blocks_total = sum(comp_bw[ci] * comp_bh[ci] for ci in range(nc))
+    total_bits = sum(len(s) for s in segments) * 8
+    if n_blocks_total > total_bits // 2:
+        raise ValueError("JPEG truncated: frame larger than entropy data")
     comp_zz = [
         np.zeros((comp_bw[ci] * comp_bh[ci], 64), dtype=np.int32)
         for ci in range(nc)
     ]
-    segments = _split_entropy_segments(data, pos)
     seg_i = 0
     br = _SegReader(segments[0])
     pred = [0] * nc

@@ -790,3 +790,36 @@ def test_jpeg_resize_through_dispatcher(spark):
     resized = decode_png(bytes(out.resized))
     assert (resized["width"], resized["height"]) == (4, 4)
     assert set(resized["pixels"]) == {40, 200}
+
+
+def test_corrupt_headers_fail_fast_without_huge_allocation():
+    """r8 hardening: a corrupt header declaring a frame far larger
+    than the payload must raise BEFORE allocating pixel/coefficient
+    buffers (one bad payload must not OOM an executor), and the
+    dispatcher maps it to decode_error."""
+    import time
+
+    from ingest_spark.operators.media_codecs import (
+        decode_bmp,
+        decode_jpeg,
+        encode_bmp,
+        encode_jpeg,
+    )
+    from ingest_spark.operators.multimodal import _decode_media
+
+    jpeg = bytearray(encode_jpeg(16, 16, bytes(256)))
+    sof = jpeg.index(b"\xff\xc0")
+    jpeg[sof + 5 : sof + 9] = b"\xff\xff\xff\xff"  # height=width=65535
+    t0 = time.perf_counter()
+    with pytest.raises(ValueError, match="larger than entropy data"):
+        decode_jpeg(bytes(jpeg))
+    assert time.perf_counter() - t0 < 1.0  # fails fast, no 17 GB buffer
+    assert _decode_media(bytes(jpeg))["kind"] == "decode_error"
+
+    bmp = bytearray(encode_bmp(4, 4, bytes(48)))
+    bmp[18:26] = struct.pack("<ii", 2**20, 2**20)  # 1Mx1M "image"
+    t0 = time.perf_counter()
+    with pytest.raises(ValueError, match="truncated"):
+        decode_bmp(bytes(bmp))
+    assert time.perf_counter() - t0 < 1.0
+    assert _decode_media(bytes(bmp))["kind"] == "decode_error"
