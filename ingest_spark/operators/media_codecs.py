@@ -23,7 +23,9 @@ standard library (VERDICT r4 §Next #1; GIF added r6 per r5 §Next #5):
   (8/16-bit), canonical Huffman rebuild (T.81 C.2), magnitude
   decode, batch dequant + einsum IDCT, DRI/RSTn. Greyscale and
   YCbCr with any per-component sampling factors 1..4 (4:4:4, 4:2:2,
-  4:4:0, 4:2:0); progressive / 12-bit raise.
+  4:4:0, 4:2:0); BOTH baseline-sequential and progressive (SOF2,
+  spectral selection + successive approximation) decode since r8;
+  12-bit / lossless / arithmetic raise.
 
 Everything is stdlib except numpy (a hard pyspark dependency, so
 always present) for the DCT/color/resample inner loops — measured
@@ -1084,6 +1086,220 @@ def _rgb_to_ycbcr(pixels: bytes, n: int):
     return y, cb, cr
 
 
+def _encode_progressive(width, height, channels, factors, comp_q, comp_t,
+                        quants, comp_zz, comp_bw, mcus_x, mcus_y, seq):
+    """Assemble a progressive (SOF2) JFIF file from already-quantized
+    coefficients: spectral selection (DC scan, then AC bands 1-5 and
+    6-63 per component) AND successive approximation (first passes at
+    Al=1, one refinement pass each to Al=0). Symbol/bit streams mirror
+    libjpeg's jcphuff.c encoders (the public reference for the exact
+    buffered-correction-bit order), so the decoder's G.1.2 passes
+    invert them exactly; the round-trip oracle is pixel equality with
+    the baseline encoding of the same blocks."""
+    hmax = max(h for h, _ in factors)
+    vmax = max(v for _, v in factors)
+    nbw = [-(-(-(-width * h // hmax)) // 8) for h, _ in factors]
+    nbh = [-(-(-(-height * v // vmax)) // 8) for _, v in factors]
+
+    def segment(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += segment(
+        0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0)
+    )
+    for ti, q in enumerate(quants):
+        zzq = bytes(q[z] for z in _JPEG_ZIGZAG)
+        out += segment(0xDB, bytes([ti]) + zzq)
+    sof = struct.pack(">BHHB", 8, height, width, channels)
+    for ci in range(channels):
+        h_i, v_i = factors[ci]
+        sof += bytes([ci + 1, (h_i << 4) | v_i, comp_q[ci]])
+    out += segment(0xC2, sof)  # progressive DCT frame
+
+    def write_scan(scomp_ids, ss, se, ah, al, ops, freqs, cls_kind):
+        """Emit DHT(s) for the used table classes + SOS + entropy."""
+        codes = {}
+        for cls, freq in freqs.items():
+            if not freq:
+                continue
+            bits, huffval, cmap = _jpeg_canonical(_jpeg_huffman_lengths(freq))
+            codes[cls] = cmap
+            out.extend(segment(
+                0xC4,
+                bytes([(0 if cls_kind == "dc" else 1) << 4 | cls])
+                + bytes(bits[1:]) + bytes(huffval),
+            ))
+        sos = bytes([len(scomp_ids)])
+        for ci in scomp_ids:
+            t = comp_t[ci]
+            sos += bytes([ci + 1, (t << 4) | t])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out.extend(segment(0xDA, sos))
+        w = _BitWriter()
+        for op in ops:
+            if op[0] == "s":
+                code, ln = codes[op[1]][op[2]]
+                w.write(code, ln)
+            else:
+                w.write(op[1], op[2])
+        w.flush()
+        out.extend(w.out)
+
+    all_comps = list(range(channels))
+
+    # ---- scan 1: DC first pass, interleaved, Al=1
+    for al in (1,):
+        ops = []
+        freqs = {0: {}, 1: {}} if channels == 3 else {0: {}}
+        pred = [0] * channels
+        for ci, zz in seq:
+            t = comp_t[ci]
+            dc = int(zz[0]) >> al  # arithmetic shift per G.1.2.1
+            diff = dc - pred[ci]
+            pred[ci] = dc
+            size, bv = _jpeg_magnitude(diff)
+            ops.append(("s", t, size))
+            freqs[t][size] = freqs[t].get(size, 0) + 1
+            if size:
+                ops.append(("b", bv, size))
+        write_scan(all_comps, 0, 0, 0, al, ops, freqs, "dc")
+
+    # ---- scan 2: DC refinement to Al=0 (raw bits, no Huffman)
+    ops = [("b", (int(zz[0]) >> 0) & 1, 1) for _ci, zz in seq]
+    write_scan(all_comps, 0, 0, 1, 0, ops, {}, "dc")
+
+    bands = ((1, 5), (6, 63))
+
+    def ac_block_rows(ci):
+        arr = comp_zz[ci]
+        for by in range(nbh[ci]):
+            for bx in range(nbw[ci]):
+                yield arr[by * comp_bw[ci] + bx]
+
+    # ---- AC first passes (Ah=0, Al=1), one scan per component+band
+    for ci in all_comps:
+        cls = comp_t[ci]
+        for ss, se in bands:
+            ops = []
+            freq = {}
+            eobrun = 0
+
+            def sym(s):
+                ops.append(("s", cls, s))
+                freq[s] = freq.get(s, 0) + 1
+
+            def flush_eob():
+                nonlocal eobrun
+                if eobrun:
+                    nbits = eobrun.bit_length() - 1
+                    sym(nbits << 4)
+                    if nbits:
+                        ops.append(("b", eobrun & ((1 << nbits) - 1), nbits))
+                    eobrun = 0
+
+            al = 1
+            for row in ac_block_rows(ci):
+                tvals = []
+                for k in range(ss, se + 1):
+                    v = int(row[k])
+                    tvals.append((abs(v) >> al) * (1 if v >= 0 else -1))
+                nz = [i for i, v in enumerate(tvals) if v]
+                if not nz:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+                    continue
+                flush_eob()
+                r = 0
+                for i in range(nz[-1] + 1):
+                    v = tvals[i]
+                    if v == 0:
+                        r += 1
+                        continue
+                    while r > 15:
+                        sym(0xF0)
+                        r -= 16
+                    size, bv = _jpeg_magnitude(v)
+                    sym((r << 4) | size)
+                    ops.append(("b", bv, size))
+                    r = 0
+                if nz[-1] < se - ss:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+            flush_eob()
+            write_scan([ci], ss, se, 0, al, ops, {cls: freq}, "ac")
+
+    # ---- AC refinement passes (Ah=1 -> Al=0)
+    for ci in all_comps:
+        cls = comp_t[ci]
+        for ss, se in bands:
+            ops = []
+            freq = {}
+            eobrun = 0
+            be = []  # correction bits pending until the next EOBn
+
+            def sym(s):
+                ops.append(("s", cls, s))
+                freq[s] = freq.get(s, 0) + 1
+
+            def flush_eob():
+                nonlocal eobrun, be
+                if eobrun:
+                    nbits = eobrun.bit_length() - 1
+                    sym(nbits << 4)
+                    if nbits:
+                        ops.append(("b", eobrun & ((1 << nbits) - 1), nbits))
+                    for b in be:
+                        ops.append(("b", b, 1))
+                    be = []
+                    eobrun = 0
+
+            al = 0
+            for row in ac_block_rows(ci):
+                absv = [abs(int(row[k])) >> al for k in range(ss, se + 1)]
+                eob_i = -1  # index (in band) of last NEWLY significant
+                for i, t in enumerate(absv):
+                    if t == 1:
+                        eob_i = i
+                r = 0
+                br_local = []
+                for i in range(len(absv)):
+                    t = absv[i]
+                    if t == 0:
+                        r += 1
+                        continue
+                    while r > 15 and i <= eob_i:
+                        flush_eob()
+                        sym(0xF0)
+                        for b in br_local:
+                            ops.append(("b", b, 1))
+                        br_local = []
+                        r -= 16
+                    if t > 1:
+                        br_local.append(t & 1)
+                        continue
+                    flush_eob()
+                    sym((r << 4) | 1)
+                    ops.append(
+                        ("b", 1 if int(row[ss + i]) >= 0 else 0, 1))
+                    for b in br_local:
+                        ops.append(("b", b, 1))
+                    br_local = []
+                    r = 0
+                if r > 0 or br_local:
+                    eobrun += 1
+                    be.extend(br_local)
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+            flush_eob()
+            write_scan([ci], ss, se, 1, al, ops, {cls: freq}, "ac")
+
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
 # chroma sampling layouts: component order (Y, Cb, Cr) -> (h_i, v_i)
 _JPEG_SAMPLING = {
     "444": ((1, 1), (1, 1), (1, 1)),
@@ -1121,6 +1337,7 @@ def encode_jpeg(
     quality: int | None = None,
     restart_interval: int = 0,
     sampling: str = "444",
+    progressive: bool = False,
 ) -> bytes:
     """Pixels -> a complete baseline-sequential JFIF file (VERDICT r6
     §Next #4; r8 adds chroma subsampling per r7 §Next #2).
@@ -1149,6 +1366,8 @@ def encode_jpeg(
         raise ValueError("dimensions out of range")
     if sampling not in _JPEG_SAMPLING:
         raise ValueError(f"sampling must be one of {sorted(_JPEG_SAMPLING)}")
+    if progressive and restart_interval:
+        raise ValueError("restart_interval is not supported with progressive")
     n = width * height
     if channels == 1:
         factors = [(1, 1)]
@@ -1223,6 +1442,11 @@ def encode_jpeg(
     n_mcus = mcus_x * mcus_y
     blocks_per_mcu = sum(h_i * v_i for h_i, v_i in factors)
     seq = list(mcu_sequence())
+    if progressive:
+        return _encode_progressive(
+            width, height, channels, factors, comp_q, comp_t, quants,
+            comp_zz, comp_bw, mcus_x, mcus_y, seq,
+        )
     stream: list = []
     pred = [0] * channels
     for mcu_i in range(n_mcus):
@@ -1317,17 +1541,20 @@ def encode_jpeg(
     return bytes(out)
 
 
-def _split_entropy_segments(data: bytes, pos: int) -> list[bytes]:
+def _split_entropy_segments(data: bytes, pos: int) -> tuple[list[bytes], int]:
     """Destuff the entropy-coded stream starting at ``pos`` in ONE
-    forward pass: returns the byte segments between RSTn markers
-    (FF00 stuffing removed, FF fill-byte runs skipped), stopping at
-    the first real marker. Doing this up front lets the bit reader be
-    pure shift arithmetic over a contiguous buffer — no per-byte
-    stuffing checks in the hot loop."""
+    forward pass: returns (segments, end) — the byte segments between
+    RSTn markers (FF00 stuffing removed, FF fill-byte runs skipped)
+    and the position of the terminating real marker's 0xFF (or
+    len(data)). Doing this up front lets the bit reader be pure shift
+    arithmetic over a contiguous buffer — no per-byte stuffing checks
+    in the hot loop — and the end position lets a progressive decoder
+    resume the marker walk after each scan."""
     segs: list[bytes] = []
     cur = bytearray()
     n = len(data)
     i = pos
+    end = n
     while i < n:
         j = data.find(b"\xff", i)
         if j < 0:
@@ -1347,9 +1574,10 @@ def _split_entropy_segments(data: bytes, pos: int) -> list[bytes]:
         elif nxt == 0xFF:
             i = j + 1  # fill byte: re-examine from the next 0xFF
         else:
-            break  # real marker: end of scan
+            end = j  # real marker: end of scan
+            break
     segs.append(bytes(cur))
-    return segs
+    return segs, end
 
 
 class _SegReader:
@@ -1424,26 +1652,245 @@ def _jpeg_extend(v: int, size: int) -> int:
     return v if size == 0 or v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
+def _jpeg_scan_ac_first(row, br, ss, se, al, act, eobrun):
+    """Progressive AC first pass (T.81 G.1.2.2) for one block: band
+    coefficients at reduced precision with cross-block EOB runs.
+    Returns the updated eobrun."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = _jpeg_decode_sym(br, act)
+        r, s = sym >> 4, sym & 15
+        if s:
+            k += r
+            if k > se:
+                raise ValueError("JPEG AC run overflows band")
+            row[k] = _jpeg_extend(br.bits(s), s) << al
+            k += 1
+        else:
+            if r == 15:
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += br.bits(r)
+            break
+    return eobrun
+
+
+def _jpeg_scan_ac_refine(row, br, ss, se, al, act, eobrun):
+    """Progressive AC refinement pass (T.81 G.1.2.3) for one block:
+    newly-significant coefficients plus correction bits for
+    previously-significant ones (mirrors libjpeg's
+    decode_mcu_AC_refine, the public reference for the bit order).
+    Returns the updated eobrun."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = _jpeg_decode_sym(br, act)
+            r, s = sym >> 4, sym & 15
+            s_val = 0
+            if s == 0:
+                if r < 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.bits(r)
+                    break  # tail below handles this block + decrements
+                # r == 15: ZRL — skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError("JPEG bad AC refinement symbol")
+                s_val = p1 if br.bits(1) else m1
+            while k <= se:
+                if row[k] != 0:
+                    if br.bits(1) and (row[k] & p1) == 0:
+                        row[k] += p1 if row[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s_val and k <= se:
+                row[k] = s_val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if row[k] != 0:
+                if br.bits(1) and (row[k] & p1) == 0:
+                    row[k] += p1 if row[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+class _SegmentCursor:
+    """Restart-boundary iteration over destuffed entropy segments."""
+
+    def __init__(self, segments: list[bytes]) -> None:
+        self.segments = segments
+        self.i = 0
+        self.br = _SegReader(segments[0])
+
+    def advance(self) -> None:
+        self.i += 1
+        if self.i >= len(self.segments):
+            raise ValueError("JPEG expected restart marker")
+        self.br = _SegReader(self.segments[self.i])
+
+
+def _jpeg_decode_scan(fs, scomps, tabs, segments, restart_interval,
+                      ss, se, ah, al):
+    """Decode one scan (sequential or any progressive pass) into the
+    frame's coefficient buffers. ``scomps``: frame component indices
+    in scan order; ``tabs``: (dc_table, ac_table) per scan component
+    (either may be None when the pass doesn't use it)."""
+    cur = _SegmentCursor(segments)
+    pred = [0] * len(scomps)
+    interleaved = len(scomps) > 1
+    if ss == 0 and se == 63:  # sequential: DC+AC in one pass
+        mcu_index = 0
+        for my in range(fs["mcus_y"]):
+            for mx in range(fs["mcus_x"]):
+                if restart_interval and mcu_index and \
+                        mcu_index % restart_interval == 0:
+                    cur.advance()
+                    pred = [0] * len(scomps)
+                mcu_index += 1
+                br = cur.br
+                for si, ci in enumerate(scomps):
+                    h_i, v_i = fs["factors"][ci]
+                    if not interleaved:
+                        h_i = v_i = 1  # handled by caller geometry
+                    dct, act = tabs[si]
+                    for iby in range(v_i):
+                        for ibx in range(h_i):
+                            zz = [0] * 64
+                            size = _jpeg_decode_sym(br, dct)
+                            diff = (_jpeg_extend(br.bits(size), size)
+                                    if size else 0)
+                            pred[si] += diff
+                            zz[0] = pred[si]
+                            k = 1
+                            while k < 64:
+                                rs = _jpeg_decode_sym(br, act)
+                                run, size = rs >> 4, rs & 15
+                                if size == 0:
+                                    if run == 15:
+                                        k += 16
+                                        continue
+                                    break  # EOB
+                                k += run
+                                if k > 63:
+                                    raise ValueError(
+                                        "JPEG AC run overflows block")
+                                zz[k] = _jpeg_extend(br.bits(size), size)
+                                k += 1
+                            idx = ((my * v_i + iby) * fs["bw"][ci]
+                                   + mx * h_i + ibx)
+                            fs["zz"][ci][idx] = zz
+        return
+    if ss == 0:  # progressive DC scan (first or refinement)
+        mcu_index = 0
+        if interleaved:
+            for my in range(fs["mcus_y"]):
+                for mx in range(fs["mcus_x"]):
+                    if restart_interval and mcu_index and \
+                            mcu_index % restart_interval == 0:
+                        cur.advance()
+                        pred = [0] * len(scomps)
+                    mcu_index += 1
+                    br = cur.br
+                    for si, ci in enumerate(scomps):
+                        h_i, v_i = fs["factors"][ci]
+                        dct, _ = tabs[si]
+                        for iby in range(v_i):
+                            for ibx in range(h_i):
+                                idx = ((my * v_i + iby) * fs["bw"][ci]
+                                       + mx * h_i + ibx)
+                                arr = fs["zz"][ci]
+                                if ah == 0:
+                                    size = _jpeg_decode_sym(br, dct)
+                                    diff = (_jpeg_extend(br.bits(size), size)
+                                            if size else 0)
+                                    pred[si] += diff
+                                    arr[idx, 0] = pred[si] << al
+                                elif br.bits(1):
+                                    arr[idx, 0] |= 1 << al
+        else:
+            ci = scomps[0]
+            dct, _ = tabs[0]
+            arr = fs["zz"][ci]
+            for by in range(fs["nbh"][ci]):
+                for bx in range(fs["nbw"][ci]):
+                    if restart_interval and mcu_index and \
+                            mcu_index % restart_interval == 0:
+                        cur.advance()
+                        pred = [0]
+                    mcu_index += 1
+                    br = cur.br
+                    idx = by * fs["bw"][ci] + bx
+                    if ah == 0:
+                        size = _jpeg_decode_sym(br, dct)
+                        diff = (_jpeg_extend(br.bits(size), size)
+                                if size else 0)
+                        pred[0] += diff
+                        arr[idx, 0] = pred[0] << al
+                    elif br.bits(1):
+                        arr[idx, 0] |= 1 << al
+        return
+    # progressive AC scan: single component, non-interleaved
+    if interleaved:
+        raise ValueError("JPEG progressive AC scan must be single-component")
+    ci = scomps[0]
+    _, act = tabs[0]
+    arr = fs["zz"][ci]
+    eobrun = 0
+    mcu_index = 0
+    for by in range(fs["nbh"][ci]):
+        for bx in range(fs["nbw"][ci]):
+            if restart_interval and mcu_index and \
+                    mcu_index % restart_interval == 0:
+                cur.advance()
+                eobrun = 0
+            mcu_index += 1
+            row = arr[by * fs["bw"][ci] + bx]
+            if ah == 0:
+                eobrun = _jpeg_scan_ac_first(
+                    row, cur.br, ss, se, al, act, eobrun)
+            else:
+                eobrun = _jpeg_scan_ac_refine(
+                    row, cur.br, ss, se, al, act, eobrun)
+
+
 def decode_jpeg(data: bytes) -> dict:
-    """Baseline-sequential JFIF bytes -> dims + pixel stats + RGB/grey
-    pixels. Marker walk, DQT (8- and 16-bit), canonical DHT rebuild
+    """JFIF bytes -> dims + pixel stats + RGB/grey pixels. Marker
+    walk, DQT (8- and 16-bit), canonical DHT rebuild + 8-bit LUT
     (T.81 C.2), Huffman + magnitude decode, vectorized dequant + float
     IDCT, optional DRI/RSTn. Greyscale and YCbCr with ANY sampling
     factors 1..4 per component (4:4:4, 4:2:2, 4:4:0, 4:2:0 — the
-    real-world camera default — all covered; r7 §Next #2): the MCU
-    loop follows per-component (h_i, v_i) geometry per T.81 A.2.3 and
-    chroma upsamples by nearest-index replication. Progressive
-    (SOF2), extended/arithmetic, and 12-bit streams raise ValueError —
-    callers dispatch, they don't guess."""
+    real-world camera default): the MCU loop follows per-component
+    (h_i, v_i) geometry per T.81 A.2.3 and chroma upsamples by
+    nearest-index replication. BOTH baseline-sequential (SOF0) and
+    progressive (SOF2 — spectral selection AND successive
+    approximation, per-scan DC/AC first + refinement passes with
+    cross-block EOB runs, r8) decode; extended/arithmetic/lossless
+    SOFs and 12-bit raise ValueError — callers dispatch, they don't
+    guess."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (bad SOI)")
+    import numpy as np
+
     pos = 2
     quants: dict[int, list[int]] = {}
-    dc_tables: dict[int, dict] = {}
-    ac_tables: dict[int, dict] = {}
+    dc_tables: dict[int, tuple] = {}
+    ac_tables: dict[int, tuple] = {}
     frame = None
+    progressive = False
     restart_interval = 0
-    scan = None
+    fs = None  # frame geometry + coefficient state, built at first SOS
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"JPEG expected marker at {pos}")
@@ -1455,8 +1902,10 @@ def decode_jpeg(data: bytes) -> dict:
             raise ValueError("JPEG truncated at marker")
         marker = data[pos + 1]
         pos += 2
-        if marker == 0xD9:  # EOI before scan
-            raise ValueError("JPEG contains no scan")
+        if marker == 0xD9:  # EOI
+            if fs is None:
+                raise ValueError("JPEG contains no scan")
+            break
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue
         if pos + 2 > len(data):
@@ -1508,7 +1957,8 @@ def decode_jpeg(data: bytes) -> dict:
                         p += 1
                     code <<= 1
                 (dc_tables if cls == 0 else ac_tables)[ti] = (lut, table)
-        elif marker == 0xC0:
+        elif marker in (0xC0, 0xC2):
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise ValueError("JPEG 12-bit precision unsupported")
@@ -1521,116 +1971,121 @@ def decode_jpeg(data: bytes) -> dict:
                 if not (1 <= h_i <= 4 and 1 <= v_i <= 4):
                     raise ValueError(f"JPEG bad sampling factors {h_i}x{v_i}")
                 comps.append((cid, h_i, v_i, tq))
+            if nc == 1:
+                # T.81 A.2: with one component every scan is
+                # non-interleaved; factors don't shape the MCU grid
+                cid, _h, _v, tq = comps[0]
+                comps = [(cid, 1, 1, tq)]
             frame = (w, h, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError(f"JPEG SOF 0x{marker:02x} (non-baseline) unsupported")
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"JPEG SOF 0x{marker:02x} (non-baseline) unsupported")
         elif marker == 0xDD:
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
         elif marker == 0xDA:
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
-            scan = []
+            if len(seg) < 1 + 2 * ns + 3:
+                raise ValueError("JPEG truncated scan header")
+            width, height, comps = frame
+            by_id = {c[0]: i for i, c in enumerate(comps)}
+            ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 15
+            if not progressive and (ss, se, ah, al) != (0, 63, 0, 0):
+                raise ValueError("JPEG bad sequential scan header")
+            if progressive and (se > 63 or ss > se or al > 13):
+                raise ValueError("JPEG bad progressive scan header")
+            scomps = []
+            tabs = []
             for i in range(ns):
                 cs, tt = seg[1 + 2 * i : 3 + 2 * i]
-                scan.append((cs, tt >> 4, tt & 15))
-            pos -= len(seg) - (1 + 2 * ns + 3)  # rewind to entropy data
-            break
+                if cs not in by_id:
+                    raise ValueError("JPEG scan names unknown component")
+                td, ta = tt >> 4, tt & 15
+                need_dc = ss == 0 and (ah == 0 or not progressive)
+                need_ac = se > 0
+                dct = None
+                act = None
+                if need_dc:
+                    if td not in dc_tables:
+                        raise ValueError("JPEG missing quant/Huffman table")
+                    dct = dc_tables[td]
+                if need_ac:
+                    if ta not in ac_tables:
+                        raise ValueError("JPEG missing quant/Huffman table")
+                    act = ac_tables[ta]
+                scomps.append(by_id[cs])
+                tabs.append((dct, act))
+            if not progressive and len(scomps) != len(comps):
+                raise ValueError("JPEG scan/frame component mismatch")
+            ep = pos - (len(seg) - (1 + 2 * ns + 3))  # entropy start
+            segments, end = _split_entropy_segments(data, ep)
+            if fs is None:
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcus_x = -(-width // (8 * hmax))
+                mcus_y = -(-height // (8 * vmax))
+                bw = [mcus_x * c[1] for c in comps]
+                bh = [mcus_y * c[2] for c in comps]
+                n_blocks_total = sum(
+                    bw[i] * bh[i] for i in range(len(comps)))
+                # plausibility guards BEFORE allocating coefficient
+                # buffers: a corrupt SOF declaring a frame far larger
+                # than the remaining payload (>= ~2 bits/block across
+                # all scans) must fail here, not OOM the executor
+                remaining_bits = (len(data) - ep) * 8
+                if n_blocks_total * 2 > remaining_bits:
+                    raise ValueError(
+                        "JPEG truncated: frame larger than entropy data")
+                if n_blocks_total > (1 << 22):
+                    raise ValueError("JPEG frame too large for this decoder")
+                fs = {
+                    "width": width,
+                    "height": height,
+                    "hmax": hmax,
+                    "vmax": vmax,
+                    "mcus_x": mcus_x,
+                    "mcus_y": mcus_y,
+                    "factors": [(c[1], c[2]) for c in comps],
+                    "tq": [c[3] for c in comps],
+                    "bw": bw,
+                    "bh": bh,
+                    # non-interleaved grid: ceil(comp_dim / 8) where
+                    # comp_dim = ceil(frame_dim * factor / max_factor)
+                    "nbw": [
+                        -(-(-(-width * c[1] // hmax)) // 8) for c in comps
+                    ],
+                    "nbh": [
+                        -(-(-(-height * c[2] // vmax)) // 8) for c in comps
+                    ],
+                    "zz": [
+                        np.zeros((bw[i] * bh[i], 64), dtype=np.int32)
+                        for i in range(len(comps))
+                    ],
+                }
+            _jpeg_decode_scan(fs, scomps, tabs, segments, restart_interval,
+                              ss, se, ah, al)
+            pos = end
         # APPn / COM / anything else with a length: skipped
-    if scan is None or frame is None:
+    if fs is None or frame is None:
         raise ValueError("JPEG contains no scan")
-    import numpy as np
-
     width, height, comps = frame
-    if len(scan) != len(comps):
-        raise ValueError("JPEG scan/frame component mismatch")
-    by_id = {cid: (h_i, v_i, tq) for cid, h_i, v_i, tq in comps}
-    order = []  # (h, v, quant, dc_table, ac_table) per scan component
-    for cs, td, ta in scan:
-        if cs not in by_id:
-            raise ValueError("JPEG scan names unknown component")
-        h_i, v_i, tq = by_id[cs]
-        if tq not in quants or td not in dc_tables or ta not in ac_tables:
+    nc = len(comps)
+    for tq in fs["tq"]:
+        if tq not in quants:
             raise ValueError("JPEG missing quant/Huffman table")
-        order.append((h_i, v_i, quants[tq], dc_tables[td], ac_tables[ta]))
-    nc = len(order)
-    if nc == 1:
-        # T.81 A.2: a single-component scan is non-interleaved — the
-        # MCU is one data unit and the sampling factors do not shape
-        # the MCU grid (the lone component covers full resolution)
-        h_i, v_i, quant, dct, act = order[0]
-        order = [(1, 1, quant, dct, act)]
-    hmax = max(h for h, _, _, _, _ in order)
-    vmax = max(v for _, v, _, _, _ in order)
-    mcus_x = -(-width // (8 * hmax))
-    mcus_y = -(-height // (8 * vmax))
-    # per-component block grid (full interleaved-MCU coverage) and a
-    # zigzag-coef buffer per block — entropy decode is serial, but the
-    # dequant+IDCT runs vectorized over every block of a plane at once
-    comp_bw = [mcus_x * h for h, _, _, _, _ in order]
-    comp_bh = [mcus_y * v for _, v, _, _, _ in order]
-    segments = _split_entropy_segments(data, pos)
-    # plausibility guard BEFORE the coefficient buffers are allocated:
-    # every block costs at least 2 entropy bits (1-bit DC code + 1-bit
-    # EOB), so a corrupt SOF declaring a frame far larger than the
-    # available scan data must fail here, not OOM the executor with a
-    # multi-GB allocation
-    n_blocks_total = sum(comp_bw[ci] * comp_bh[ci] for ci in range(nc))
-    total_bits = sum(len(s) for s in segments) * 8
-    if n_blocks_total > total_bits // 2:
-        raise ValueError("JPEG truncated: frame larger than entropy data")
-    comp_zz = [
-        np.zeros((comp_bw[ci] * comp_bh[ci], 64), dtype=np.int32)
-        for ci in range(nc)
-    ]
-    seg_i = 0
-    br = _SegReader(segments[0])
-    pred = [0] * nc
-    mcu_index = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
-                # next destuffed segment IS the post-RSTn data; a
-                # missing segment means the marker never came
-                seg_i += 1
-                if seg_i >= len(segments):
-                    raise ValueError("JPEG expected restart marker")
-                br = _SegReader(segments[seg_i])
-                pred = [0] * nc
-            mcu_index += 1
-            for ci, (h_i, v_i, quant, dct, act) in enumerate(order):
-                for iby in range(v_i):
-                    for ibx in range(h_i):
-                        zz = [0] * 64
-                        size = _jpeg_decode_sym(br, dct)
-                        diff = _jpeg_extend(br.bits(size), size) if size else 0
-                        pred[ci] += diff
-                        zz[0] = pred[ci]
-                        k = 1
-                        while k < 64:
-                            rs = _jpeg_decode_sym(br, act)
-                            run, size = rs >> 4, rs & 15
-                            if size == 0:
-                                if run == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += run
-                            if k > 63:
-                                raise ValueError("JPEG AC run overflows block")
-                            zz[k] = _jpeg_extend(br.bits(size), size)
-                            k += 1
-                        idx = (my * v_i + iby) * comp_bw[ci] + mx * h_i + ibx
-                        comp_zz[ci][idx] = zz
+    hmax, vmax = fs["hmax"], fs["vmax"]
     # vectorized dequant + IDCT + plane assembly + upsample per comp
-    ys = None
     planes = []
-    for ci, (h_i, v_i, quant, _dct, _act) in enumerate(order):
-        blocks = _idct_blocks(comp_zz[ci], quant)  # (n, 8, 8) uint8
+    for ci in range(nc):
+        h_i, v_i = fs["factors"][ci]
+        blocks = _idct_blocks(fs["zz"][ci], quants[fs["tq"][ci]])
         plane = (
-            blocks.reshape(comp_bh[ci], comp_bw[ci], 8, 8)
+            blocks.reshape(fs["bh"][ci], fs["bw"][ci], 8, 8)
             .transpose(0, 2, 1, 3)
-            .reshape(comp_bh[ci] * 8, comp_bw[ci] * 8)
+            .reshape(fs["bh"][ci] * 8, fs["bw"][ci] * 8)
         )
         # crop to the component's real sample dims, then upsample to
         # full resolution by nearest-index replication

@@ -4,14 +4,15 @@ Image/audio/video payloads ride as opaque ``binary`` columns next to a
 typed metadata struct. Everything Spark-side is real — schema, Arrow
 batch shape, partition-friendly layout — and, since round 5, so is the
 decode: PNG (incl. palette), WAV, BMP, GIF (real LZW), baseline TIFF
-and — since round 7 — baseline-sequential JPEG (real Huffman + DCT)
+and JPEG — baseline-sequential since round 7, chroma-subsampled and
+progressive (SOF2) since round 8 (real Huffman + DCT) —
 payloads go through the pure-stdlib codecs in
 ``operators.media_codecs``, emitting real dimensions/channels/sample
 stats. Payloads in a format no codec covers (video containers, ...)
 fall back to the clearly-marked deterministic byte-stat stub with
 kind='opaque'; payloads that sniff as a known format but fail to
-decode (corruption, truncation, progressive JPEG, ...) come back as
-kind='decode_error' rows — the decode dispatcher is exception-total,
+decode (corruption, truncation, a 12-bit or arithmetic-coded JPEG,
+...) come back as kind='decode_error' rows — the decode dispatcher is exception-total,
 so one bad payload in a corpus can never kill the job (on a cluster
 with PIL/ffmpeg installed, swap the dispatcher's fallback — the
 Spark plumbing doesn't change).
@@ -102,10 +103,11 @@ MEDIA_DECODED_SCHEMA = T.StructType(
 )
 
 # Exceptions the stdlib codecs legitimately raise on corrupt, truncated,
-# or unsupported-variant payloads (e.g. a progressive JPEG, a bit-flipped
-# PNG).  _decode_media maps ANY of these to kind='decode_error' instead
-# of letting them escape the Arrow batch and fail the task — one bad
-# payload in a 100 TB corpus must never kill the job (VERDICT r7 #1).
+# or unsupported-variant payloads (e.g. a 12-bit JPEG, a bit-flipped
+# PNG; progressive JPEG decodes for real since r8).  _decode_media maps
+# ANY of these to kind='decode_error' instead of letting them escape the
+# Arrow batch and fail the task — one bad payload in a 100 TB corpus
+# must never kill the job (VERDICT r7 #1).
 _CODEC_ERRORS: tuple[type[BaseException], ...] = (
     ValueError, IndexError, KeyError, OverflowError, EOFError,
     _struct.error, _zlib.error,
@@ -133,7 +135,7 @@ def _decode_media(payload: bytes) -> dict:
 
     EXCEPTION-TOTAL (VERDICT r7 §Next #1): a payload that sniffs as a
     known format but fails to decode — corrupt bytes, truncation, or
-    an unsupported variant such as a progressive JPEG — yields
+    an unsupported variant such as a 12-bit JPEG — yields
     kind='decode_error' with the media fields NULL and ``n_bytes``
     preserved for auditability, instead of raising out of the Arrow
     batch and killing the task. All branches share one output dict
@@ -258,13 +260,15 @@ def attach_media_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame
     - id%7==4 -> greyscale baseline TIFF (alternating II/MM byte
       order on id%12), width=1+id%10, height=1+id%5, every pixel =
       id%256  => mean_value == id%256 exactly;
-    - id%7==5 -> greyscale baseline JPEG (r6 §Next #4), width =
+    - id%7==5 -> greyscale JPEG (r6 §Next #4) — BASELINE for even
+      ids, PROGRESSIVE (SOF2 multi-scan, r8) for odd ids; width =
       8*(1+id%2), height = 8*(1+id%3), 8x8 tile t (raster order) all
       = (id*37 + t*101)%256. With the all-ones quant tables
       (quality=None) a constant DCT block survives quantization
-      bit-exactly, so mean_value == avg over tiles of
-      (id*37 + t*101)%256 EXACTLY — a real Huffman+DCT decode the
-      oracle can still predict closed-form;
+      bit-exactly, and progressive carries the SAME coefficients, so
+      mean_value == avg over tiles of (id*37 + t*101)%256 EXACTLY for
+      both variants — the oracle needs no baseline/progressive split,
+      which is itself the equivalence proof;
     - id%7==6 -> utf-8 text bytes (opaque fallback exercise).
 
     Encoding runs distributed (mapInPandas), so the fixture generation
@@ -321,7 +325,12 @@ def attach_media_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame
                         for x in range(w):
                             t = (y // 8) * tiles_per_row + (x // 8)
                             px[y * w + x] = (doc_id * 37 + t * 101) % 256
-                    payloads.append(encode_jpeg(w, h, bytes(px)))
+                    payloads.append(
+                        encode_jpeg(
+                            w, h, bytes(px),
+                            progressive=bool(doc_id % 2),
+                        )
+                    )
                 else:
                     payloads.append(str(txt).encode("utf-8"))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})

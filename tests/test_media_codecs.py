@@ -546,10 +546,17 @@ def test_jpeg_rejects_unsupported():
     good = encode_jpeg(16, 8, px)
     sof = good.find(b"\xff\xc0")
 
+    # r8: progressive (SOF2) is now SUPPORTED. A baseline file patched
+    # to SOF2 carries one full-band scan, which the multi-scan decoder
+    # handles as the degenerate single-pass case — identical pixels.
     progressive = bytearray(good)
     progressive[sof + 1] = 0xC2
+    assert decode_jpeg(bytes(progressive))["pixels"] == decode_jpeg(good)["pixels"]
+
+    lossless = bytearray(good)
+    lossless[sof + 1] = 0xC3
     with pytest.raises(ValueError, match="non-baseline"):
-        decode_jpeg(bytes(progressive))
+        decode_jpeg(bytes(lossless))
 
     twelve_bit = bytearray(good)
     twelve_bit[sof + 4] = 12
@@ -620,11 +627,13 @@ def test_decode_media_is_exception_total():
 
     jpeg = encode_jpeg(8, 8, bytes([50]) * 64)
     sof = jpeg.index(b"\xff\xc0")
-    progressive = jpeg[:sof + 1] + b"\xc2" + jpeg[sof + 2 :]
+    # r8: progressive decodes for real now; an unsupported LOSSLESS
+    # SOF (0xC3) stands in as the still-undecodable variant
+    lossless = jpeg[:sof + 1] + b"\xc3" + jpeg[sof + 2 :]
 
     bad = {
         "bitflip_png": bitflip_png,
-        "progressive_jpeg": progressive,
+        "lossless_jpeg": lossless,
         "trunc_png": png[:12],
         "trunc_wav": encode_wav([100] * 5)[:12],
         "trunc_tiff": encode_tiff(4, 3, bytes(12))[:12],
@@ -652,12 +661,12 @@ def test_mixed_batch_with_corrupt_payloads_completes(spark):
 
     jpeg = encode_jpeg(8, 8, bytes([60]) * 64)
     sof = jpeg.index(b"\xff\xc0")
-    progressive = jpeg[:sof + 1] + b"\xc2" + jpeg[sof + 2 :]
+    lossless = jpeg[:sof + 1] + b"\xc3" + jpeg[sof + 2 :]  # undecodable SOF
 
     rows = [
         (0, bytearray(png)),
         (1, bytearray(bitflip)),
-        (2, bytearray(progressive)),
+        (2, bytearray(lossless)),
         (3, bytearray(encode_wav([70] * 4, sample_rate=8000))),
         (4, bytearray(b"just text")),
     ]
@@ -666,7 +675,7 @@ def test_mixed_batch_with_corrupt_payloads_completes(spark):
     assert out[0].kind == "png" and out[0].mean_value == 10.0
     assert out[1].kind == "decode_error" and out[1].n_bytes == len(bitflip)
     assert out[1].width is None and out[1].mean_value is None
-    assert out[2].kind == "decode_error" and out[2].n_bytes == len(progressive)
+    assert out[2].kind == "decode_error" and out[2].n_bytes == len(lossless)
     assert out[3].kind == "wav" and out[3].mean_value == 70.0
     assert out[4].kind == "opaque" and out[4].n_bytes == 9
 
@@ -823,3 +832,66 @@ def test_corrupt_headers_fail_fast_without_huge_allocation():
         decode_bmp(bytes(bmp))
     assert time.perf_counter() - t0 < 1.0
     assert _decode_media(bytes(bmp))["kind"] == "decode_error"
+
+
+# ----------------------------------------------- progressive JPEG (r8)
+
+
+@pytest.mark.parametrize("sampling", ["444", "420", "422", "440"])
+@pytest.mark.parametrize("quality", [None, 1, 75])
+def test_progressive_equals_baseline_rgb(sampling, quality):
+    """The progressive oracle: SOF2 spectral-selection + successive-
+    approximation scans carry the SAME quantized coefficients as the
+    baseline file, so decoding either must produce identical pixels —
+    any error in EOB runs, refinement bit order, or band geometry
+    breaks the equality."""
+    from ingest_spark.operators.media_codecs import decode_jpeg, encode_jpeg
+
+    w, h = 29, 22  # odd dims: partial MCUs in every sampling layout
+    px = bytes(
+        c
+        for y in range(h)
+        for x in range(w)
+        for c in ((7 * x + 3 * y) % 256, (x * y) % 256, (5 * x + 11 * y) % 256)
+    )
+    base = encode_jpeg(w, h, px, channels=3, quality=quality, sampling=sampling)
+    prog = encode_jpeg(
+        w, h, px, channels=3, quality=quality, sampling=sampling,
+        progressive=True,
+    )
+    db, dp = decode_jpeg(base), decode_jpeg(prog)
+    assert dp["pixels"] == db["pixels"]
+    assert (dp["width"], dp["height"], dp["channels"]) == (w, h, 3)
+
+
+def test_progressive_equals_baseline_grey_and_sparse():
+    from ingest_spark.operators.media_codecs import decode_jpeg, encode_jpeg
+
+    # sparse: long EOB runs across blocks (mostly-flat image with a
+    # few bright pixels) — exercises EOBn accumulation + flush
+    w, h = 64, 48
+    px = bytearray([128]) * (w * h)
+    for i in (5, 517, 1029, 2900):
+        px[i] = 255
+    for quality in (None, 85):
+        base = encode_jpeg(w, h, bytes(px), quality=quality)
+        prog = encode_jpeg(w, h, bytes(px), quality=quality, progressive=True)
+        assert decode_jpeg(prog)["pixels"] == decode_jpeg(base)["pixels"]
+
+
+def test_progressive_through_dispatcher():
+    from ingest_spark.operators.media_codecs import encode_jpeg
+    from ingest_spark.operators.multimodal import _decode_media
+
+    px = bytes((i * 3) % 256 for i in range(24 * 16))
+    blob = encode_jpeg(24, 16, px, quality=90, progressive=True)
+    out = _decode_media(blob)
+    assert out["kind"] == "jpeg"
+    assert (out["width"], out["height"], out["channels"]) == (24, 16, 1)
+
+
+def test_progressive_rejects_restart_interval():
+    from ingest_spark.operators.media_codecs import encode_jpeg
+
+    with pytest.raises(ValueError, match="restart_interval"):
+        encode_jpeg(8, 8, bytes(64), progressive=True, restart_interval=2)

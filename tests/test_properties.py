@@ -993,3 +993,59 @@ def test_any_format_byte_flip_never_escapes_dispatcher(fmt, seed, data):
     out = _decode_media(bytes(mutated))  # must not raise, whatever happened
     assert isinstance(out["kind"], str)
     assert out["n_bytes"] == len(mutated)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    width=st.integers(min_value=1, max_value=40),
+    height=st.integers(min_value=1, max_value=40),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    channels=st.sampled_from([1, 3]),
+    quality=st.sampled_from([None, 1, 40, 90]),
+    sampling=st.sampled_from(["444", "422", "440", "420"]),
+)
+def test_progressive_always_equals_baseline(width, height, seed, channels,
+                                            quality, sampling):
+    """r8 progressive JPEG: for ANY dims/content/quality/sampling, the
+    SOF2 multi-scan encoding must decode to exactly the pixels of the
+    baseline encoding of the same image (same quantized coefficients,
+    two entropy representations)."""
+    from ingest_spark.operators.media_codecs import decode_jpeg, encode_jpeg
+
+    n = width * height * channels
+    px = bytes((seed + 7 * i + (i * i) % 31) % 256 for i in range(n))
+    kw = {"channels": channels, "quality": quality}
+    if channels == 3:
+        kw["sampling"] = sampling
+    base = encode_jpeg(width, height, px, **kw)
+    prog = encode_jpeg(width, height, px, progressive=True, **kw)
+    assert decode_jpeg(prog)["pixels"] == decode_jpeg(base)["pixels"]
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    data=st.data(),
+)
+def test_progressive_byte_flip_never_hangs_or_escapes(seed, data):
+    """Corruption totality for the multi-scan decoder: a flipped byte
+    anywhere in a progressive file either raises ValueError, or
+    decodes to a structurally sane frame; the dispatcher never
+    raises."""
+    from ingest_spark.operators.media_codecs import decode_jpeg, encode_jpeg
+    from ingest_spark.operators.multimodal import _CODEC_ERRORS, _decode_media
+
+    w, h = 16 + seed % 17, 8 + seed % 13
+    px = bytes((seed + 5 * x + 11 * y) % 256 for y in range(h) for x in range(w))
+    blob = bytearray(encode_jpeg(w, h, px, quality=75, progressive=True))
+    pos = data.draw(st.integers(min_value=2, max_value=len(blob) - 3))
+    blob[pos] ^= data.draw(st.integers(min_value=1, max_value=255))
+    blob = bytes(blob)
+    try:
+        d = decode_jpeg(blob)
+        assert d["channels"] in (1, 3)
+        assert len(d["pixels"]) == d["width"] * d["height"] * d["channels"]
+    except _CODEC_ERRORS:
+        pass
+    out = _decode_media(blob)
+    assert out["kind"] in ("jpeg", "decode_error", "opaque")
