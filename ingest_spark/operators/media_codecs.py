@@ -6,7 +6,8 @@ standard library (VERDICT r4 §Next #1; GIF added r6 per r5 §Next #5):
 - **PNG** (`decode_png`): signature + chunk walk, IHDR parse, IDAT
   concat -> ``zlib`` inflate -> per-scanline UNFILTER (all five filter
   types: None/Sub/Up/Average/Paeth, per the PNG spec §9 'Filtering').
-  8-bit greyscale / RGB / grey+alpha / RGBA (color types 0/2/4/6).
+  8- and 16-bit greyscale / RGB / grey+alpha / RGBA (color types
+  0/2/4/6) plus 8-bit palette; interlace method 0 AND Adam7 (r8).
 - **WAV** (`decode_wav`): RIFF chunk walk, fmt parse (PCM only),
   ``struct``-unpacked 8/16-bit samples with per-file stats.
 - **BMP** (`decode_bmp`): uncompressed 24-bit BI_RGB, bottom-up
@@ -128,12 +129,23 @@ def _unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytearray:
     return bytearray(out.tobytes())
 
 
+# Adam7 interlace passes: (x0, y0, dx, dy) per PNG spec §8.2
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
 def decode_png(data: bytes) -> dict:
-    """PNG bytes -> dims + per-image pixel stats. Raises ValueError on
-    anything that is not a well-formed 8-bit non-interlaced PNG of
-    color type 0/2/3/4/6 — callers dispatch, they don't guess.
-    Palette images (type 3) decode through their PLTE chunk to RGB,
-    so ``pixels``/stats are always real sample values."""
+    """PNG bytes -> dims + per-image pixel stats. Handles 8- AND
+    16-bit depths (color types 0/2/4/6; palette type 3 is 8-bit per
+    spec) and BOTH interlace methods (none + Adam7, r8) — each Adam7
+    pass is an independently filtered sub-image scattered back by
+    stride indexing. Raises ValueError on anything else — callers
+    dispatch, they don't guess. Palette images decode through their
+    PLTE chunk to RGB, so ``pixels``/stats are always real sample
+    values; 16-bit stats are over the 16-bit samples while ``pixels``
+    carries the high-byte 8-bit view (what a resize consumes)."""
     if data[: len(PNG_SIGNATURE)] != PNG_SIGNATURE:
         raise ValueError("not a PNG (bad signature)")
     pos = len(PNG_SIGNATURE)
@@ -156,12 +168,12 @@ def decode_png(data: bytes) -> dict:
             width, height, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", chunk
             )
-            if bit_depth != 8:
+            if bit_depth not in (8, 16) or (bit_depth == 16 and color_type == 3):
                 raise ValueError(f"unsupported PNG bit depth {bit_depth}")
             if color_type not in _PNG_CHANNELS:
                 raise ValueError(f"unsupported PNG color type {color_type}")
-            if interlace:
-                raise ValueError("interlaced PNG unsupported")
+            if interlace not in (0, 1):
+                raise ValueError(f"unsupported PNG interlace method {interlace}")
             channels = _PNG_CHANNELS[color_type]
         elif ctype == b"PLTE":
             if length % 3 or length == 0:
@@ -173,10 +185,46 @@ def decode_png(data: bytes) -> dict:
             break
     if width is None or not idat:
         raise ValueError("PNG missing IHDR or IDAT")
-    pixels = _unfilter(zlib.decompress(bytes(idat)), width, height, channels)
-    if color_type == 3:
-        import numpy as np
+    import numpy as np
 
+    bpp = channels * (bit_depth // 8)
+    raw = zlib.decompress(bytes(idat))
+    if not interlace:
+        pixels = _unfilter(raw, width, height, bpp)
+    else:  # Adam7: seven independently filtered sub-images
+        full = np.zeros((height, width, bpp), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            need = ph * (1 + pw * bpp)
+            sub = _unfilter(raw[off : off + need], pw, ph, bpp)
+            off += need
+            full[y0::dy, x0::dx, :] = np.frombuffer(
+                bytes(sub), dtype=np.uint8
+            ).reshape(ph, pw, bpp)
+        pixels = bytearray(full.tobytes())
+    if bit_depth == 16:
+        samples = np.frombuffer(bytes(pixels), dtype=">u2")
+        n16 = int(samples.size)
+        return {
+            "kind": "png",
+            "width": width,
+            "height": height,
+            "channels": channels,
+            "bit_depth": 16,
+            "n_pixels": width * height,
+            "mean_value": float(samples.astype(np.int64).sum()) / n16
+            if n16 else 0.0,
+            "min_value": int(samples.min()) if n16 else 0,
+            "max_value": int(samples.max()) if n16 else 0,
+            # 8-bit view (high bytes): what resize/display consumes
+            "pixels": bytes((samples >> 8).astype(np.uint8).tobytes()),
+            "samples16": samples,
+        }
+    if color_type == 3:
         if palette is None:
             raise ValueError("palette PNG missing PLTE chunk")
         n_entries = len(palette) // 3
@@ -235,29 +283,56 @@ def encode_png(
     color_type: int = 0,
     filter_type: int = 0,
     palette: bytes | None = None,
+    bit_depth: int = 8,
+    interlace: int = 0,
 ) -> bytes:
-    """Raw 8-bit pixel bytes -> a complete, spec-valid PNG file.
-    ``pixels`` is row-major, ``width*height*channels`` bytes (palette
+    """Raw pixel bytes -> a complete, spec-valid PNG file. ``pixels``
+    is row-major, ``width*height*channels`` bytes at depth 8 (palette
     INDICES for color type 3, which also requires ``palette`` as RGB
-    triples -> a PLTE chunk). ``filter_type`` picks the scanline
-    filter (0-4) so tests can force each unfilter branch."""
+    triples -> a PLTE chunk), or big-endian u16 samples (twice the
+    bytes) at ``bit_depth=16``. ``filter_type`` picks the scanline
+    filter (0-4) so tests can force each unfilter branch;
+    ``interlace=1`` writes Adam7 (seven independently filtered
+    sub-images, r8)."""
     channels = _PNG_CHANNELS[color_type]
-    if len(pixels) != width * height * channels:
+    if bit_depth not in (8, 16) or (bit_depth == 16 and color_type == 3):
+        raise ValueError(f"unsupported PNG bit depth {bit_depth}")
+    bpp = channels * (bit_depth // 8)
+    if len(pixels) != width * height * bpp:
         raise ValueError(
-            f"expected {width * height * channels} pixel bytes, got {len(pixels)}"
+            f"expected {width * height * bpp} pixel bytes, got {len(pixels)}"
         )
     if (color_type == 3) != (palette is not None):
         raise ValueError("palette is required for (and only for) color type 3")
     if palette is not None and (len(palette) % 3 or not palette):
         raise ValueError("palette must be non-empty RGB triples")
-    stride = width * channels
     raw = bytearray()
-    prior = bytes(stride)
-    for y in range(height):
-        line = pixels[y * stride : (y + 1) * stride]
-        raw.append(filter_type)
-        raw += _filter_line(filter_type, line, prior, channels)
-        prior = line
+    if not interlace:
+        stride = width * bpp
+        prior = bytes(stride)
+        for y in range(height):
+            line = pixels[y * stride : (y + 1) * stride]
+            raw.append(filter_type)
+            raw += _filter_line(filter_type, line, prior, bpp)
+            prior = line
+    else:  # Adam7
+        import numpy as np
+
+        full = np.frombuffer(bytes(pixels), dtype=np.uint8).reshape(
+            height, width, bpp
+        )
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub = full[y0::dy, x0::dx, :].reshape(ph, pw * bpp)
+            prior = bytes(pw * bpp)
+            for y in range(ph):
+                line = sub[y].tobytes()
+                raw.append(filter_type)
+                raw += _filter_line(filter_type, line, prior, bpp)
+                prior = line
 
     def chunk(ctype: bytes, body: bytes) -> bytes:
         return (
@@ -267,7 +342,9 @@ def encode_png(
             + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, bit_depth, color_type, 0, 0, interlace
+    )
     plte = chunk(b"PLTE", palette) if palette is not None else b""
     return (
         PNG_SIGNATURE

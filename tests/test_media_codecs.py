@@ -64,18 +64,9 @@ def test_png_rejects_corruption():
         decode_png(PNG_SIGNATURE)  # no chunks at all
 
 
-def test_png_rejects_unsupported_shapes():
-    # 16-bit depth is out of scope -> loud error (palette color type
-    # is supported since r6, see the PLTE tests below)
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
-    chunk = (
-        struct.pack(">I", len(ihdr))
-        + b"IHDR"
-        + ihdr
-        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
-    )
-    with pytest.raises(ValueError, match="bit depth"):
-        decode_png(PNG_SIGNATURE + chunk)
+# (r8: 16-bit depth and Adam7 interlacing are now SUPPORTED — see the
+# round-trip tests near the end of this file; the remaining rejections
+# are pinned in test_png_still_rejects_unsupported.)
 
 
 @pytest.mark.parametrize("bits", [8, 16])
@@ -895,3 +886,79 @@ def test_progressive_rejects_restart_interval():
 
     with pytest.raises(ValueError, match="restart_interval"):
         encode_jpeg(8, 8, bytes(64), progressive=True, restart_interval=2)
+
+
+# --------------------------------------- 16-bit + Adam7 PNG (r8 late)
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("color_type,channels", [(0, 1), (2, 3), (4, 2), (6, 4)])
+def test_png_adam7_round_trip(filter_type, color_type, channels):
+    """Adam7 interlacing: seven independently filtered sub-images must
+    reassemble into exactly the source pixels for every filter type
+    and color type (odd dims -> several partial/empty passes)."""
+    w, h = 13, 7
+    pixels = _gradient(w, h, channels)
+    blob = encode_png(
+        w, h, pixels, color_type=color_type, filter_type=filter_type,
+        interlace=1,
+    )
+    d = decode_png(blob)
+    assert d["pixels"] == pixels
+    assert (d["width"], d["height"], d["channels"]) == (w, h, channels)
+
+
+def test_png_16bit_round_trip_and_stats():
+    """16-bit depth: stats are over the real 16-bit samples; pixels
+    expose the high-byte 8-bit view for downstream consumers."""
+    w, h = 9, 4
+    vals = [(i * 523 + 11) % 65536 for i in range(w * h)]
+    px16 = b"".join(struct.pack(">H", v) for v in vals)
+    d = decode_png(encode_png(w, h, px16, bit_depth=16))
+    assert d["bit_depth"] == 16
+    assert list(d["samples16"]) == vals
+    assert d["mean_value"] == pytest.approx(sum(vals) / len(vals))
+    assert d["min_value"] == min(vals) and d["max_value"] == max(vals)
+    assert bytes(d["pixels"]) == bytes(v >> 8 for v in vals)
+    # combined with Adam7 + Paeth (2-byte-per-sample bpp offsets)
+    d2 = decode_png(
+        encode_png(w, h, px16, bit_depth=16, interlace=1, filter_type=4)
+    )
+    assert list(d2["samples16"]) == vals
+
+
+def test_png_16bit_and_adam7_through_dispatcher(spark):
+    """Dispatcher + resize must handle the new shapes: a 16-bit
+    Adam7 PNG decodes (stats over 16-bit samples) and resizes via its
+    8-bit view."""
+    from ingest_spark.operators.multimodal import _decode_media
+
+    w, h = 8, 8
+    vals = [0] * (w * h // 2) + [65535] * (w * h // 2)
+    px16 = b"".join(struct.pack(">H", v) for v in vals)
+    blob = encode_png(w, h, px16, bit_depth=16, interlace=1)
+    out = _decode_media(blob)
+    assert out["kind"] == "png" and (out["width"], out["height"]) == (w, h)
+    assert out["mean_value"] == pytest.approx(65535 / 2)
+    df = spark.createDataFrame([(1, blob)], "doc_id long, payload binary")
+    r = multimodal.resize_images(df, width=4, height=4).collect()[0]
+    resized = decode_png(bytes(r.resized))
+    assert set(resized["pixels"]) == {0, 255}
+
+
+def test_png_still_rejects_unsupported():
+    # 16-bit palette is illegal per spec; depth 4 remains out of scope
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0)
+    chunk = (
+        struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    with pytest.raises(ValueError, match="bit depth"):
+        decode_png(PNG_SIGNATURE + chunk)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0)
+    chunk = (
+        struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    with pytest.raises(ValueError, match="bit depth"):
+        decode_png(PNG_SIGNATURE + chunk)
