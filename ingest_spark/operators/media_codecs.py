@@ -15,9 +15,10 @@ standard library (VERDICT r4 §Next #1; GIF added r6 per r5 §Next #5):
 - **GIF** (`decode_gif`): GIF87a/89a block walk, hand-built LZW with
   variable code width (LSB-first packing, clear/end codes, 12-bit
   ceiling + table-full reset), global/local color table mapping to
-  RGB. First frame; extensions skipped.
-- **TIFF** (`decode_tiff`): baseline uncompressed, both byte orders,
-  IFD walk + strip assembly, 8-bit grey/RGB.
+  RGB, appendix-E interlace de-permutation (r8). First frame;
+  extensions skipped.
+- **TIFF** (`decode_tiff`): baseline uncompressed + PackBits (r8),
+  both byte orders, IFD walk + strip assembly, 8-bit grey/RGB.
 - **JPEG** (`decode_jpeg`): baseline sequential DCT (VERDICT r6
   §Next #4; r8 adds chroma subsampling + numpy vectorization per r7
   §Next #2/#5): marker walk (0xFF fill-byte tolerant), DQT
@@ -663,11 +664,19 @@ def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
     return bytes(out)
 
 
+def _gif_interlace_rows(height: int) -> list[int]:
+    """GIF89a appendix E interlace order: the y coordinates of stored
+    rows, pass 1 (0::8), pass 2 (4::8), pass 3 (2::4), pass 4 (1::2)."""
+    return (list(range(0, height, 8)) + list(range(4, height, 8))
+            + list(range(2, height, 4)) + list(range(1, height, 2)))
+
+
 def decode_gif(data: bytes) -> dict:
     """GIF87a/89a bytes -> dims + palette-mapped RGB pixel stats
     (first frame; pure-stdlib LZW — VERDICT r5 §Next #5). Extensions
-    are skipped; interlaced images and frames without any color table
-    raise ValueError — callers dispatch, they don't guess."""
+    are skipped; interlaced frames de-interlace via the appendix-E row
+    permutation (r8); frames without any color table raise ValueError
+    — callers dispatch, they don't guess."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF (bad signature)")
     if len(data) < 13:
@@ -696,8 +705,7 @@ def decode_gif(data: bytes) -> dict:
             raise ValueError(f"GIF unknown block 0x{block:02x}")
         _left, _top, width, height, ipacked = struct.unpack_from("<HHHHB", data, pos)
         pos += 9
-        if ipacked & 0x40:
-            raise ValueError("interlaced GIF unsupported")
+        interlaced = bool(ipacked & 0x40)
         table = global_table
         if ipacked & 0x80:  # local color table takes precedence
             n = 3 * (2 << (ipacked & 0x07))
@@ -718,6 +726,13 @@ def decode_gif(data: bytes) -> dict:
             lzw += chunk
             pos += 1 + n
         indices = _lzw_decode(bytes(lzw), min_code_size, width * height)
+        if interlaced and len(indices) >= width * height:
+            ordered = bytearray(width * height)
+            for row_i, y in enumerate(_gif_interlace_rows(height)):
+                ordered[y * width : (y + 1) * width] = indices[
+                    row_i * width : (row_i + 1) * width
+                ]
+            indices = ordered
         if len(indices) < width * height:
             raise ValueError(
                 f"GIF decoded {len(indices)} indices for {width}x{height}"
@@ -750,12 +765,14 @@ def decode_gif(data: bytes) -> dict:
 
 
 def encode_gif(
-    width: int, height: int, indices: bytes, palette: bytes
+    width: int, height: int, indices: bytes, palette: bytes,
+    interlace: bool = False,
 ) -> bytes:
     """Indexed pixels + RGB palette -> a complete GIF89a file (global
-    color table, one non-interlaced image, real LZW). ``palette`` is
-    RGB triples; its length is padded up to the next power of two of
-    entries as the spec's size field requires."""
+    color table, one image — optionally Adam-style interlaced per
+    appendix E (r8) — real LZW). ``palette`` is RGB triples; its
+    length is padded up to the next power of two of entries as the
+    spec's size field requires."""
     if len(indices) != width * height:
         raise ValueError(f"expected {width * height} indices, got {len(indices)}")
     if len(palette) % 3 or not palette:
@@ -766,6 +783,11 @@ def encode_gif(
     if max(indices) >= n_entries:
         raise ValueError("pixel index outside palette")
     min_code_size = max(2, size_field)
+    if interlace:
+        stored = bytearray()
+        for y in _gif_interlace_rows(height):
+            stored += indices[y * width : (y + 1) * width]
+        indices = bytes(stored)
     lzw = _lzw_encode(indices, min_code_size)
     blocks = bytearray()
     for i in range(0, len(lzw), 255):
@@ -778,7 +800,7 @@ def encode_gif(
         + struct.pack("<HHBBB", width, height, 0x80 | ((size_field - 1) & 7), 0, 0)
         + table
         + b"\x2c"
-        + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        + struct.pack("<HHHHB", 0, 0, width, height, 0x40 if interlace else 0)
         + bytes([min_code_size])
         + bytes(blocks)
         + b"\x3b"
@@ -814,6 +836,59 @@ _TIFF_TAGS = {
     262: "photometric", 273: "strip_offsets", 277: "samples",
     278: "rows_per_strip", 279: "strip_counts",
 }
+
+
+def _packbits_decode(data: bytes, max_out: int) -> bytes:
+    """TIFF PackBits (Apple RLE, TIFF 6.0 §9): control byte n in
+    0..127 copies n+1 literals; 129..255 repeats the next byte
+    257-n times; 128 is a no-op. ``max_out`` bounds the expansion
+    (decompression-bomb guard, same contract as _lzw_decode)."""
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < max_out:
+        n = data[i]
+        i += 1
+        if n < 128:
+            chunk = data[i : i + n + 1]
+            if len(chunk) < n + 1:
+                raise ValueError("TIFF PackBits literal run truncated")
+            out += chunk
+            i += n + 1
+        elif n > 128:
+            if i >= len(data):
+                raise ValueError("TIFF PackBits repeat run truncated")
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        # n == 128: no-op
+    return bytes(out[:max_out])
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """PackBits encoder: runs of >= 3 identical bytes become repeat
+    packets, everything else literal packets (<= 128 bytes each)."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        # literal: extend until a >=3 run starts or 128 bytes
+        j = i + 1
+        while j < n and j - i < 128:
+            r = 1
+            while j + r < n and r < 3 and data[j + r] == data[j]:
+                r += 1
+            if r >= 3:
+                break
+            j += 1
+        out += bytes([j - i - 1]) + data[i:j]
+        i = j
+    return bytes(out)
 
 
 def decode_tiff(data: bytes) -> dict:
@@ -855,8 +930,10 @@ def decode_tiff(data: bytes) -> dict:
     for req in ("width", "height", "strip_offsets", "strip_counts"):
         if req not in fields:
             raise ValueError(f"TIFF missing required tag {req}")
-    if fields.get("compression", [1])[0] != 1:
-        raise ValueError("compressed TIFF unsupported (baseline only)")
+    compression = fields.get("compression", [1])[0]
+    if compression not in (1, 32773):
+        raise ValueError(
+            "compressed TIFF unsupported (baseline uncompressed + PackBits)")
     bits = fields.get("bits", [8])
     if any(b != 8 for b in bits):
         raise ValueError(f"unsupported TIFF bit depths {bits}")
@@ -864,13 +941,15 @@ def decode_tiff(data: bytes) -> dict:
     if channels not in (1, 3):
         raise ValueError(f"unsupported TIFF samples/pixel {channels}")
     width, height = fields["width"][0], fields["height"][0]
+    need = width * height * channels
     pixels = bytearray()
     for off, cnt in zip(fields["strip_offsets"], fields["strip_counts"]):
         strip = data[off : off + cnt]
         if len(strip) < cnt:
             raise ValueError("TIFF truncated inside strip data")
+        if compression == 32773:
+            strip = _packbits_decode(strip, need - len(pixels))
         pixels += strip
-    need = width * height * channels
     if len(pixels) < need:
         raise ValueError(f"TIFF strips hold {len(pixels)} bytes, need {need}")
     pixels = bytes(pixels[:need])
@@ -891,25 +970,29 @@ def decode_tiff(data: bytes) -> dict:
 
 def encode_tiff(
     width: int, height: int, pixels: bytes, channels: int = 1,
-    byte_order: str = "II",
+    byte_order: str = "II", compression: int = 1,
 ) -> bytes:
     """8-bit greyscale/RGB pixels -> a minimal single-strip baseline
-    TIFF (uncompressed), little- ('II') or big-endian ('MM')."""
+    TIFF, little- ('II') or big-endian ('MM'); ``compression`` 1
+    (uncompressed) or 32773 (PackBits, r8)."""
     if channels not in (1, 3):
         raise ValueError(f"channels must be 1 or 3, got {channels}")
     if len(pixels) != width * height * channels:
         raise ValueError(
             f"expected {width * height * channels} pixel bytes, got {len(pixels)}"
         )
+    if compression not in (1, 32773):
+        raise ValueError("compression must be 1 or 32773 (PackBits)")
+    strip = pixels if compression == 1 else _packbits_encode(pixels)
     bo = "<" if byte_order == "II" else ">"
     entries = [
         (256, 3, 1, width),
         (257, 3, 1, height),
-        (259, 3, 1, 1),                       # uncompressed
+        (259, 3, 1, compression),
         (262, 3, 1, 1 if channels == 1 else 2),  # BlackIsZero / RGB
         (277, 3, 1, channels),
         (278, 3, 1, height),                   # one strip
-        (279, 4, 1, len(pixels)),
+        (279, 4, 1, len(strip)),
     ]
     # BitsPerSample: 1 SHORT inline for grey; 3 SHORTs via offset for RGB
     n_entries = len(entries) + 2  # + BitsPerSample + StripOffsets
@@ -936,7 +1019,7 @@ def encode_tiff(
             out += struct.pack(bo + "I", val)
     out += struct.pack(bo + "I", 0)  # no next IFD
     out += extra
-    out += pixels
+    out += strip
     return bytes(out)
 
 

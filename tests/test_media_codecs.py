@@ -275,12 +275,14 @@ def test_gif_rejects_corruption():
     # truncate inside the LZW sub-blocks: lose the end code
     with pytest.raises(ValueError):
         decode_gif(good[:-3])
-    # interlace flag set
+    # r8: interlace is now SUPPORTED — flipping the flag on a
+    # non-interlaced file decodes (rows permuted, same multiset of
+    # palette values, so the mean is unchanged)
     bad = bytearray(good)
     desc = bad.index(0x2C, 6)
     bad[desc + 9] |= 0x40
-    with pytest.raises(ValueError, match="interlaced"):
-        decode_gif(bytes(bad))
+    flipped = decode_gif(bytes(bad))
+    assert flipped["mean_value"] == decode_gif(good)["mean_value"]
 
 
 def test_gif_through_dispatcher_and_sniff():
@@ -962,3 +964,45 @@ def test_png_still_rejects_unsupported():
     )
     with pytest.raises(ValueError, match="bit depth"):
         decode_png(PNG_SIGNATURE + chunk)
+
+
+def test_gif_interlaced_round_trip():
+    """GIF Adam-style interlacing (appendix E): the four-pass row
+    permutation must invert exactly for assorted dims, through the
+    real LZW cycle."""
+    from ingest_spark.operators.media_codecs import decode_gif, encode_gif
+    from ingest_spark.operators.multimodal import GIF_PALETTE
+
+    for w, h in ((7, 9), (12, 6), (1, 1), (16, 16), (3, 2)):
+        idx = bytes((i * 5) % 16 for i in range(w * h))
+        expect = b"".join(GIF_PALETTE[3 * i : 3 * i + 3] for i in idx)
+        plain = decode_gif(encode_gif(w, h, idx, GIF_PALETTE))
+        inter = decode_gif(encode_gif(w, h, idx, GIF_PALETTE, interlace=True))
+        assert plain["pixels"] == expect
+        assert inter["pixels"] == expect  # same image, permuted storage
+
+
+def test_tiff_packbits_round_trip_both_orders():
+    """TIFF PackBits (compression 32773): literal runs, repeat runs,
+    and mixed content must all invert, in both byte orders, grey and
+    RGB; the uncompressed path is unchanged."""
+    from ingest_spark.operators.media_codecs import decode_tiff, encode_tiff
+
+    w, h = 13, 6
+    cases = [
+        bytes((i * 7) % 256 for i in range(w * h * 3)),  # literal-heavy
+        bytes([42]) * (w * h * 3),                        # one long run
+        bytes(([9] * 5 + [1, 2, 3]) * (w * h * 3 // 8 + 1))[: w * h * 3],
+    ]
+    for bo in ("II", "MM"):
+        for px in cases:
+            d = decode_tiff(
+                encode_tiff(w, h, px, channels=3, byte_order=bo,
+                            compression=32773)
+            )
+            assert d["pixels"] == px, bo
+    # corrupt PackBits: truncated repeat run raises, dispatcher totals
+    from ingest_spark.operators.multimodal import _decode_media
+
+    blob = encode_tiff(w, h, cases[1], channels=3, compression=32773)
+    assert _decode_media(blob[: len(blob) - 10])["kind"] == "decode_error"
