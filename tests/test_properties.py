@@ -984,13 +984,18 @@ def test_any_format_byte_flip_never_escapes_dispatcher(fmt, seed, data):
     w, h = 5 + seed % 9, 3 + seed % 6
     grey = bytes((seed + 3 * i) % 256 for i in range(w * h))
     rgb = bytes((seed + 5 * i) % 256 for i in range(w * h * 3))
+    variant = seed % 2  # alternate plain vs the r8 variant per format
     payload = {
-        "png": lambda: encode_png(w, h, grey),
+        "png": lambda: encode_png(w, h, grey, interlace=variant,
+                                  filter_type=seed % 5),
         "wav": lambda: encode_wav([(seed + i) % 2000 - 1000 for i in range(w * h)]),
         "bmp": lambda: encode_bmp(w, h, rgb),
-        "gif": lambda: encode_gif(w, h, bytes(b % 16 for b in grey), GIF_PALETTE),
-        "tiff": lambda: encode_tiff(w, h, grey),
-        "jpeg": lambda: encode_jpeg(w, h, grey, quality=80),
+        "gif": lambda: encode_gif(w, h, bytes(b % 16 for b in grey),
+                                  GIF_PALETTE, interlace=bool(variant)),
+        "tiff": lambda: encode_tiff(w, h, grey,
+                                    compression=32773 if variant else 1),
+        "jpeg": lambda: encode_jpeg(w, h, grey, quality=80,
+                                    progressive=bool(variant)),
     }[fmt]()
     mutated = bytearray(payload)
     if data.draw(st.booleans()):
