@@ -8,10 +8,12 @@ standard library (VERDICT r4 §Next #1; GIF added r6 per r5 §Next #5):
   types: None/Sub/Up/Average/Paeth, per the PNG spec §9 'Filtering').
   8- and 16-bit greyscale / RGB / grey+alpha / RGBA (color types
   0/2/4/6) plus 8-bit palette; interlace method 0 AND Adam7 (r8).
-- **WAV** (`decode_wav`): RIFF chunk walk, fmt parse (PCM only),
-  ``struct``-unpacked 8/16-bit samples with per-file stats.
-- **BMP** (`decode_bmp`): uncompressed 24-bit BI_RGB, bottom-up
-  4-byte-padded BGR rows -> top-down RGB.
+- **WAV** (`decode_wav`): RIFF chunk walk, fmt parse (integer PCM at
+  8/16/24/32 bits, IEEE-float at 32/64, WAVE_FORMAT_EXTENSIBLE
+  unwrap — r8), vectorized sample stats.
+- **BMP** (`decode_bmp`): uncompressed BI_RGB at 24-bit BGR, 32-bit
+  BGRX, and 8-bit palette (r8); bottom-up or top-down 4-byte-padded
+  rows -> top-down RGB, numpy-vectorized.
 - **GIF** (`decode_gif`): GIF87a/89a block walk, hand-built LZW with
   variable code width (LSB-first packing, clear/end codes, 12-bit
   ceiling + table-full reset), global/local color table mapping to
@@ -378,31 +380,57 @@ def decode_wav(data: bytes) -> dict:
             tag, n_channels, sample_rate, _brate, _balign, bits = struct.unpack(
                 "<HHIIHH", body[:16]
             )
-            if tag != 1:
-                raise ValueError(f"unsupported WAV format tag {tag} (PCM only)")
-            if bits not in (8, 16):
-                raise ValueError(f"unsupported WAV bit depth {bits}")
-            fmt = (n_channels, sample_rate, bits)
+            if tag == 0xFFFE and len(body) >= 26:
+                # WAVE_FORMAT_EXTENSIBLE: the real tag leads the GUID
+                tag = struct.unpack_from("<H", body, 24)[0]
+            if tag == 1 and bits in (8, 16, 24, 32):
+                pass  # integer PCM
+            elif tag == 3 and bits in (32, 64):
+                pass  # IEEE float (r8)
+            else:
+                raise ValueError(
+                    f"unsupported WAV format tag {tag} / depth {bits}")
+            fmt = (n_channels, sample_rate, bits, tag)
         elif cid == b"data":
             frames = body
     if fmt is None or frames is None:
         raise ValueError("WAV missing fmt or data chunk")
     import numpy as np
 
-    n_channels, sample_rate, bits = fmt
-    if bits == 16:
+    n_channels, sample_rate, bits, tag = fmt
+    if tag == 3:  # IEEE float
+        dt = "<f4" if bits == 32 else "<f8"
+        width = bits // 8
+        count = len(frames) // width
+        samples = np.frombuffer(frames[: count * width], dtype=dt).astype(
+            np.float64
+        )
+    elif bits == 16:
         count = len(frames) // 2
         samples = np.frombuffer(frames[: count * 2], dtype="<i2").astype(
+            np.int64
+        )
+    elif bits == 24:  # 3-byte little-endian signed (r8)
+        count = len(frames) // 3
+        b = np.frombuffer(frames[: count * 3], dtype=np.uint8).reshape(
+            count, 3
+        ).astype(np.int64)
+        samples = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        samples = samples - ((samples >> 23) << 24)  # sign extend
+    elif bits == 32:
+        count = len(frames) // 4
+        samples = np.frombuffer(frames[: count * 4], dtype="<i4").astype(
             np.int64
         )
     else:  # 8-bit WAV is unsigned, centered at 128
         samples = np.frombuffer(frames, dtype=np.uint8).astype(np.int64) - 128
     n = int(samples.size)
     n_samples = n // n_channels if n_channels else 0
-    # int64 accumulation is exact (|s| <= 2^15, s^2 <= 2^30), so the
-    # vectorized stats match the old per-sample Python sums bit-for-bit
+    # int64 accumulation is exact for integer PCM (|s| < 2^31), so the
+    # vectorized stats match per-sample Python sums bit-for-bit
     mean = float(samples.sum()) / n if n else 0.0
-    rms = (float((samples * samples).sum()) / n) ** 0.5 if n else 0.0
+    rms = float(np.sqrt((samples.astype(np.float64) ** 2).mean())) if n else 0.0
+    cast = float if tag == 3 else int
     return {
         "kind": "wav",
         "channels": n_channels,
@@ -412,24 +440,45 @@ def decode_wav(data: bytes) -> dict:
         "duration_sec": n_samples / sample_rate if sample_rate else 0.0,
         "mean_value": mean,
         "rms": rms,
-        "min_value": int(samples.min()) if n else 0,
-        "max_value": int(samples.max()) if n else 0,
+        "min_value": cast(samples.min()) if n else 0,
+        "max_value": cast(samples.max()) if n else 0,
+        "samples": samples,
     }
 
 
 def encode_wav(
-    samples: list[int], sample_rate: int = 8000, n_channels: int = 1, bits: int = 16
+    samples: list, sample_rate: int = 8000, n_channels: int = 1,
+    bits: int = 16, float_pcm: bool = False,
 ) -> bytes:
-    """Interleaved integer samples -> a complete PCM WAV file."""
-    if bits == 16:
+    """Interleaved samples -> a complete WAV file: integer PCM at
+    8/16/24/32 bits, or IEEE-float PCM (format tag 3) at 32/64 bits
+    with ``float_pcm=True`` (r8)."""
+    if float_pcm:
+        if bits not in (32, 64):
+            raise ValueError("float WAV must be 32- or 64-bit")
+        frames = struct.pack(
+            f"<{len(samples)}{'f' if bits == 32 else 'd'}", *samples
+        )
+        tag = 3
+    elif bits == 16:
         frames = struct.pack(f"<{len(samples)}h", *samples)
+        tag = 1
     elif bits == 8:
         frames = bytes((s + 128) & 0xFF for s in samples)
+        tag = 1
+    elif bits == 24:
+        frames = b"".join(
+            (s & 0xFFFFFF).to_bytes(3, "little") for s in samples
+        )
+        tag = 1
+    elif bits == 32:
+        frames = struct.pack(f"<{len(samples)}i", *samples)
+        tag = 1
     else:
         raise ValueError(f"unsupported bit depth {bits}")
     byte_rate = sample_rate * n_channels * bits // 8
     block_align = n_channels * bits // 8
-    fmt = struct.pack("<HHIIHH", 1, n_channels, sample_rate, byte_rate, block_align, bits)
+    fmt = struct.pack("<HHIIHH", tag, n_channels, sample_rate, byte_rate, block_align, bits)
     body = (
         b"WAVE"
         + b"fmt "
@@ -446,9 +495,12 @@ def encode_wav(
 
 
 def decode_bmp(data: bytes) -> dict:
-    """Uncompressed 24-bit BI_RGB Windows BMP -> dims + pixel stats.
-    Rows are stored bottom-up with 4-byte padding; output pixel bytes
-    are top-down RGB (converted from the file's BGR)."""
+    """Uncompressed BI_RGB Windows BMP -> dims + pixel stats: 24-bit
+    BGR, 32-bit BGRX, and 8-bit palette-indexed (r8), top-down or
+    bottom-up. Output pixel bytes are top-down RGB; the row
+    shuffle/palette gather is numpy-vectorized."""
+    import numpy as np
+
     if data[:2] != b"BM":
         raise ValueError("not a BMP (bad signature)")
     if len(data) < 54:
@@ -459,25 +511,37 @@ def decode_bmp(data: bytes) -> dict:
         raise ValueError(f"unsupported BMP header size {hdr_size}")
     planes, bpp = struct.unpack_from("<HH", data, 26)
     (compression,) = struct.unpack_from("<I", data, 30)
-    if bpp != 24 or compression != 0:
+    if bpp not in (8, 24, 32) or compression != 0:
         raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
     top_down = height < 0
     height = abs(height)
-    row_size = (width * 3 + 3) & ~3  # 4-byte aligned
+    bypp = bpp // 8
+    row_size = (width * bypp + 3) & ~3  # 4-byte aligned
     # guard BEFORE allocating: corrupt headers must not turn into a
     # multi-GB bytearray (one bad payload would OOM the executor)
     if width < 0 or row_size * height > len(data):
         raise ValueError("BMP truncated inside pixel data")
-    pixels = bytearray(width * height * 3)
-    for y in range(height):
-        src_row = y if top_down else height - 1 - y
-        base = data_offset + src_row * row_size
-        row = data[base : base + width * 3]
-        if len(row) < width * 3:
-            raise ValueError("BMP truncated inside pixel data")
-        for x in range(width):
-            b_, g, r = row[x * 3 : x * 3 + 3]
-            pixels[(y * width + x) * 3 : (y * width + x) * 3 + 3] = bytes((r, g, b_))
+    region = data[data_offset : data_offset + row_size * height]
+    if len(region) < row_size * height:
+        raise ValueError("BMP truncated inside pixel data")
+    rows = np.frombuffer(region, dtype=np.uint8).reshape(height, row_size)
+    rows = rows[:, : width * bypp].reshape(height, width, bypp)
+    if not top_down:
+        rows = rows[::-1]
+    if bpp == 8:
+        (n_colors,) = struct.unpack_from("<I", data, 46)
+        n_colors = n_colors or 256
+        table = data[14 + hdr_size : 14 + hdr_size + 4 * n_colors]
+        if len(table) < 4 * n_colors:
+            raise ValueError("BMP truncated inside color table")
+        pal = np.frombuffer(table, dtype=np.uint8).reshape(n_colors, 4)
+        idxs = rows.reshape(height, width)
+        if idxs.size and int(idxs.max()) >= n_colors:
+            raise ValueError("BMP pixel index outside color table")
+        rgb = pal[idxs][:, :, [2, 1, 0]]  # BGRA entries -> RGB
+    else:
+        rgb = rows[:, :, [2, 1, 0]]  # BGR(X) -> RGB, alpha dropped
+    pixels = bytearray(np.ascontiguousarray(rgb).tobytes())
     n = len(pixels)
     return {
         "kind": "bmp",
@@ -493,25 +557,59 @@ def decode_bmp(data: bytes) -> dict:
     }
 
 
-def encode_bmp(width: int, height: int, pixels: bytes) -> bytes:
-    """Top-down RGB bytes -> a complete 24-bit BI_RGB BMP file
-    (bottom-up rows, 4-byte padded, BGR order — the spec layout)."""
-    if len(pixels) != width * height * 3:
-        raise ValueError(f"expected {width * height * 3} pixel bytes, got {len(pixels)}")
-    row_size = (width * 3 + 3) & ~3
-    pad = b"\x00" * (row_size - width * 3)
-    body = bytearray()
-    for y in range(height - 1, -1, -1):  # bottom-up
-        for x in range(width):
-            r, g, b_ = pixels[(y * width + x) * 3 : (y * width + x) * 3 + 3]
-            body += bytes((b_, g, r))
-        body += pad
-    data_offset = 14 + 40
+def encode_bmp(
+    width: int, height: int, pixels: bytes, bpp: int = 24,
+    palette: bytes | None = None,
+) -> bytes:
+    """Top-down pixels -> a complete BI_RGB BMP file (bottom-up rows,
+    4-byte padded — the spec layout). ``bpp``: 24 (RGB in, BGR
+    stored), 32 (RGB in, BGRX stored), or 8 (palette INDICES in +
+    ``palette`` RGB triples -> a BGRA0 color table, r8)."""
+    import numpy as np
+
+    if bpp not in (8, 24, 32):
+        raise ValueError(f"bpp must be 8, 24 or 32, got {bpp}")
+    if (bpp == 8) != (palette is not None):
+        raise ValueError("palette is required for (and only for) bpp=8")
+    in_bypp = 1 if bpp == 8 else 3
+    if len(pixels) != width * height * in_bypp:
+        raise ValueError(
+            f"expected {width * height * in_bypp} pixel bytes, got {len(pixels)}"
+        )
+    arr = np.frombuffer(bytes(pixels), dtype=np.uint8).reshape(
+        height, width, in_bypp
+    )[::-1]  # bottom-up
+    if bpp == 8:
+        n_entries = len(palette) // 3
+        if len(palette) % 3 or not palette or n_entries > 256:
+            raise ValueError("palette must be 1..256 RGB triples")
+        if int(arr.max(initial=0)) >= n_entries:
+            raise ValueError("pixel index outside palette")
+        stored = arr
+        pal = np.frombuffer(palette, dtype=np.uint8).reshape(n_entries, 3)
+        table = np.zeros((n_entries, 4), dtype=np.uint8)
+        table[:, :3] = pal[:, [2, 1, 0]]  # RGB -> BGRA0 entries
+        table_bytes = table.tobytes()
+    else:
+        bgr = arr[:, :, [2, 1, 0]]
+        if bpp == 32:
+            stored = np.zeros((height, width, 4), dtype=np.uint8)
+            stored[:, :, :3] = bgr
+        else:
+            stored = bgr
+        table_bytes = b""
+    bypp = bpp // 8
+    row_size = (width * bypp + 3) & ~3
+    body = np.zeros((height, row_size), dtype=np.uint8)
+    body[:, : width * bypp] = stored.reshape(height, width * bypp)
+    body = body.tobytes()
+    data_offset = 14 + 40 + len(table_bytes)
     file_size = data_offset + len(body)
     header = b"BM" + struct.pack("<IHHI", file_size, 0, 0, data_offset)
-    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body),
-                      2835, 2835, 0, 0)
-    return header + dib + bytes(body)
+    n_colors = (len(table_bytes) // 4) if table_bytes else 0
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, bpp, 0, len(body),
+                      2835, 2835, n_colors, 0)
+    return header + dib + table_bytes + body
 
 
 # --------------------------------------------------------------- GIF

@@ -488,24 +488,15 @@ def audio_features(df: DataFrame) -> DataFrame:
         ]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import struct as _struct
-
         for pdf in batches:
             feats = []
             for payload in pdf["payload"]:
                 payload = bytes(payload) if payload else b"\x00"
                 if sniff_mime(payload) == "audio/wav":
-                    d = decode_wav(payload)
-                    # re-extract raw samples for striding (decode_wav
-                    # returns stats; frames sit after the data header)
-                    idx = payload.rindex(b"data")
-                    (dlen,) = _struct.unpack("<I", payload[idx + 4 : idx + 8])
-                    frames = payload[idx + 8 : idx + 8 + dlen]
-                    if d["bit_depth"] == 16:
-                        vals = _struct.unpack(f"<{len(frames) // 2}h", frames)
-                    else:
-                        vals = tuple(b - 128 for b in frames)
-                    feats.append(_strided_means(vals or (0,), AUDIO_FEAT_DIM))
+                    # decode_wav returns the PCM samples directly (r8)
+                    # — every depth/float variant rides the same path
+                    vals = decode_wav(payload)["samples"].tolist()
+                    feats.append(_strided_means(vals or [0], AUDIO_FEAT_DIM))
                 else:
                     feats.append(_strided_means(payload, AUDIO_FEAT_DIM))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})

@@ -199,7 +199,8 @@ def test_bmp_rejects_unsupported():
     with pytest.raises(ValueError, match="signature"):
         decode_bmp(b"XX" + bytes(60))
     blob = encode_bmp(2, 2, bytes(12))
-    bad = blob[:28] + struct.pack("<H", 8) + blob[30:]  # 8bpp unsupported
+    # r8: 8bpp palette is supported now; 16bpp remains out of scope
+    bad = blob[:28] + struct.pack("<H", 16) + blob[30:]
     with pytest.raises(ValueError, match="unsupported BMP"):
         decode_bmp(bad)
 
@@ -1006,3 +1007,69 @@ def test_tiff_packbits_round_trip_both_orders():
 
     blob = encode_tiff(w, h, cases[1], channels=3, compression=32773)
     assert _decode_media(blob[: len(blob) - 10])["kind"] == "decode_error"
+
+
+def test_wav_24_32_and_float_round_trips():
+    """r8 WAV widening: 24-bit (3-byte LE sign-extended) and 32-bit
+    integer PCM plus IEEE-float 32/64 (format tag 3) all round-trip
+    with exact stats; audio_features consumes every variant through
+    the decoder's samples."""
+    import math
+
+    import numpy as np
+
+    from ingest_spark.operators.media_codecs import decode_wav, encode_wav
+
+    s24 = [(i * 100003) % (1 << 23) - (1 << 22) for i in range(48)]
+    d = decode_wav(encode_wav(s24, bits=24))
+    assert d["bit_depth"] == 24 and list(d["samples"]) == s24
+    assert d["mean_value"] == pytest.approx(sum(s24) / len(s24))
+
+    s32 = [(i * 7919123) % (1 << 31) - (1 << 30) for i in range(48)]
+    d = decode_wav(encode_wav(s32, bits=32))
+    assert list(d["samples"]) == s32
+
+    sf = [math.sin(i / 5) for i in range(64)]
+    d = decode_wav(encode_wav(sf, bits=32, float_pcm=True))
+    assert d["bit_depth"] == 32 and np.allclose(d["samples"], sf, atol=1e-6)
+    d = decode_wav(encode_wav(sf, bits=64, float_pcm=True))
+    assert list(d["samples"]) == sf  # f64 is exact
+
+    with pytest.raises(ValueError, match="float WAV"):
+        encode_wav(sf, bits=16, float_pcm=True)
+
+
+def test_audio_features_from_float_wav(spark):
+    import math
+
+    from ingest_spark.operators.media_codecs import encode_wav
+
+    wav = encode_wav([0.5] * 64, sample_rate=8000, bits=32, float_pcm=True)
+    df = spark.createDataFrame([(1, wav)], "doc_id long, payload binary")
+    feats = multimodal.audio_features(df).collect()[0].features
+    assert all(f == pytest.approx(0.5, abs=1e-6) for f in feats)
+
+
+def test_bmp_palette_and_32bit_round_trips():
+    """r8 BMP widening: 8-bit palette-indexed and 32-bit BGRX files
+    round-trip to the same top-down RGB as the 24-bit path; top-down
+    (negative height) still honored."""
+    from ingest_spark.operators.media_codecs import decode_bmp, encode_bmp
+
+    w, h = 13, 6
+    px = bytes((i * 7) % 256 for i in range(w * h * 3))
+    assert decode_bmp(encode_bmp(w, h, px, bpp=32))["pixels"] == px
+
+    pal = bytes(v for i in range(16) for v in (i * 17, (i * 31) % 256, (i * 5) % 256))
+    idx = bytes((i * 3) % 16 for i in range(w * h))
+    expect = b"".join(pal[3 * i : 3 * i + 3] for i in idx)
+    d = decode_bmp(encode_bmp(w, h, idx, bpp=8, palette=pal))
+    assert d["pixels"] == expect and d["channels"] == 3
+    # out-of-palette index rejected on encode; truncated table on decode
+    with pytest.raises(ValueError, match="outside palette"):
+        encode_bmp(2, 2, bytes([99] * 4), bpp=8, palette=pal)
+    blob = bytearray(encode_bmp(w, h, idx, bpp=8, palette=pal))
+    short = bytes(blob[:56])  # cut inside the color table
+    from ingest_spark.operators.multimodal import _decode_media
+
+    assert _decode_media(short)["kind"] in ("decode_error", "opaque")
