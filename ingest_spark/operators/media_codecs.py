@@ -905,6 +905,148 @@ def encode_gif(
     )
 
 
+# --------------------------------------------------------- video meta
+
+# The E5 video story (r8): frame DECODE stays honestly stubbed
+# (no ffmpeg in this container — `multimodal.sample_frames` carries
+# the one-to-many plumbing), but container METADATA is real: the AVI
+# main header and the MP4 box tree are plain structs, so dimensions,
+# frame counts, and timescales parse without any codec.
+
+
+def decode_avi_meta(data: bytes) -> dict:
+    """RIFF-AVI bytes -> container metadata from the 'avih' main
+    header (OpenDML/AVI 1.0): dims, total frames, frame rate. No
+    frame decoding — metadata only."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI (bad RIFF header)")
+    idx = data.find(b"avih")
+    if idx < 0 or idx + 8 + 40 > len(data):
+        raise ValueError("AVI missing avih header")
+    p = idx + 8  # skip fourcc + size
+    us_per_frame, _maxbps, _pad, _flags, total_frames = struct.unpack_from(
+        "<IIIII", data, p
+    )
+    width, height = struct.unpack_from("<II", data, p + 32)
+    fps = round(1_000_000 / us_per_frame) if us_per_frame else 0
+    return {
+        "kind": "avi",
+        "width": width,
+        "height": height,
+        "n_frames": total_frames,
+        "fps": fps,
+        "duration_sec": total_frames * us_per_frame / 1e6,
+    }
+
+
+def encode_avi_meta(
+    width: int, height: int, n_frames: int, fps: int
+) -> bytes:
+    """Minimal structurally-valid AVI shell: RIFF('AVI ', LIST hdrl
+    (avih + LIST strl(strh))) with an empty movi list — enough for
+    any avih-reading parser, zero frame data (the honest container
+    for metadata tests)."""
+    if fps <= 0:
+        raise ValueError("fps must be positive")
+    avih = struct.pack(
+        "<IIIII", 1_000_000 // fps, 0, 0, 0, n_frames
+    ) + struct.pack("<III", 0, 1, 0) + struct.pack(
+        "<II", width, height
+    ) + b"\x00" * 16
+    avih_chunk = b"avih" + struct.pack("<I", len(avih)) + avih
+    strh = (b"vids" + b"\x00" * 4 + struct.pack("<IHHIIII", 0, 0, 0, 0, 1, fps, 0)
+            + struct.pack("<IIiI", n_frames, 0, -1, 0) + b"\x00" * 8)
+    strh_chunk = b"strh" + struct.pack("<I", len(strh)) + strh
+    strl = b"LIST" + struct.pack("<I", 4 + len(strh_chunk)) + b"strl" + strh_chunk
+    hdrl_body = b"hdrl" + avih_chunk + strl
+    hdrl = b"LIST" + struct.pack("<I", len(hdrl_body)) + hdrl_body
+    movi = b"LIST" + struct.pack("<I", 4) + b"movi"
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _mp4_boxes(data: bytes, start: int, end: int):
+    """Yield (type, payload_start, payload_end) for the top-level
+    boxes in data[start:end] (32-bit sizes; size<8 is malformed)."""
+    p = start
+    while p + 8 <= end:
+        (size,) = struct.unpack_from(">I", data, p)
+        btype = data[p + 4 : p + 8]
+        if size < 8 or p + size > end:
+            raise ValueError("MP4 malformed box size")
+        yield btype, p + 8, p + size
+        p += size
+
+
+def decode_mp4_meta(data: bytes) -> dict:
+    """ISO-BMFF (MP4/MOV) bytes -> container metadata from the box
+    tree: mvhd timescale + duration, first video tkhd dims (16.16
+    fixed-point). Metadata only — no sample decoding."""
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        raise ValueError("not an MP4 (no ftyp box)")
+    timescale = duration = None
+    width = height = None
+    for btype, s, e in _mp4_boxes(data, 0, len(data)):
+        if btype != b"moov":
+            continue
+        for b2, s2, e2 in _mp4_boxes(data, s, e):
+            if b2 == b"mvhd":
+                ver = data[s2]
+                if ver == 1:
+                    timescale, duration = struct.unpack_from(">IQ", data, s2 + 20)
+                else:
+                    timescale, duration = struct.unpack_from(">II", data, s2 + 12)
+            elif b2 == b"trak" and width is None:
+                for b3, s3, e3 in _mp4_boxes(data, s2, e2):
+                    if b3 == b"tkhd":
+                        ver = data[s3]
+                        # tkhd v0 payload: ver/flags 4, times 8,
+                        # track 4, rsvd 4, duration 4, rsvd 8,
+                        # layer/alt/vol/rsvd 8, matrix 36 -> width@76
+                        # (v1 widens the three times to 64-bit -> @88)
+                        woff = s3 + (76 if ver == 0 else 88)
+                        if woff + 8 > e3:
+                            raise ValueError("MP4 tkhd box too short")
+                        w_fx, h_fx = struct.unpack_from(">II", data, woff)
+                        if w_fx and h_fx:
+                            width, height = w_fx >> 16, h_fx >> 16
+    if timescale is None:
+        raise ValueError("MP4 missing moov/mvhd")
+    return {
+        "kind": "mp4",
+        "width": width,
+        "height": height,
+        "timescale": timescale,
+        "duration_units": duration,
+        "duration_sec": duration / timescale if timescale else 0.0,
+    }
+
+
+def encode_mp4_meta(
+    width: int, height: int, timescale: int, duration: int
+) -> bytes:
+    """Minimal ISO-BMFF shell: ftyp + moov(mvhd + trak(tkhd)) with the
+    given timescale/duration and 16.16 fixed-point track dims."""
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", len(payload) + 8) + btype + payload
+
+    mvhd = (b"\x00\x00\x00\x00" + struct.pack(">II", 0, 0)
+            + struct.pack(">II", timescale, duration)
+            + struct.pack(">IH", 0x00010000, 0x0100) + b"\x00" * 10
+            + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+            + b"\x00" * 24 + struct.pack(">I", 2))
+    tkhd = (b"\x00\x00\x00\x07" + struct.pack(">II", 0, 0)
+            + struct.pack(">I", 1) + b"\x00" * 4
+            + struct.pack(">I", duration) + b"\x00" * 8
+            + struct.pack(">HHHH", 0, 0, 0, 0)
+            + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+            + struct.pack(">II", width << 16, height << 16))
+    moov = box(b"moov", box(b"mvhd", mvhd) + box(b"trak", box(b"tkhd", tkhd)))
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    return ftyp + moov
+
+
 # --------------------------------------------------------------- sniff
 
 
@@ -924,6 +1066,10 @@ def sniff_mime(data: bytes | None) -> str | None:
         return "image/bmp"
     if len(data) >= 4 and data[:3] == b"\xff\xd8\xff":
         return "image/jpeg"
+    if len(data) >= 12 and data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        return "video/avi"
+    if len(data) >= 12 and data[4:8] == b"ftyp":
+        return "video/mp4"
     return None
 
 

@@ -35,9 +35,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ingest_spark.operators.media_codecs import (
+    decode_avi_meta,
     decode_bmp,
     decode_gif,
     decode_jpeg,
+    decode_mp4_meta,
     decode_png,
     decode_tiff,
     decode_wav,
@@ -176,6 +178,26 @@ def _decode_media(payload: bytes) -> dict:
                 sample_rate=d["sample_rate"],
                 n_samples=d["n_samples"],
                 mean_value=d["mean_value"],
+            )
+        elif mime == "video/avi":
+            # container METADATA is real (avih header parse); frame
+            # decode stays honestly stubbed — no ffmpeg here
+            d = decode_avi_meta(payload)
+            out.update(
+                kind="avi",
+                width=d["width"],
+                height=d["height"],
+                sample_rate=d["fps"],
+                n_samples=d["n_frames"],
+            )
+        elif mime == "video/mp4":
+            d = decode_mp4_meta(payload)
+            out.update(
+                kind="mp4",
+                width=d["width"],
+                height=d["height"],
+                sample_rate=d["timescale"],
+                n_samples=d["duration_units"],
             )
     except _CODEC_ERRORS:
         out.update(

