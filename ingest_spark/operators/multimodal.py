@@ -8,11 +8,13 @@ and JPEG — baseline-sequential since round 7, chroma-subsampled and
 progressive (SOF2) since round 8 (real Huffman + DCT) —
 payloads go through the pure-stdlib codecs in
 ``operators.media_codecs``, emitting real dimensions/channels/sample
-stats. Payloads in a format no codec covers (video containers, ...)
-fall back to the clearly-marked deterministic byte-stat stub with
-kind='opaque'; payloads that sniff as a known format but fail to
-decode (corruption, truncation, a 12-bit or arithmetic-coded JPEG,
-...) come back as kind='decode_error' rows — the decode dispatcher is exception-total,
+stats. Video containers (AVI/MP4) yield REAL header metadata — dims,
+frame counts, timescales — while frame decode stays honestly stubbed
+(r8). Payloads in a format no parser covers fall back to the
+clearly-marked deterministic byte-stat stub with kind='opaque';
+payloads that sniff as a known format but fail to decode (corruption,
+truncation, a 12-bit or arithmetic-coded JPEG, ...) come back as
+kind='decode_error' rows — the decode dispatcher is exception-total,
 so one bad payload in a corpus can never kill the job (on a cluster
 with PIL/ffmpeg installed, swap the dispatcher's fallback — the
 Spark plumbing doesn't change).
@@ -521,6 +523,58 @@ def audio_features(df: DataFrame) -> DataFrame:
                     feats.append(_strided_means(vals or [0], AUDIO_FEAT_DIM))
                 else:
                     feats.append(_strided_means(payload, AUDIO_FEAT_DIM))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("features", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    return df.select("doc_id", "payload").mapInPandas(run, schema)
+
+
+def audio_spectral_features(df: DataFrame, n_bands: int = AUDIO_FEAT_DIM) -> DataFrame:
+    """REAL spectral features (r8): WAV payloads decode to PCM samples
+    and go through a numpy rFFT — per-band log10 power over
+    ``n_bands`` equal frequency bands, the deterministic
+    spectrogram-summary that needs no librosa/torchaudio. Non-WAV
+    payloads fall back to byte-stride means over the raw bytes
+    (marked fake, same as audio_features). Output is ``array<double>``
+    so it feeds the E3 similarity operators directly — ANN over audio
+    becomes the same code path as text embeddings."""
+    import math
+
+    def _band_log_power(x, bands: int) -> list[float]:
+        import numpy as np
+
+        arr = np.asarray(x, dtype=np.float64)
+        if arr.size == 0:
+            return [0.0] * bands
+        spec = np.abs(np.fft.rfft(arr)) ** 2
+        out = []
+        n = spec.size
+        for b in range(bands):
+            lo = (b * n) // bands
+            hi = ((b + 1) * n) // bands
+            out.append(float(math.log10(float(spec[lo:hi].sum()) + 1.0)))
+        return out
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                payload = bytes(payload) if payload else b"\x00"
+                if sniff_mime(payload) == "audio/wav":
+                    try:
+                        samples = decode_wav(payload)["samples"]
+                        feats.append(_band_log_power(samples, n_bands))
+                        continue
+                    except _CODEC_ERRORS:
+                        pass  # corrupt WAV: byte fallback below
+                feats.append(
+                    _band_log_power(list(payload), n_bands)
+                )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
 
     schema = T.StructType(

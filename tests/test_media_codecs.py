@@ -1112,3 +1112,33 @@ def test_video_container_metadata_is_real():
     bad = bytearray(mp4)
     bad[0:4] = (3).to_bytes(4, "big")  # ftyp size < 8
     assert _decode_media(bytes(bad))["kind"] == "decode_error"
+
+
+def test_audio_spectral_features_locate_a_tone(spark):
+    """r8: the FFT path is real — a pure sine at a known frequency
+    concentrates its energy in exactly the expected band, and a
+    low-frequency tone in a different one."""
+    import math
+
+    from ingest_spark.operators.media_codecs import encode_wav
+    from ingest_spark.operators.multimodal import audio_spectral_features
+
+    sr, n = 8000, 512
+    def tone(freq):
+        return encode_wav(
+            [int(10000 * math.sin(2 * math.pi * freq * i / sr)) for i in range(n)],
+            sample_rate=sr,
+        )
+
+    # band b of 8 covers freqs [b, b+1) * (sr/2)/8 = 500 Hz per band
+    df = spark.createDataFrame(
+        [(0, tone(250)), (1, tone(2250)), (2, tone(3750))],
+        "doc_id long, payload binary",
+    )
+    out = {r.doc_id: list(r.features)
+           for r in audio_spectral_features(df).collect()}
+    assert max(range(8), key=lambda b: out[0][b]) == 0   # 250 Hz -> band 0
+    assert max(range(8), key=lambda b: out[1][b]) == 4   # 2250 Hz -> band 4
+    assert max(range(8), key=lambda b: out[2][b]) == 7   # 3750 Hz -> band 7
+    # and the peak band dominates by orders of magnitude (log10 scale)
+    assert out[1][4] > out[1][0] + 2
