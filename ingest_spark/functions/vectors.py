@@ -90,3 +90,32 @@ def cosine_similarity(
     """cos(a,b) in double precision; NULL if either norm is zero."""
     denom = l2_norm(a, dim) * l2_norm(b, dim)
     return F.when(denom > 0, dot_product(a, b, dim) / denom)
+
+
+def cosine_from_norms(
+    a: Column | str,
+    b: Column | str,
+    norm_a: Column | str,
+    norm_b: Column | str,
+    dim: int | None = None,
+) -> Column:
+    """cos(a,b) with the per-vector L2 norms PRECOMPUTED as columns.
+
+    Bit-identical to ``cosine_similarity`` (the norms are the same
+    ``sqrt(sequential-fold)`` doubles, just evaluated in an earlier
+    stage), but the expression the JOIN stage must codegen shrinks
+    from five unrolled ``dim``-term chains (~10x64-node trees once
+    the zero-norm guard duplicates the denominator) to ONE dot chain
+    plus two column refs. That matters: r8's sweep showed Janino
+    refusing to compile ``bhj_doConsume``/SMJ-consume methods that
+    inlined the full five-chain cosine twice (filter + project),
+    silently dropping the whole join stage to interpreted eval — a
+    3-4x regression at scale (VERDICT r8 'Next' #1). Hoisting the
+    norms into the per-side scan/project stages (where Spark's
+    codegen CAN split oversized expression code into private
+    methods) keeps the join stage well under Janino's 64 KB method
+    limit. Cost: +8 bytes/row through the shuffle; saving: each norm
+    is computed once per vector instead of once per candidate pair.
+    """
+    denom = _col(norm_a) * _col(norm_b)
+    return F.when(denom > 0, dot_product(a, b, dim) / denom)

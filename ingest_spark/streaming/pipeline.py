@@ -704,7 +704,10 @@ class RenameSwap:
         return table_path
 
     @staticmethod
-    def staging(table_path: str, batch_id: int) -> str:
+    def staging(table_path: str, batch_id: int, run_id: str | None = None) -> str:
+        # run_id is irrelevant here: the staging dir is never the live
+        # dir (the table path itself is), so a cross-run name reuse
+        # only overwrites an inert leftover
         return f"{table_path}.staging-{batch_id}"
 
     @staticmethod
@@ -741,8 +744,27 @@ class PointerSwap:
             return table_path  # no pointer yet: first batch
 
     @staticmethod
-    def staging(table_path: str, batch_id: int) -> str:
-        return f"{table_path}.v-{batch_id}"
+    def staging(table_path: str, batch_id: int, run_id: str | None = None) -> str:
+        # Version dirs must be collision-free ACROSS runs (ADVICE r8):
+        # a fresh-checkpoint restart resets streaming batch ids to 0,
+        # and a name derived from batch_id alone would stage batch 0
+        # into the dir the pointer currently marks LIVE — rewriting
+        # the only good version in place (on an object store, exactly
+        # the non-atomic multi-object update this strategy exists to
+        # avoid), and a crash mid-write would corrupt it. run_id is
+        # hashed (it is usually a checkpoint PATH) into a short token;
+        # run-less callers keep the legacy name but are still covered
+        # by the live-dir guard below.
+        if run_id is not None:
+            import hashlib
+
+            tok = hashlib.sha256(run_id.encode()).hexdigest()[:12]
+            cand = f"{table_path}.v-{tok}-{batch_id}"
+        else:
+            cand = f"{table_path}.v-{batch_id}"
+        if cand == PointerSwap.resolve(table_path):
+            cand += "-r"  # never stage into the live version dir
+        return cand
 
     @staticmethod
     def install(table_path: str, staging: str, batch_id: int) -> None:
@@ -834,7 +856,7 @@ def foreach_batch_rollup(
             )
         except AnalysisException:  # first batch: rollup not created yet
             merged = partial
-        staging = swap.staging(rollup_path, batch_id)
+        staging = swap.staging(rollup_path, batch_id, run_id)
         merged.write.mode("overwrite").parquet(staging)
         _mark_applied(staging, batch_id, run_id)
         swap.install(rollup_path, staging, batch_id)
@@ -922,7 +944,7 @@ def foreach_batch_scd2(
             if untouched is None
             else untouched.unionByName(rebuilt)
         )
-        staging = swap.staging(table_path, batch_id)
+        staging = swap.staging(table_path, batch_id, run_id)
         out.write.mode("overwrite").parquet(staging)
         _mark_applied(staging, batch_id, run_id)
         swap.install(table_path, staging, batch_id)

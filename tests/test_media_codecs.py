@@ -1142,3 +1142,89 @@ def test_audio_spectral_features_locate_a_tone(spark):
     assert max(range(8), key=lambda b: out[2][b]) == 7   # 3750 Hz -> band 7
     # and the peak band dominates by orders of magnitude (log10 scale)
     assert out[1][4] > out[1][0] + 2
+
+
+def test_avi_header_found_by_chunk_walk_not_byte_scan():
+    """ADVICE r8: decode_avi_meta must WALK RIFF -> LIST hdrl -> avih.
+    A stray 'avih' byte run inside an earlier chunk used to be parsed
+    as the main header (silently wrong dims); and a payload whose only
+    'avih' bytes are frame garbage must raise, not parse."""
+    import struct
+
+    from ingest_spark.operators.media_codecs import (
+        decode_avi_meta,
+        encode_avi_meta,
+    )
+
+    real = encode_avi_meta(320, 240, 150, 25)
+    # prepend a JUNK chunk whose payload embeds a fake 'avih' + garbage
+    fake = b"avih" + struct.pack("<I", 40) + b"\xff" * 40
+    junk = b"JUNK" + struct.pack("<I", len(fake)) + fake
+    body = real[12:]  # original chunks after the RIFF/AVI header
+    payload = b"AVI " + junk + body
+    crafted = b"RIFF" + struct.pack("<I", len(payload)) + payload
+    d = decode_avi_meta(crafted)
+    assert (d["width"], d["height"], d["n_frames"], d["fps"]) == (320, 240, 150, 25)
+
+    # an AVI with 'avih' bytes present but NO hdrl list: must raise
+    payload2 = b"AVI " + junk
+    no_hdrl = b"RIFF" + struct.pack("<I", len(payload2)) + payload2
+    with pytest.raises(ValueError):
+        decode_avi_meta(no_hdrl)
+
+    # a chunk size running past the buffer is malformed, not truncated
+    lying = bytearray(crafted)
+    lying[16:20] = struct.pack("<I", 1 << 30)  # JUNK size -> absurd
+    with pytest.raises(ValueError):
+        decode_avi_meta(bytes(lying))
+
+
+def test_png_idat_bomb_is_valueerror_not_oom():
+    """ADVICE r8: a crafted PNG whose IDAT inflates far beyond the
+    declared geometry (or whose header declares absurd dims) must
+    raise ValueError (-> decode_error row) — never MemoryError, which
+    _CODEC_ERRORS deliberately does not catch."""
+    import struct
+    import zlib
+
+    from ingest_spark.operators.media_codecs import (
+        PNG_SIGNATURE,
+        decode_png,
+        encode_png,
+    )
+
+    def chunk(ctype, payload):
+        return (
+            struct.pack(">I", len(payload))
+            + ctype
+            + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    # 1) tiny declared dims, hugely inflating IDAT (classic bomb)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)  # 2x2 gray
+    bomb_raw = b"\x00" * (64 << 20)  # 64 MiB of zeros -> ~64 KiB zlib
+    bomb = (
+        PNG_SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bomb_raw, 9))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="beyond the declared geometry"):
+        decode_png(bomb)
+
+    # 2) absurd declared dims: rejected before any allocation
+    huge = struct.pack(">IIBBBBB", 1 << 16, 1 << 16, 8, 6, 0, 0, 0)
+    crafted = (
+        PNG_SIGNATURE
+        + chunk(b"IHDR", huge)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="decode ceiling"):
+        decode_png(crafted)
+
+    # 3) well-formed images still round-trip through the bounded path
+    png = encode_png(5, 4, bytes(range(60)), color_type=2)
+    d = decode_png(png)
+    assert (d["width"], d["height"]) == (5, 4)

@@ -903,7 +903,7 @@ def test_pointer_swap_rollup_and_crash_before_flip(spark, tmp_path):
     os.makedirs(dangling, exist_ok=True)
     with open(os.path.join(dangling, "junk"), "w") as fh:
         fh.write("incomplete")
-    assert PointerSwap.resolve(rollup) == PointerSwap.staging(rollup, 1)
+    assert PointerSwap.resolve(rollup).endswith(".v-1")  # batch 1 still live
     assert _read_pointer_rollup(spark, rollup) == want  # old state live
 
     # the streaming replay of batch 2 rewrites the version and flips
@@ -941,3 +941,51 @@ def test_pointer_swap_scd2(spark, tmp_path):
             for r in spark.read.parquet(path).collect()
         }
     assert results["rename"] == results["pointer"]
+
+
+def test_pointer_swap_fresh_checkpoint_restart_never_stages_into_live(
+    spark, tmp_path
+):
+    """ADVICE r8 (medium): a fresh-checkpoint restart resets streaming
+    batch ids to 0 while the pointer still marks run A's `.v-...-0` (or
+    legacy `.v-0`) dir live. Version names derived from batch_id alone
+    made run B stage its merge INTO the live dir — an in-place rewrite
+    of the only good version (a crash mid-write corrupts it; on an
+    object store it is the non-atomic multi-object update PointerSwap
+    exists to avoid). Version names are now run-scoped, and a live-dir
+    guard covers run-less callers."""
+    import os
+
+    from ingest_spark.streaming.pipeline import PointerSwap, foreach_batch_rollup
+
+    rollup = str(tmp_path / "rollup")
+    # run A: fresh checkpoint, ids from 0
+    apply_a = foreach_batch_rollup(
+        rollup, ["k"], ["v"], run_id="ckpt-A", swap=PointerSwap
+    )
+    apply_a(spark.createDataFrame([("a", 1.0), ("b", 2.0)], "k string, v double"), 0)
+    live_a = PointerSwap.resolve(rollup)
+
+    # run B: NEW checkpoint, ids reset to 0 — must not touch run A's dir
+    staging_b = PointerSwap.staging(rollup, 0, "ckpt-B")
+    assert staging_b != live_a
+    apply_b = foreach_batch_rollup(
+        rollup, ["k"], ["v"], run_id="ckpt-B", swap=PointerSwap
+    )
+    apply_b(spark.createDataFrame([("a", 4.0)], "k string, v double"), 0)
+    # run B's batch MERGED (replay skip is run-scoped, so batch 0 of a
+    # new run is applied) and the flip installed a different dir
+    assert _read_pointer_rollup(spark, rollup) == {"a": (2, 5.0), "b": (1, 2.0)}
+    assert PointerSwap.resolve(rollup) != live_a
+
+    # legacy run-less callers: the live-dir guard still refuses to
+    # hand out the pointed-at dir as a staging target (covers direct
+    # staging() users and marker-less states; within
+    # foreach_batch_rollup the run-less marker skips same-id replays,
+    # the separately-documented r7 pitfall)
+    legacy = str(tmp_path / "legacy")
+    apply0 = foreach_batch_rollup(legacy, ["k"], ["v"], swap=PointerSwap)
+    apply0(spark.createDataFrame([("x", 1.0)], "k string, v double"), 0)
+    live = PointerSwap.resolve(legacy)
+    assert live.endswith(".v-0")
+    assert PointerSwap.staging(legacy, 0) != live
