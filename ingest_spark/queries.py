@@ -1298,6 +1298,90 @@ def multimodal_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "multimodal_audio_features",
+    """
+    WITH p AS (
+      SELECT doc_id, CAST(doc_id % 3 AS INTEGER) AS t,
+             1000 + (doc_id % 50) * 137 AS c
+      FROM documents)
+    SELECT doc_id,
+           CAST(CASE WHEN t = 2 THEN 7 ELSE 0 END AS INTEGER)
+             AS dominant_band,
+           CAST(CASE WHEN t = 1 THEN (64 * c) * (64 * c) ELSE 0 END
+                AS BIGINT) AS band0_power,
+           CAST(0 AS BIGINT) AS band1_power,
+           CAST(0 AS BIGINT) AS band2_power,
+           CAST(0 AS BIGINT) AS band3_power,
+           CAST(0 AS BIGINT) AS band4_power,
+           CAST(0 AS BIGINT) AS band5_power,
+           CAST(0 AS BIGINT) AS band6_power,
+           CAST(CASE WHEN t = 2 THEN (64 * c) * (64 * c) ELSE 0 END
+                AS BIGINT) AS band7_power
+    FROM p
+    """,
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 audio spectral path, oracle-checked (VERDICT r8 §Next #2):
+    every doc gets a REAL 16-bit-PCM WAV (64 samples @ 8 kHz) whose
+    signal is closed-form in doc_id — silence (t=0), a DC level c
+    (t=1), or a Nyquist-rate alternation +/-c (t=2) — and the real
+    decode_wav -> numpy rFFT -> 8-band log-power pipeline
+    (multimodal.audio_spectral_features) runs distributed over Arrow
+    batches.
+
+    Why the oracle can be EXACT: for a power-of-two-length FFT, DC
+    and Nyquist inputs hit only add/subtract butterflies of equal
+    values, so every off-peak bin is EXACTLY 0.0 and the peak bin is
+    exactly (N*c)^2 — integer-representable in float64 (verified:
+    np.abs(rfft)**2 == (64c)^2 bit-for-bit). The query then INVERTS
+    the feature's log10(power+1) back to the integer power
+    (round(10^f - 1), exact because the pow/log round trip errs by
+    ~1 ulp against an integer target), so the driver compares
+    integers and no cross-engine libm difference can flake the hash.
+    dominant_band is argmax over the 8 bands: band 0 for DC (and for
+    all-zero silence, where the first max wins), band 7 (bins 28-32
+    of 33) for Nyquist. A hash match proves the WAV parse, the FFT
+    band split, and the log-power scaling are all real."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def run(batches):
+        import pandas as pd
+
+        from ingest_spark.operators.media_codecs import encode_wav
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                c = 1000 + (doc_id % 50) * 137
+                t = doc_id % 3
+                if t == 0:
+                    samples = [0] * 64
+                elif t == 1:
+                    samples = [c] * 64
+                else:
+                    samples = [c if i % 2 == 0 else -c for i in range(64)]
+                payloads.append(encode_wav(samples, sample_rate=8000))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.select("doc_id").mapInPandas(
+        run, "doc_id long, payload binary"
+    )
+    feats = multimodal.audio_spectral_features(media)
+    f = F.col("features")
+    inv = lambda i: F.round(  # noqa: E731
+        F.pow(F.lit(10.0), F.element_at(f, i + 1)) - 1
+    ).cast("long")
+    return feats.select(
+        "doc_id",
+        (F.array_position(f, F.array_max(f)) - 1).cast("int").alias(
+            "dominant_band"
+        ),
+        *[inv(i).alias(f"band{i}_power") for i in range(8)],
+    )
+
+
+@q(
     "media_decode_errors",
     """
     SELECT doc_id,
