@@ -115,12 +115,63 @@ def train_logreg(
     return [float(v) for v in w] + [float(b)]
 
 
+def train_centroid(
+    docs: DataFrame,
+    label_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> list[float]:
+    """Closed-form linear trainer (Rocchio 1971 / nearest-centroid
+    direction): w_j = n_neg * S+_j - n_pos * S-_j, where S±_j are the
+    per-class sums of hashed-feature weights — i.e. the (scaled)
+    difference of class centroids, the one-shot trainer text
+    classification has used since SMART. Unlike ``train_logreg`` this
+    needs NO driver-side sample, no iterations, and no RNG: two
+    distributed aggregates (one keyed by bucket, one global), a
+    <=N_BUCKETS-row collect, done — the shape that holds at 100 TB.
+
+    All arithmetic is INTEGER (feature weights are signed counts), so
+    the returned weights are integer-valued floats and every engine
+    reproduces them bit-for-bit while n_docs * corpus_word_count stays
+    under 2^53 — which is what makes the registry query's DuckDB
+    oracle exact (VERDICT r8 §Next #3). Bias is 0: the margin
+    threshold lives with the caller. GD training (``train_logreg``)
+    remains the iterative option, pinned by unit tests."""
+    labeled = docs.select(
+        F.col(id_col).alias("__did"),
+        F.col(text_col).alias("__text"),
+        F.col(label_col).cast("int").alias("__y"),
+    )
+    feats = hashed_features(
+        labeled.select(F.col("__did").alias("doc_id"), F.col("__text").alias("text"))
+    ).select(F.col("doc_id").alias("__did"), "bucket", "weight")
+    cnt = labeled.agg(
+        F.sum("__y").alias("n_pos"),
+        F.sum(1 - F.col("__y")).alias("n_neg"),
+    ).first()
+    n_pos, n_neg = int(cnt["n_pos"] or 0), int(cnt["n_neg"] or 0)
+    per_bucket = (
+        feats.join(labeled.select("__did", "__y"), "__did")
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("__y") == 1, F.col("weight")).otherwise(0)).alias("s_pos"),
+            F.sum(F.when(F.col("__y") == 0, F.col("weight")).otherwise(0)).alias("s_neg"),
+        )
+        .collect()
+    )
+    w = [0.0] * N_BUCKETS
+    for r in per_bucket:
+        w[int(r["bucket"])] = float(n_neg * int(r["s_pos"]) - n_pos * int(r["s_neg"]))
+    return w + [0.0]
+
+
 def score_docs(
     docs: DataFrame,
     weights: list[float],
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
+    emit_margin: bool = False,
 ) -> DataFrame:
     """Distributed scoring: sparse features x broadcast weights ->
     sigmoid probability + keep flag. The weight vector rides as 64
@@ -132,7 +183,15 @@ def score_docs(
     transparency but are gated keep=False regardless of threshold —
     a curation filter must never pass documents it could not measure
     (ADVICE r6: the old coalesce-to-0.5 + `>= 0.5` default let
-    zero-signal docs through by default)."""
+    zero-signal docs through by default).
+
+    ``emit_margin=True`` outputs the raw normalized margin
+    z = dot/||x|| + b instead of sigmoid(z): every op in z (+ * /
+    sqrt) is IEEE-correctly-rounded, so with integer-valued weights
+    the margin is BIT-IDENTICAL across engines — the oracle-exact
+    projection — whereas exp() differs by libm. keep is then
+    z >= logit(threshold) (z >= 0 at the 0.5 default), the same
+    decision boundary without the exp."""
     if len(weights) != N_BUCKETS + 1:
         raise ValueError(f"expected {N_BUCKETS + 1} weights, got {len(weights)}")
     feats = hashed_features(docs, id_col, text_col)
@@ -143,6 +202,19 @@ def score_docs(
         F.sqrt(F.sum(F.col("weight") * F.col("weight"))).alias("__norm"),
     )
     z = F.col("__dot") / F.col("__norm") + F.lit(float(weights[-1]))
+    if emit_margin:
+        import math
+
+        logit = math.log(threshold / (1.0 - threshold))
+        return (
+            docs.select(id_col)
+            .join(margins, id_col, "left")
+            .select(
+                id_col,
+                F.coalesce(z, F.lit(0.0)).alias("margin"),
+                F.coalesce(z >= F.lit(logit), F.lit(False)).alias("keep"),
+            )
+        )
     prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
     return (
         docs.select(id_col)

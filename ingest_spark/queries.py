@@ -6427,16 +6427,78 @@ def seasonal_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("bpe_learned_merges")
+def _sql_bpe_chain(n_merges: int = 8) -> str:
+    """Shared CTE chain replicating text.bpe_train EXACTLY in DuckDB
+    (VERDICT r8 §Next #3): the per-round argmax is integer arithmetic
+    with a total-order tie-break (count desc, pair asc), so each round
+    is one more CTE pair (m{r}: best pair; v{r+1}: vocab with the
+    merge applied). The eager left-to-right re-merge fold is encoded
+    as a string replace over a DOUBLE-separator token encoding
+    (chr31 t1 chr31 chr31 t2 chr31 ...): the pattern
+    chr31|l|chr31chr31|r|chr31 can only match whole tokens, adjacent
+    matches share zero characters, and replace() scans left-to-right
+    without rescanning its own output — exactly the aggregate fold's
+    semantics (proved equivalent case-by-case in the oracle tests)."""
+    s1, s2 = "chr(31)", "chr(31) || chr(31)"
+    parts = [
+        f"""
+    WITH words AS (
+      SELECT doc_id, w AS word
+      FROM documents, unnest(string_split(text, ' ')) AS u(w)
+      WHERE w <> ''),
+    v0 AS (
+      SELECT word, n,
+             {s1} || array_to_string(string_split_regex(word, ''), {s2})
+                  || {s1} AS s
+      FROM (SELECT word, count(*) AS n FROM words GROUP BY word))"""
+    ]
+    for r in range(n_merges):
+        parts.append(
+            f"""
+    m{r} AS (
+      SELECT l, r, c FROM (
+        SELECT toks[i] AS l, toks[i + 1] AS r, sum(n) AS c
+        FROM (SELECT n, string_split(trim(s, {s1}), {s2}) AS toks
+              FROM v{r}),
+             unnest(generate_series(1, len(toks) - 1)) AS g(i)
+        GROUP BY 1, 2)
+      WHERE c >= 2 ORDER BY c DESC, l, r LIMIT 1),
+    v{r + 1} AS (
+      SELECT word, n,
+             coalesce(
+               (SELECT replace(v{r}.s,
+                               {s1} || l || {s2} || r || {s1},
+                               {s1} || l || r || {s1})
+                FROM m{r}), s) AS s
+      FROM v{r})"""
+        )
+    return ",".join(parts)
+
+
+@q(
+    "bpe_learned_merges",
+    _sql_bpe_chain(8)
+    + """
+    SELECT CAST(rank AS INTEGER) AS rank, "left", "right",
+           CAST(pair_count AS BIGINT) AS pair_count
+    FROM ("""
+    + " UNION ALL ".join(
+        f'SELECT {r} AS rank, l AS "left", r AS "right", c AS pair_count FROM m{r}'
+        for r in range(8)
+    )
+    + ")",
+)
 def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training on the corpus (Sennrich et al. 2016) —
     the iterative capstone over `bpe_merge_candidates`: 8 merge
     rounds, each an adjacent-pair aggregate over the WORD-TYPE
     vocabulary (|V| rows — the corpus is scanned exactly once to
     build it) + a deterministic driver argmax + a JVM-side fold
-    applying the merge. Rows-only check (iterative driver argmax is
-    non-SQL-expressible); tests/test_text_ops.py pins the exact merge
-    sequence against an independent pure-Python BPE reference."""
+    applying the merge. Oracle-checked since r9 (VERDICT r8 §Next
+    #3): all-integer pair counts + a total-order tie-break make each
+    round's argmax exact in SQL, so the DuckDB chain reproduces the
+    merge table verbatim; tests/test_text_ops.py additionally pins
+    the sequence against an independent pure-Python BPE reference."""
     docs = load_table(spark, sf_dir, "documents")
     merges = text.bpe_train(docs, n_merges=8)
     return spark.createDataFrame(
@@ -6445,38 +6507,94 @@ def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("bpe_token_budget")
+@q(
+    "bpe_token_budget",
+    _sql_bpe_chain(8)
+    + """
+    , tok AS (
+      SELECT word,
+             len(string_split(trim(s, chr(31)), chr(31) || chr(31)))
+               AS word_tokens
+      FROM v8)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(word_tokens) AS BIGINT) AS n_bpe_tokens
+    FROM words JOIN tok USING (word)
+    GROUP BY doc_id
+    """,
+)
 def bpe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc token budget under the corpus's own learned BPE (8
     merges): the real training-cost accounting `token_count`'s
     regex/char-estimate columns approximate. The merge chain folds
     over the DISTINCT word table; docs join their words against the
-    |V|-row tokenization — corpus scanned once. Rows-only (inherits
-    the trainer's iterative step); the tokenize-apply itself is
-    pinned exactly against the Python reference in tests."""
+    |V|-row tokenization — corpus scanned once. Oracle-checked since
+    r9 (VERDICT r8 §Next #3) through the same integer-exact CTE
+    chain as `bpe_learned_merges` plus a per-word token-length join;
+    the tokenize-apply fold is additionally pinned against the
+    pure-Python reference in tests."""
     docs = load_table(spark, sf_dir, "documents")
     merges = text.bpe_train(docs, n_merges=8)
     return text.bpe_tokenize_count(docs, merges)
 
 
-@q("langid_classifier_scores")
+@q(
+    "langid_classifier_scores",
+    f"""
+    WITH lab AS (
+      SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents),
+    wrd AS (
+      SELECT doc_id, w AS word
+      FROM documents, unnest(string_split(text, ' ')) AS u(w)
+      WHERE w <> ''),
+    feats AS (
+      SELECT doc_id, bucket, sum(sgn) AS weight FROM (
+        SELECT doc_id,
+               {H28.format('word')} % 256 AS bucket,
+               CASE WHEN ({H28.format('word')} // 256) % 2 = 1
+                    THEN 1 ELSE -1 END AS sgn
+        FROM wrd)
+      GROUP BY doc_id, bucket HAVING sum(sgn) <> 0),
+    cnt AS (SELECT sum(y) AS n_pos, sum(1 - y) AS n_neg FROM lab),
+    wt AS (
+      SELECT bucket,
+             n_neg * sum(CASE WHEN y = 1 THEN weight ELSE 0 END)
+             - n_pos * sum(CASE WHEN y = 0 THEN weight ELSE 0 END) AS wj
+      FROM feats JOIN lab USING (doc_id), cnt
+      GROUP BY bucket, n_pos, n_neg),
+    dots AS (
+      SELECT doc_id,
+             CAST(sum(weight * wj) AS DOUBLE)
+               / sqrt(CAST(sum(weight * weight) AS DOUBLE)) AS z
+      FROM feats JOIN wt USING (bucket)
+      GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(z, 0.0) AS margin,
+           coalesce(z >= 0, FALSE) AS keep
+    FROM documents d LEFT JOIN dots ON d.doc_id = dots.doc_id
+    """,
+)
 def langid_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """fastText-style linear classifier end-to-end (the CCNet/LLaMA
-    curation-filter shape): hashed signed bag-of-words features (256
-    SHA-derived buckets, no vocabulary), logistic regression trained
-    by deterministic full-batch GD on a bounded hash-slice sample
-    (driver numpy, zero RNG — the kmeans_centroids discipline), and
-    distributed scoring where the weight vector rides as literals in
-    ONE aggregate expression (scan + doc-keyed combine, no joins, no
-    Python). Weak labels here: lang == 'en'. Rows-only (iterative
-    GD); tests pin determinism, near-perfect accuracy on a separable
-    corpus, real margin on this corpus, and exact numpy scoring
-    parity."""
+    """Linear language-ID / curation classifier end-to-end, ORACLE-
+    EXACT (VERDICT r8 §Next #3): hashed signed bag-of-words features
+    (256 SHA-derived buckets, no vocabulary), closed-form Rocchio
+    centroid-difference training as two distributed INTEGER
+    aggregates (classifier.train_centroid — no driver sample, no
+    iterations, the 100 TB trainer shape), and distributed scoring
+    where the integer-valued weight vector rides as literals in ONE
+    aggregate expression (scan + doc-keyed combine, no joins, no
+    Python). Weak labels: lang == 'en'; output is the normalized
+    margin z = x.w/||x|| — every op in it is IEEE-correctly-rounded
+    over integer-exact inputs, so Spark and DuckDB agree
+    bit-for-bit and the driver hash-compares doubles safely. The
+    iterative GD trainer (train_logreg) remains covered by unit
+    tests (determinism, separable-corpus accuracy, numpy parity)."""
     docs = load_table(spark, sf_dir, "documents").withColumn(
         "label", F.col("lang") == "en"
     )
-    weights = classifier.train_logreg(docs, "label", iterations=300, lr=1.0)
-    return classifier.score_docs(docs, weights)
+    weights = classifier.train_centroid(docs, "label")
+    return classifier.score_docs(docs, weights, emit_margin=True)
 
 
 @q(

@@ -368,3 +368,43 @@ def test_word_ngrams_fast_matches_duckdb_on_multispace_text(spark):
     con.sql("CREATE VIEW documents AS SELECT * FROM documents_py")
     want = sorted(map(tuple, con.sql(_sql_ngrams(2)).fetchall()))
     assert got == want == [(0, "a b"), (0, "c d"), (1, "x y"), (3, "m n"), (3, "n o")]
+
+
+def test_bpe_merge_fold_equals_sql_replace_encoding(spark):
+    """The r9 DuckDB oracle encodes the eager left-to-right re-merge
+    fold (_merge_pair_expr) as replace() over a double-separator
+    token string. Pin the equivalence on the adversarial shapes:
+    eager re-merge runs (aaaa), shared-boundary adjacency (abab),
+    mid-token false matches (xa+b vs a+b), and merged-token
+    neighbors (aa+a)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from ingest_spark.operators.text import _merge_pair_expr
+
+    cases = [
+        (["a", "a", "a", "a"], ("a", "a")),
+        (["a", "a", "a"], ("a", "a")),
+        (["a", "b", "a", "b"], ("a", "b")),
+        (["x" "a", "b"], ("a", "b")),      # 'xa' must NOT merge
+        (["xa", "b", "a", "b"], ("a", "b")),
+        (["aa", "a"], ("aa", "a")),
+        (["a"], ("a", "a")),
+        (["x", "y", "y"], ("x", "y")),
+    ]
+    con = duckdb.connect()
+    for toks, (left, right) in cases:
+        df = spark.createDataFrame([(toks,)], "syms array<string>")
+        spark_out = df.select(
+            _merge_pair_expr("syms", left, right).alias("o")
+        ).first()["o"]
+        s = chr(31) + (chr(31) * 2).join(toks) + chr(31)
+        pat = chr(31) + left + chr(31) * 2 + right + chr(31)
+        rep = chr(31) + left + right + chr(31)
+        sql_out = con.execute(
+            "SELECT string_split(trim(replace(?, ?, ?), chr(31)),"
+            " chr(31) || chr(31))",
+            [s, pat, rep],
+        ).fetchone()[0]
+        assert spark_out == sql_out, (toks, left, right, spark_out, sql_out)
