@@ -511,3 +511,84 @@ def test_embedding_join_stages_compile_no_codegen_fallback(spark):
             QUERIES[name](spark, SF_DIR).count()  # executes every stage
     finally:
         spark.conf.set("spark.sql.codegen.fallback", prev)
+
+
+def test_bm25_multiquery_prunes_before_first_exchange(spark):
+    """VERDICT r8 #4: the broadcast query-term prune must hit the
+    exploded corpus BEFORE any Exchange — at 100 TB the prune is what
+    keeps the first shuffle sized by matching terms, not by the whole
+    explosion. Structurally: walking UP from the corpus explode, a
+    BroadcastHashJoin on term appears with no Exchange between them;
+    plus the top-N is a WindowGroupLimit, and nothing sort-merges."""
+    p = _plan(spark, "bm25_multiquery")
+    lines = p.split("\n")
+    gen_i = next(i for i, l in enumerate(lines) if "Generate explode(split" in l)
+    bhj_i = max(
+        i for i, l in enumerate(lines[:gen_i]) if "BroadcastHashJoin [term" in l
+    )
+    between = lines[bhj_i + 1 : gen_i]
+    assert not any("Exchange hashpartitioning" in l for l in between), between
+    assert "WindowGroupLimit" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_exact_substring_spans_windows_partition_by_doc_only(spark):
+    """VERDICT r8 #4: every window in the seed-and-extend span walk
+    partitions by doc_id ONLY (doc-local islands — state per task is
+    one doc's gram positions, never a global sort), the dup-gram seed
+    set arrives broadcast, and gram extraction is the codegen regex
+    path (the r6 8.3x fix), not an interpreted HOF chain."""
+    p = _plan(spark, "exact_substring_spans")
+    win_lines = [l for l in p.split("\n") if l.lstrip().startswith("+- Window")
+                 or l.lstrip().startswith(":- Window")]
+    assert win_lines, p
+    for l in win_lines:
+        assert "], [doc_id" in l, l  # partition spec is doc_id alone
+    assert "regexp_extract_all" in p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "SortMergeJoin" not in p
+
+
+def test_pq_ann_topk_prunes_candidates_before_rerank(spark):
+    """VERDICT r8 #4: the PQ pipeline's shape — numpy ADC scoring in
+    an Arrow batch (MapInPandas), a WindowGroupLimit top-80 candidate
+    prune BEFORE the exact re-rank join, and broadcast-only joins (the
+    8-byte-code table never sort-merges against the corpus)."""
+    df = QUERIES["pq_ann_topk"](spark, SF_DIR)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in p
+    assert p.count("WindowGroupLimit") >= 2  # ADC prune + final top-k
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_incremental_ingest_batch_plan_is_state_sized(spark, tmp_path):
+    """VERDICT r8 #4: the live per-batch plan of the persist-and-
+    resume ingest — the new batch filter reaches the documents scan
+    (PushedFilters on source), the corpus side arrives as STORED
+    state tables (no re-shingling of existing docs: every Generate
+    sits above a source-filtered documents scan), and nothing
+    cartesians."""
+    from pyspark.sql import functions as F
+
+    from ingest_spark import incremental
+    from ingest_spark.catalog import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    state = str(tmp_path / "state")
+    incremental.init_state(spark, docs.filter(F.col("source") != "src1"), state)
+    df = incremental.ingest_batch(
+        spark, docs.filter(F.col("source") == "src1"), state
+    )
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    f = df._jdf.queryExecution().explainString(mode)
+    assert "EqualTo(source,src1)" in f  # batch filter pushed to scan
+    assert str(tmp_path) in f  # corpus side reads the stored state
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p
+    # the existing corpus is never re-shingled in the batch plan:
+    # every documents scan in it carries the src1 batch filter
+    doc_scans = [l for l in p.split("\n") if "documents.parquet" in l]
+    assert doc_scans and all("src1" in l for l in doc_scans), doc_scans

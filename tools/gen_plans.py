@@ -27,6 +27,10 @@ PICKS = [
     ("countmin_frequency_estimates", "count-min sketch: 12k-row state, broadcast probe join"),
     ("curation_scorecard", "multi-signal decision table: three doc-grain signal joins, scan fused"),
     ("hybrid_rrf_retrieval", "RRF fusion: two TakeOrdered heads, full-outer join of 20-row frames"),
+    # r9 additions (VERDICT r8 #4): the r6-r8 heavyweights
+    ("bm25_multiquery", "multi-term BM25: broadcast query-term prune BEFORE the first exchange, WindowGroupLimit top-N"),
+    ("exact_substring_spans", "seed-and-extend spans: every window partitions by doc_id only, codegen regex gram extraction"),
+    ("pq_ann_topk", "PQ ANN: Arrow-batched ADC scan, WindowGroupLimit candidate prune before exact re-rank, broadcast-only joins"),
 ]
 
 KEEP_KW = (
@@ -77,6 +81,43 @@ planner-relevant change.
             + "\n".join(detail).rstrip()
             + "\n```\n\n"
         )
+
+    # incremental_ingest_e2e (VERDICT r8 #4): the registry entry
+    # materializes through localCheckpoint (its temp state dir is gone
+    # by return time), so snapshot the LIVE per-batch plan instead —
+    # build real state, explain ingest_batch without executing it.
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ingest_spark import incremental
+    from ingest_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    state = tempfile.mkdtemp(prefix="plans_state_")
+    try:
+        incremental.init_state(
+            spark, docs.filter(F.col("source") != "src1"), state
+        )
+        df = incremental.ingest_batch(
+            spark, docs.filter(F.col("source") == "src1"), state
+        )
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        plan = df._jdf.queryExecution().explainString(mode)
+        lines = plan.split("\n")
+        tree_end = next((i for i, l in enumerate(lines) if l.startswith("(")), len(lines))
+        out.write(
+            "## incremental_ingest_e2e (per-batch ingest_batch plan)\n\n"
+            "_one new-batch pass vs STORED corpus tables: batch hashed/"
+            "banded/shingled once, bloom broadcast-prefilters the exact "
+            "probe, state sides arrive pre-aggregated — per-batch cost "
+            "is O(batch + state), never O(history)_\n\n```\n"
+            + "\n".join(lines[:tree_end]).rstrip()
+            + "\n```\n\n"
+        )
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
     out.close()
     spark.stop()
     print("PLANS.md written")
