@@ -1228,3 +1228,98 @@ def test_png_idat_bomb_is_valueerror_not_oom():
     png = encode_png(5, 4, bytes(range(60)), color_type=2)
     d = decode_png(png)
     assert (d["width"], d["height"]) == (5, 4)
+
+
+def test_mjpeg_avi_roundtrip_real_frames():
+    """VERDICT r8 #5: encode JPEG frames -> wrap in a real RIFF AVI ->
+    decode back; every frame's dims and pixel mean survive exactly
+    (constant images under all-ones quant round-trip bit-exactly),
+    and the container meta parses from the same payload."""
+    from ingest_spark.operators.media_codecs import (
+        decode_avi_mjpeg_frames,
+        encode_avi_mjpeg,
+        encode_jpeg,
+        sniff_mime,
+    )
+
+    w, h = 16, 24
+    values = [0, 17, 128, 200, 255]
+    frames = [
+        encode_jpeg(w, h, bytes([v]) * (w * h), channels=1) for v in values
+    ]
+    avi = encode_avi_mjpeg(w, h, frames, fps=10)
+    assert sniff_mime(avi) == "video/avi"
+    meta, decoded = decode_avi_mjpeg_frames(avi)
+    assert (meta["width"], meta["height"], meta["n_frames"], meta["fps"]) == (
+        w, h, len(values), 10,
+    )
+    assert len(decoded) == len(values)
+    for v, fr in zip(values, decoded):
+        assert (fr["width"], fr["height"]) == (w, h)
+        assert fr["mean_value"] == float(v)  # exact round-trip
+        assert fr["min_value"] == fr["max_value"] == v
+
+    # odd-length frames exercise the word-alignment pad
+    odd = encode_jpeg(8, 8, bytes([7]) * 64, channels=1)
+    if len(odd) % 2 == 0:
+        odd_frames = [odd, odd]
+    else:
+        odd_frames = [odd, odd]
+    _, dec2 = decode_avi_mjpeg_frames(encode_avi_mjpeg(8, 8, odd_frames))
+    assert [f["mean_value"] for f in dec2] == [7.0, 7.0]
+
+
+def test_mjpeg_avi_rejects_corruption():
+    """Corruption fuzz for the MJPEG container (VERDICT r8 #5): any
+    truncation, a corrupted frame inside a valid container, a lying
+    chunk size, and byte flips across the whole payload must raise
+    ValueError/struct.error (-> decode_error row) — never crash the
+    interpreter or over-allocate."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from ingest_spark.operators.media_codecs import (
+        decode_avi_mjpeg_frames,
+        encode_avi_mjpeg,
+        encode_jpeg,
+    )
+    from ingest_spark.operators.multimodal import _CODEC_ERRORS
+
+    w = h = 8
+    frames = [encode_jpeg(w, h, bytes([50]) * 64, channels=1) for _ in range(2)]
+    avi = encode_avi_mjpeg(w, h, frames)
+
+    # truncations at every interesting boundary
+    for cut in (0, 4, 11, 12, 40, len(avi) // 2, len(avi) - 1):
+        with _pytest.raises(_CODEC_ERRORS):
+            decode_avi_mjpeg_frames(avi[:cut])
+
+    # corrupt ONE frame's entropy data inside a valid container
+    broken = bytearray(avi)
+    movi_at = avi.find(b"movi")
+    frame_at = avi.find(b"00dc", movi_at)
+    (flen,) = _struct.unpack_from("<I", avi, frame_at + 4)
+    broken[frame_at + 8 : frame_at + 8 + flen] = b"\xff" * flen
+    with _pytest.raises(_CODEC_ERRORS):
+        decode_avi_mjpeg_frames(bytes(broken))
+
+    # lying chunk size: runs past the buffer -> malformed, not a hang
+    lying = bytearray(avi)
+    _struct.pack_into("<I", lying, frame_at + 4, 1 << 30)
+    with _pytest.raises(_CODEC_ERRORS):
+        decode_avi_mjpeg_frames(bytes(lying))
+
+    # valid container, empty movi -> no frames, not an error
+    empty = encode_avi_mjpeg(w, h, [])
+    meta, dec = decode_avi_mjpeg_frames(empty)
+    assert dec == [] and meta["n_frames"] == 0
+
+    # random single-byte flips never escape the ValueError contract
+    for pos in range(0, len(avi), max(1, len(avi) // 37)):
+        mutated = bytearray(avi)
+        mutated[pos] ^= 0xFF
+        try:
+            decode_avi_mjpeg_frames(bytes(mutated))
+        except _CODEC_ERRORS:
+            pass  # expected class: dispatchable decode errors only
