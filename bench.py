@@ -77,6 +77,11 @@ HEADLINE = [
     # decode over Arrow batches (now exception-total + vectorized)
     "incremental_ingest_e2e",
     "multimodal_media_decode",
+    # r9: the repaired embedding join (codegen-gated since VERDICT r8
+    # #1 — tracking it here keeps the fix visible round-over-round)
+    # and the real MJPEG-in-AVI frame decode composite (r8 #5)
+    "embedding_neardup_lsh",
+    "multimodal_mjpeg_frames",
 ]
 
 
@@ -193,6 +198,8 @@ def main() -> None:
                 "metric": "headline_suite_wall_sec",
                 "value": total,
                 "unit": "sec",
+                "total_steady": total,
+                "total_cold": total_cold,
                 "value_cold": total_cold,
                 "queries": per_query,
                 "queries_median": per_query_median,
@@ -200,6 +207,26 @@ def main() -> None:
                 "steady_passes": STEADY_PASSES,
                 "streaming": streaming,
                 "rows": rows,
+                "sf": sf,
+            }
+        )
+    )
+    # Compact per-round summary LAST (VERDICT r8 §Next #8): the driver
+    # records only the output TAIL, which used to truncate away the
+    # totals buried at the front of the big per-query line — this
+    # trailing line is small enough to always survive the tail capture,
+    # so round-over-round comparison never depends on truncation.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "total_steady": total,
+                "total_cold": total_cold,
+                "n_queries": len(HEADLINE),
+                "steady_passes": STEADY_PASSES,
+                "streaming_rows_per_sec": (streaming or {}).get("rows_per_sec"),
                 "sf": sf,
             }
         )

@@ -28,11 +28,18 @@ def test_bench_runs_and_emits_contract_json():
     json_lines = [
         ln for ln in proc.stdout.splitlines() if ln.startswith("{")
     ]
-    assert len(json_lines) == 1, proc.stdout[-2000:]
+    # full per-query line + the compact tail-safe summary (VERDICT r8 #8)
+    assert len(json_lines) == 2, proc.stdout[-2000:]
     d = json.loads(json_lines[0])
     assert d["metric"] == "headline_suite_wall_sec"
     assert d["unit"] == "sec" and d["value"] > 0
     assert d["sf"] == 0.001
+    compact = json.loads(json_lines[1])
+    assert compact["metric"] == "headline_suite_wall_sec"
+    assert compact["total_steady"] == d["value"] == d["total_steady"]
+    assert compact["total_cold"] == d["total_cold"] == d["value_cold"]
+    assert compact["n_queries"] == len(d["queries"])
+    assert len(json_lines[1]) < 500  # must survive any tail capture
     import bench
 
     assert set(d["queries"]) == set(bench.HEADLINE)
