@@ -244,3 +244,85 @@ def test_ingest_pending_sink_path_write_then_mark(spark, tmp_path):
     )
     assert spark.read.parquet(sink).count() == 3
     assert out2.count() == 3
+
+
+def test_http_collector_posts_flow_to_checkpointed_sink(spark, tmp_path):
+    """S6 (VERDICT r8 §Next #7): the Flume http-source topology on
+    Spark — POSTs land as atomically-renamed spool files (the
+    channel), a schema-applied file stream drains them through the
+    ingest transforms into a checkpointed parquet sink, and a second
+    round of POSTs + restart appends ONLY the new events (offsets
+    live in the checkpoint). Bad requests never reach the spool."""
+    import json
+    import urllib.request
+
+    from pyspark.sql import types as T
+
+    from ingest_spark.sources.http_collector import HttpCollector
+    from ingest_spark.streaming.pipeline import (
+        ingest_transform,
+        read_file_stream,
+        write_stream_parquet,
+    )
+
+    spool = str(tmp_path / "spool")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    col = HttpCollector(spool).start()
+    try:
+        def post(body: bytes):
+            req = urllib.request.Request(
+                col.url, data=body, headers={"Content-Type": "application/json"}
+            )
+            return urllib.request.urlopen(req).status
+
+        def post_events(events):
+            body = "\n".join(json.dumps(e) for e in events).encode()
+            assert post(body) == 204
+
+        post_events(
+            [{"event_id": i, "ts": "2026-01-01T00:00:00", "v": i * 1.5}
+             for i in range(3)]
+        )
+        post_events([{"event_id": 3, "ts": "2026-01-01T01:00:00", "v": 9.0}])
+
+        # malformed bodies are 400 and never spool
+        import urllib.error
+
+        for bad in (b"", b"not json", b"[1,2,3]"):
+            try:
+                post(bad)
+                raised = False
+            except urllib.error.HTTPError as e:
+                raised = e.code in (400, 413)
+            assert raised, bad
+
+        schema = T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("ts", T.TimestampType()),
+                T.StructField("v", T.DoubleType()),
+            ]
+        )
+
+        def drain():
+            stream = read_file_stream(spark, spool, schema, fmt="json")
+            out = ingest_transform(stream, ["event_id", "ts"], "ts")
+            q = write_stream_parquet(out, sink, ckpt, available_now=True)
+            q.awaitTermination(120)
+
+        drain()
+        got = {r.event_id for r in spark.read.parquet(sink).collect()}
+        assert got == {0, 1, 2, 3}
+
+        # round 2: new posts + a client RETRY of event 3 (at-least-once
+        # front); the checkpoint skips old files, the content-hash
+        # dedup inside ingest_transform absorbs the retry
+        post_events([{"event_id": 3, "ts": "2026-01-01T01:00:00", "v": 9.0}])
+        post_events([{"event_id": 4, "ts": "2026-01-01T02:00:00", "v": 1.0}])
+        drain()
+        rows = spark.read.parquet(sink).collect()
+        assert {r.event_id for r in rows} == {0, 1, 2, 3, 4}
+        assert len([r for r in rows if r.event_id == 4]) == 1
+    finally:
+        col.stop()
