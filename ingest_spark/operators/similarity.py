@@ -263,49 +263,89 @@ def embedding_neardup_lsh(
     num_bits: int = 8,
     dim: int = 64,
     round_to: int = 4,
+    block_rows: int = 1024,
 ) -> DataFrame:
     """Scale path for embedding near-dup: candidate pairs are
-    SAME-SIGN-LSH-BUCKET mates only (equi-join on the deterministic
-    hyperplane signature), then the exact cosine threshold — the
+    SAME-SIGN-LSH-BUCKET mates only, scored by exact cosine — the
     all-pairs O(n²) of ``embedding_neardup_pairs`` becomes one shuffle
     on the bucket key with ~n²/2^bits candidate pairs. Recall loss is
     the standard LSH trade (a >=t pair split across buckets is missed;
     raise recall with fewer bits or multiple tables); the bucketing is
     RNG-free, so an oracle replicating the planes reproduces the
-    result exactly."""
+    result exactly.
+
+    Pair scoring runs as an ARROW-BATCHED groupBy(bucket).applyInPandas
+    (VERDICT r8 §Next #1). The Column-expression forms all failed at
+    scale: the unrolled 5-chain cosine fused into the join stage blew
+    Janino's 64 KB method limit at small SF (silent interpreted
+    fallback), and after norm-hoisting the remaining 2x64-term chains
+    still pushed the generated join method past HotSpot's
+    DontCompileHugeMethods limit (~8 KB bytecode), leaving the stage
+    running in the JVM BYTECODE INTERPRETER — measured 799 s for 1M x
+    64d / 12 bits vs ~30 s for this formulation (SCALE_RUNS.jsonl,
+    lsh_pair_scoring_engine_ab). Here each bucket's vectors cross the
+    Arrow boundary ONCE (|bucket| rows, not |bucket|² pairs), numpy
+    scores all within-bucket pairs in 64 vectorized fused-multiply
+    steps whose per-pair IEEE order is EXACTLY the sequential fold
+    (acc starts at 0.0; 0.0+t0 == t0 bitwise for the non-negative
+    first terms), so cosines stay bit-identical to DuckDB's
+    list_inner_product — and the block loop bounds peak memory at
+    block_rows x |bucket| doubles regardless of bucket skew. Rounding
+    happens JVM-side (F.round) so the reported column matches Spark
+    semantics everywhere else."""
     sig = df.select(
-        F.col(id_col),
-        F.col(vec_col),
-        l2_norm(vec_col, dim).alias("__norm"),
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
         hyperplane_signature(vec_col, num_bits, dim).alias("__bucket"),
     )
-    a = sig.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("__va"),
-        F.col("__norm").alias("__na"),
-        "__bucket",
+
+    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "__cos": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "__cos": "float64"}
+            )
+        order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
+        ids = pdf["vec_id"].to_numpy()[order]
+        V = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+        )[order]
+        # sequential-fold norms: acc starts 0.0, += term d — identical
+        # IEEE order to the JVM/DuckDB chains
+        nacc = np.zeros(n)
+        for d in range(V.shape[1]):
+            nacc += V[:, d] * V[:, d]
+        norms = np.sqrt(nacc)
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_c: list[np.ndarray] = []
+        col_idx = np.arange(n)
+        for start in range(0, n, block_rows):
+            stop = min(start + block_rows, n)
+            acc = np.zeros((stop - start, n))
+            for d in range(V.shape[1]):
+                acc += V[start:stop, d, None] * V[None, :, d]
+            denom = norms[start:stop, None] * norms[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(denom > 0, acc / denom, np.nan)
+            mask = (cos >= threshold) & (col_idx[None, :] > (start + np.arange(stop - start))[:, None])
+            ri, ci = np.nonzero(mask)
+            out_a.append(ids[ri + start])
+            out_b.append(ids[ci])
+            out_c.append(cos[ri, ci])
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "__cos": np.concatenate(out_c),
+            }
+        )
+
+    pairs = sig.groupBy("__bucket").applyInPandas(
+        score_bucket, "id_a long, id_b long, __cos double"
     )
-    b = sig.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("__vb"),
-        F.col("__norm").alias("__nb"),
-        "__bucket",
-    )
-    # Norms ARE hoisted into the sig frame (VERDICT r8 #1): the inline
-    # five-chain cosine, instantiated twice (filter + round project),
-    # exceeded Janino's 64 KB method limit in the fused join stage and
-    # silently fell back to interpreted eval — a 3-4x scale regression.
-    # With hoisted norms the join stage codegens one dot chain per
-    # instance; each vector's norm is computed once (scan stage, where
-    # oversized expression code is splittable) instead of once per
-    # candidate pair, at +8 bytes/row through the bucket shuffle.
-    cos = cosine_from_norms("__va", "__vb", "__na", "__nb", dim)
-    return (
-        a.join(b, on="__bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cos >= threshold)  # unrounded: boundary-stable vs oracle
-        .withColumn("cosine_sim", F.round(cos, round_to))
-        .select("id_a", "id_b", "cosine_sim")
+    return pairs.select(
+        "id_a", "id_b", F.round(F.col("__cos"), round_to).alias("cosine_sim")
     )
 
 

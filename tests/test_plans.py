@@ -592,3 +592,20 @@ def test_incremental_ingest_batch_plan_is_state_sized(spark, tmp_path):
     # every documents scan in it carries the src1 batch filter
     doc_scans = [l for l in p.split("\n") if "documents.parquet" in l]
     assert doc_scans and all("src1" in l for l in doc_scans), doc_scans
+
+
+def test_embedding_neardup_lsh_is_bucket_grouped_arrow_scoring(spark):
+    """VERDICT r8 #1 (final form): the scale path's plan is ONE
+    exchange on the LSH bucket feeding a FlatMapGroupsInPandas scorer
+    — vectors cross the Arrow boundary once per bucket (|bucket| rows,
+    never |bucket|^2 pairs), no join operator exists to fuse a mega-
+    expression into, and the signature projection stays JVM-side below
+    the shuffle. This is the formulation that replaced two failed
+    Column-expression forms (Janino 64 KB blowup; HotSpot 8 KB JIT
+    bailout -> bytecode interpreter, 799 s vs ~30 s at 1M x 64d)."""
+    df = QUERIES["embedding_neardup_lsh"](spark, SF_DIR)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in p
+    assert p.count("Exchange") == 1, p  # the bucket shuffle, nothing else
+    assert "hashpartitioning(__bucket" in p
+    assert "Join" not in p and "CartesianProduct" not in p
