@@ -37,15 +37,13 @@ def test_oracle_keys_subset_of_queries():
     # only genuinely oracle-inexpressible ops may omit an oracle
     # (HLL sketch estimates are engine-specific by nature;
     # approx_distinct_sketch gained a deterministic violation-count
-    # output in r5 and is oracle-checked now)
+    # output in r5 and is oracle-checked now; the langid/BPE rows
+    # moved to full oracles in r9 per VERDICT r8 §Next #3)
     assert set(qs) - set(os_) == {
         "ivf_topk",
         "pq_ann_topk",
         "approx_percentile_sketch",
         "sketch_rollup_union",
-        "bpe_learned_merges",
-        "bpe_token_budget",
-        "langid_classifier_scores",
     }
 
 
