@@ -61,6 +61,13 @@ HEADLINE = [
     "duplicate_passages",
     "bm25_retrieval",
     "neardup_components",
+    # r9: the O(log n) star-contraction CC variant rides alongside the
+    # O(diameter) label-prop one — the sf10 evidence run (BASELINE.md)
+    # showed the label variant's shallow-cluster assumption break on a
+    # signature-saturated graph (diameter > 20), exactly the regime
+    # the star algorithm exists for; benching both keeps the
+    # crossover visible round-over-round
+    "neardup_components_star",
     # r5: the composed curation pipeline + multi-query retrieval
     # (VERDICT r4 §Next #6/#8)
     "curation_e2e",
