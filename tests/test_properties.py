@@ -909,20 +909,60 @@ def test_jpeg_rgb_lossy_roundtrip_close(width, height, seed, quality, sampling, 
     d = decode_jpeg(blob)
     assert (d["width"], d["height"], d["channels"]) == (width, height, 3)
     n = width * height * 3
-    mean_err = sum(abs(a - b) for a, b in zip(d["pixels"], px)) / n
     # gradients with %256 seams are hard content; the bound only needs
     # to catch structural bugs (wrong block placement explodes the
     # error to 60+). Tiny/degenerate frames at mid quality can
     # legitimately reach ~17 (hypothesis found 8x1/q50/422 at 17.3),
-    # so mid/high quality gets 32; all-ones quant stays tight (the
-    # only loss is color rounding + chroma box-averaging).
+    # so mid/high quality gets 32. All-ones quant is held to a TIGHT
+    # bound, but against the pipeline's unavoidable-loss reference
+    # (color rounding + chroma box-average + replicate upsample), not
+    # the original: a chroma cliff at a %256 seam costs ~15 mean on a
+    # 1x6 frame even with lossless DCT (hypothesis, r9), and that loss
+    # is the declared subsampling semantics, not a codec bug.
     if quality is None:
+        ref = _jpeg_subsample_reference(px, width, height, sampling)
+        mean_err = sum(abs(a - b) for a, b in zip(d["pixels"], ref)) / n
         limit = 8.0
-    elif quality >= 50:
-        limit = 32.0
     else:
-        limit = 64.0
+        mean_err = sum(abs(a - b) for a, b in zip(d["pixels"], px)) / n
+        limit = 32.0 if quality >= 50 else 64.0
     assert mean_err < limit, f"mean abs error {mean_err} (q={quality})"
+
+
+def _jpeg_subsample_reference(px, width, height, sampling):
+    """Best-possible RGB reconstruction under the codec's declared
+    sampling pipeline with a lossless transform stage: RGB -> YCbCr
+    (truncating, clipped) -> chroma box-average (edge-padded) ->
+    nearest-index replication upsample -> RGB (floor+0.5, clipped).
+    Mirrors encode_jpeg/_decode-side semantics exactly so the fuzz
+    bound isolates the DCT/entropy stages."""
+    import numpy as np
+
+    from ingest_spark.operators.media_codecs import _JPEG_SAMPLING
+
+    arr = np.frombuffer(px, dtype=np.uint8).reshape(height, width, 3).astype(np.float64)
+    r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+    y = np.clip(np.floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5), 0, 255)
+    cb = np.clip(np.floor(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.5), 0, 255)
+    cr = np.clip(np.floor(0.5 * r - 0.418688 * g - 0.081312 * b + 128.5), 0, 255)
+    (hmax, vmax), (hc, vc), _ = _JPEG_SAMPLING[sampling]
+    planes = [y]
+    for p in (cb, cr):
+        fx, fy = hmax // hc, vmax // vc
+        cw, ch = -(-width * hc // hmax), -(-height * vc // vmax)
+        if fx != 1 or fy != 1:
+            padded = np.pad(p, ((0, ch * fy - height), (0, cw * fx - width)), mode="edge")
+            p = np.floor(padded.reshape(ch, fy, cw, fx).mean(axis=(1, 3)) + 0.5)
+            ys = (np.arange(height) * vc) // vmax
+            xs = (np.arange(width) * hc) // hmax
+            p = p[np.ix_(ys, xs)]
+        planes.append(p)
+    Y, CB, CR = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    rgb = np.stack(
+        (Y + 1.402 * CR, Y - 0.344136 * CB - 0.714136 * CR, Y + 1.772 * CB),
+        axis=-1,
+    )
+    return np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8).tobytes()
 
 
 @settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
