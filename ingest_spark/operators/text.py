@@ -244,7 +244,34 @@ def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def gopher_filters(df: DataFrame, text_col: str = "text") -> DataFrame:
+def corpus_common_words(df: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame:
+    """Top-``k`` words by document frequency, as ONE row holding a
+    sorted array column ``__common`` — the corpus-adaptive stand-in
+    for a fixed stopword list in ``gopher_filters``. Gopher's
+    "contains >= 2 stopwords" rule is really "contains the corpus's
+    glue words"; on an English corpus the top of the document-
+    frequency table IS the stopword list, and deriving it from the
+    data makes the gate meaningful on any language or synthetic
+    vocabulary. Ties break by word so engines agree exactly.
+
+    Plan shape: explode distinct words -> partial-agg'd count ->
+    TakeOrderedAndProject(k) -> single-row collect_list. The result
+    is broadcast into the gate with a one-row cross join, so at
+    100 TB this costs one word-frequency aggregate (the same shuffle
+    tf-idf already pays) and no per-doc join."""
+    return (
+        df.select(F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), F.asc("w"))
+        .limit(k)
+        .agg(F.sort_array(F.collect_list("w")).alias("__common"))
+    )
+
+
+def gopher_filters(
+    df: DataFrame, text_col: str = "text", common_words_col: str | None = None
+) -> DataFrame:
     """Gopher-style document quality gate (Rae et al. 2021, table A1,
     adapted to thresholds that discriminate on word-token corpora):
     word-count bounds, mean-word-length bounds, minimum distinct
@@ -255,17 +282,27 @@ def gopher_filters(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     All four rules are narrow codegen'd projections over one split()
     — no shuffle, scan-bound at 100 TB. Ratios use scaled-integer
-    division (exact midpoints, portable across engines)."""
+    division (exact midpoints, portable across engines).
+
+    ``common_words_col`` names an array<string> column (normally the
+    broadcast ``corpus_common_words`` row) to use as the stopword
+    list instead of the static English ``EN_STOPWORDS`` — the
+    corpus-adaptive form of the same rule."""
     t = F.col(text_col)
     words = F.split(t, " ")
     n_words = F.size(words)
     # single-space corpora: total word chars = chars - (words - 1)
     mean_wlen_c = ((F.length(t) - n_words + 1) * 10000 / n_words).cast("long")
     ttr_c = (F.size(F.array_distinct(words)) * 10000 / n_words).cast("long")
-    n_stop_distinct = sum(
-        ((_occurrences(t, w) > 0).cast("int") for w in EN_STOPWORDS),
-        F.lit(0),
-    )
+    if common_words_col is not None:
+        n_stop_distinct = F.size(
+            F.array_intersect(F.array_distinct(words), F.col(common_words_col))
+        )
+    else:
+        n_stop_distinct = sum(
+            ((_occurrences(t, w) > 0).cast("int") for w in EN_STOPWORDS),
+            F.lit(0),
+        )
     out = df.withColumns(
         {
             "n_words": n_words,

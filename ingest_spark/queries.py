@@ -5039,7 +5039,12 @@ def duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "curation_e2e",
     f"""
-    WITH RECURSIVE gated AS (
+    WITH RECURSIVE common AS (
+      SELECT w FROM (
+        SELECT unnest(list_distinct({WORDS})) AS w FROM documents)
+      GROUP BY w ORDER BY count(*) DESC, w LIMIT 20),
+    clist AS (SELECT list(w ORDER BY w) AS cw FROM common),
+    gated AS (
       SELECT doc_id, text, source FROM (
         SELECT doc_id, text, source,
                CAST(len({WORDS}) AS INT) AS n_words,
@@ -5047,11 +5052,8 @@ def duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
                     // len({WORDS}) AS BIGINT) AS mwl_c,
                CAST(len(list_distinct({WORDS})) * 10000
                     // len({WORDS}) AS BIGINT) AS ttr_c,
-               ({" + ".join(
-                   f"CASE WHEN list_contains({WORDS}, '{w}') THEN 1 ELSE 0 END"
-                   for w in text.EN_STOPWORDS
-               )}) AS n_stop
-        FROM documents)
+               len(list_intersect(list_distinct({WORDS}), cw)) AS n_stop
+        FROM documents CROSS JOIN clist)
       WHERE n_words BETWEEN 20 AND 1000 AND mwl_c BETWEEN 20000 AND 120000
         AND n_stop >= 2 AND ttr_c >= 2500),
     exact AS (
@@ -5100,7 +5102,12 @@ def duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The WHOLE training-data curation pipeline as one composed plan
-    (VERDICT r4 §Next #8): Gopher quality gate -> exact content-hash
+    (VERDICT r4 §Next #8): Gopher quality gate (r9: with the
+    corpus-adaptive stopword rule — ``corpus_common_words`` top-20
+    document-frequency words, broadcast into the gate — because the
+    static English list matched ZERO synthetic-vocabulary docs, so
+    every post-gate stage ran on an empty frame and the bench/oracle
+    rows were vacuous 0s) -> exact content-hash
     dedup (min-id survivor) -> MinHash-LSH candidate pairs ->
     connected-components collapse (one survivor per near-dup cluster)
     -> 16/8 token chunking -> 512-token sequence packing, ending in
@@ -5111,7 +5118,14 @@ def curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays the full chain including the recursive-CTE
     transitive closure."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
-    gated = text.gopher_filters(docs).filter("keep").select("doc_id", "text", "source")
+    common = text.corpus_common_words(docs, "text", k=20)
+    gated = (
+        text.gopher_filters(
+            docs.crossJoin(F.broadcast(common)), common_words_col="__common"
+        )
+        .filter("keep")
+        .select("doc_id", "text", "source")
+    )
     exact = dedup.keep_best(
         gated.withColumn("__h", F.sha2(F.col("text"), 256)),
         "__h",

@@ -283,6 +283,8 @@ def test_round5_curation_plans_have_no_cartesian(spark):
         "unigram_logprob_score",
         "bm25_multiquery",
         "dsir_importance_weights",
+        # r9: one-row corpus_common_words broadcast into the gate
+        "curation_e2e",
     }
     for name in (
         "semantic_dedup_survivors",
