@@ -1535,13 +1535,21 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "anti_join_inactive_customers",
     """
     SELECT c_custkey, c_name, c_mktsegment FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '2001-01-01')
     """,
 )
 def anti_join_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E6: left-anti join (customers that never ordered)."""
+    """E6: left-anti join — customers with no order since a cutoff
+    (churn query). r9: the original "never ordered" form was vacuous
+    on this data (every custkey appears in orders at every SF), so the
+    anti join's probe/miss path was never exercised; the recency
+    predicate keeps the same plan (filter pushed to the build side
+    before the anti join) and selects 615/1500 at sf0.01."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "2001-01-01"
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name", "c_mktsegment"
     )
@@ -1926,16 +1934,21 @@ def tpch_q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(sum(c_acctbal), 2) AS totacctbal
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     WHERE c_acctbal > (SELECT a FROM avg_bal)
-      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '2001-01-01')
     GROUP BY n_name
     """,
 )
 def tpch_q22_idle_wealthy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 adapted (nation stands in for phone country codes):
-    above-average-balance customers with no orders. The scalar avg is a
-    1-row broadcast; the anti join prunes before the aggregate."""
+    above-average-balance customers with no RECENT orders (r9: the
+    no-orders-ever form was vacuous — every custkey has orders in
+    this data at every SF). The scalar avg is a 1-row broadcast; the
+    anti join prunes before the aggregate."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "2001-01-01"
+    )
     n = load_table(spark, sf_dir, "nation")
     avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("a"))
     wealthy = c.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("a"), "inner")
@@ -2437,14 +2450,17 @@ def approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN customer ON c_custkey = o_custkey
         JOIN nation n1 ON s_nationkey = n1.n_nationkey
         JOIN nation n2 ON c_nationkey = n2.n_nationkey
-      WHERE ((n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
-          OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE'))
+      WHERE ((n1.n_name = 'NATION_13' AND n2.n_name = 'NATION_19')
+          OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_13'))
         AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31')
     GROUP BY supp_nation, cust_nation, l_year
     """,
 )
 def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q7: bilateral trade volume France<->Germany by year. The
+    """TPC-H Q7: bilateral trade volume between a nation pair by year
+    (r9: pair literals switched from FRANCE/GERMANY to NATION_13/19 —
+    this data's nations are NATION_0..24, so the original literals
+    matched nothing and the 5-way join was vacuous at every SF). The
     disjunctive nation-pair predicate lands after broadcast joins of
     both nation copies; lineitem's date filter is pushed."""
     s = load_table(spark, sf_dir, "supplier")
@@ -2466,8 +2482,8 @@ def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(
-            ((F.col("supp_nation") == "FRANCE") & (F.col("cust_nation") == "GERMANY"))
-            | ((F.col("supp_nation") == "GERMANY") & (F.col("cust_nation") == "FRANCE"))
+            ((F.col("supp_nation") == "NATION_13") & (F.col("cust_nation") == "NATION_19"))
+            | ((F.col("supp_nation") == "NATION_19") & (F.col("cust_nation") == "NATION_13"))
         )
     )
     return j.groupBy(
