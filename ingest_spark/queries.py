@@ -774,8 +774,10 @@ def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_minhash_sig(source: str = "documents") -> tuple[str, list[tuple[int, int]]]:
-    params = dedup._perm_params(4)
+def _sql_minhash_sig(
+    source: str = "documents", num_hashes: int = 4
+) -> tuple[str, list[tuple[int, int]]]:
+    params = dedup._perm_params(num_hashes)
     h = H28.format("s")
     cols = ", ".join(
         f"list_min(list_transform(sh, s -> ({a} * {h} + {b}) % {dedup.MERSENNE_P})) AS m{i}"
@@ -5077,11 +5079,14 @@ def duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT *, row_number() OVER (PARTITION BY sha256(text)
                                      ORDER BY doc_id) AS rn
         FROM gated) WHERE rn = 1),
-    sig AS ({_sql_minhash_sig("exact")[0]}),
+    sig AS ({_sql_minhash_sig("exact", 16)[0]}),
     b AS (
-      SELECT doc_id, '0:' || m0 || ',' || m1 AS bucket FROM sig
-      UNION ALL
-      SELECT doc_id, '1:' || m2 || ',' || m3 AS bucket FROM sig),
+      {" UNION ALL ".join(
+          f"SELECT doc_id, '{bi}:' || "
+          + " || ',' || ".join(f"m{bi * 4 + j}" for j in range(4))
+          + " AS bucket FROM sig"
+          for bi in range(4)
+      )}),
     pairs AS (
       SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
       FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.doc_id < b2.doc_id),
@@ -5124,15 +5129,21 @@ def curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     static English list matched ZERO synthetic-vocabulary docs, so
     every post-gate stage ran on an empty frame and the bench/oracle
     rows were vacuous 0s) -> exact content-hash
-    dedup (min-id survivor) -> MinHash-LSH candidate pairs ->
-    connected-components collapse (one survivor per near-dup cluster)
-    -> 16/8 token chunking -> 512-token sequence packing, ending in
-    the per-(source, bin) occupancy rollup. This is the pipeline a
-    training-data user actually runs end-to-end; benching it as one
-    entry makes round deltas track the composition, not just the
-    pieces. Every stage is the already-oracle-checked operator; the
-    oracle replays the full chain including the recursive-CTE
-    transitive closure."""
+    dedup (min-id survivor) -> MinHash-LSH candidate pairs (r9:
+    16-hash/4-band — 4 rows per band. The narrow 4/2 signature
+    saturates past ~100k docs (BASELINE.md widening study: 3.49M
+    collision pairs at 500k docs vs 1,933 at 16/4, same wall), and
+    the collision graph's diameter then blows the label-prop round
+    budget — curation_e2e at sf10 failed to converge in 20 rounds
+    with the narrow literals, and converges immediately with these)
+    -> connected-components collapse (one survivor per near-dup
+    cluster) -> 16/8 token chunking -> 512-token sequence packing,
+    ending in the per-(source, bin) occupancy rollup. This is the
+    pipeline a training-data user actually runs end-to-end; benching
+    it as one entry makes round deltas track the composition, not
+    just the pieces. Every stage is the already-oracle-checked
+    operator; the oracle replays the full chain including the
+    recursive-CTE transitive closure."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
     common = text.corpus_common_words(docs, "text", k=20)
     gated = (
@@ -5148,7 +5159,7 @@ def curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("doc_id")],
     ).drop("__h")
     pairs = dedup.minhash_lsh_candidates(
-        exact, "doc_id", "text", num_hashes=4, bands=2, shingle_n=3
+        exact, "doc_id", "text", num_hashes=16, bands=4, shingle_n=3
     )
     kept = dedup.dedup_by_components(exact, "doc_id", pairs)
     chunks = text.chunk_tokens(kept, size=16, stride=8)
