@@ -28,6 +28,27 @@ def duck():
     con.close()
 
 
+# Queries whose result is legitimately empty at sf0.001 (and ONLY
+# there — each must be nonzero at sf0.01, checked when added):
+# tpch_q11's value-share threshold needs more than 150 customers'
+# stock to clear (238 rows at sf0.01).
+EMPTY_AT_SF0001_OK = {"tpch_q11_important_stock"}
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_not_vacuous(duck, name):
+    """Guard the r9 defect class: an oracle that returns 0 rows makes
+    the equivalence check pass vacuously (0 == 0) while the operator
+    under test never touches a row — curation_e2e shipped that way
+    for four rounds (EN-stopword gate vs synthetic vocabulary), and
+    three join queries had literals matching nothing in this data.
+    DuckDB-side only, so the whole surface costs seconds."""
+    n = len(duck.execute(ORACLES[name]).fetchall())
+    if name in EMPTY_AT_SF0001_OK:
+        return
+    assert n > 0, f"{name}: oracle returns 0 rows at sf0.001 — vacuous pass"
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(spark, duck, name):
     fn = QUERIES[name]
