@@ -4981,7 +4981,11 @@ def word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 def gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style hard quality cascade (E4/E10): per-rule PASS/FAIL
     flags + combined keep — the gate run before any money is spent on
-    dedup or training. Pure narrow projection, scan-bound at 100 TB."""
+    dedup or training. Pure narrow projection, scan-bound at 100 TB.
+    NOTE: this is the paper-faithful English-stopword form; on this
+    synthetic-vocabulary corpus pass_stopwords is constant false (the
+    flags still compute) — `gopher_gate_adaptive` is the form whose
+    stopword rule discriminates on any corpus."""
     docs = load_table(spark, sf_dir, "documents")
     return text.gopher_filters(docs).select(
         "doc_id",
@@ -4989,6 +4993,63 @@ def gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_word_len",
         "type_token_ratio",
         "n_stop_distinct",
+        "pass_word_count",
+        "pass_mean_word_len",
+        "pass_stopwords",
+        "pass_repetition",
+        "keep",
+    )
+
+
+@q(
+    "gopher_gate_adaptive",
+    f"""
+    WITH common AS (
+      SELECT w FROM (
+        SELECT unnest(list_distinct({WORDS})) AS w FROM documents)
+      GROUP BY w ORDER BY count(*) DESC, w LIMIT 20),
+    clist AS (SELECT list(w ORDER BY w) AS cw FROM common),
+    d AS (
+      SELECT doc_id,
+             CAST(len({WORDS}) AS INT) AS n_words,
+             CAST((length(text) - len({WORDS}) + 1) * 10000
+                  // len({WORDS}) AS BIGINT) AS mwl_c,
+             CAST(len(list_distinct({WORDS})) * 10000
+                  // len({WORDS}) AS BIGINT) AS ttr_c,
+             CAST(len(list_intersect(list_distinct({WORDS}), cw))
+                  AS INT) AS n_stop_distinct
+      FROM documents CROSS JOIN clist)
+    SELECT doc_id, n_words,
+           CAST(mwl_c AS DOUBLE) / 10000 AS mean_word_len,
+           CAST(ttr_c AS DOUBLE) / 10000 AS type_token_ratio,
+           n_stop_distinct,
+           n_words BETWEEN 20 AND 1000 AS pass_word_count,
+           mwl_c BETWEEN 20000 AND 120000 AS pass_mean_word_len,
+           n_stop_distinct >= 2 AS pass_stopwords,
+           ttr_c >= 2500 AS pass_repetition,
+           (n_words BETWEEN 20 AND 1000) AND (mwl_c BETWEEN 20000 AND 120000)
+             AND n_stop_distinct >= 2 AND ttr_c >= 2500 AS keep
+    FROM d
+    """,
+)
+def gopher_gate_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-adaptive Gopher gate (r9): the stopword rule checks
+    membership in the corpus's own top-20 document-frequency words
+    (text.corpus_common_words) instead of a fixed English list, so
+    the flags discriminate on any language or synthetic vocabulary —
+    on English the document-frequency head IS the stopword list.
+    Plan: one word-count aggregate feeding a one-row broadcast; the
+    gate itself stays a narrow scan-bound projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    common = text.corpus_common_words(docs, "text", k=20)
+    return text.gopher_filters(
+        docs.crossJoin(F.broadcast(common)), common_words_col="__common"
+    ).select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "type_token_ratio",
+        F.col("n_stop_distinct").cast("int").alias("n_stop_distinct"),
         "pass_word_count",
         "pass_mean_word_len",
         "pass_stopwords",
