@@ -611,3 +611,22 @@ def test_embedding_neardup_lsh_is_bucket_grouped_arrow_scoring(spark):
     assert p.count("Exchange") == 1, p  # the bucket shuffle, nothing else
     assert "hashpartitioning(__bucket" in p
     assert "Join" not in p and "CartesianProduct" not in p
+
+
+def test_gopher_gate_adaptive_single_agg_then_broadcast(spark):
+    """Late-r9 (the de-vacuized curation family): the corpus-adaptive
+    gate must cost exactly ONE shuffle — the word-frequency aggregate
+    whose top-20 lands in a TakeOrderedAndProject — re-entering the
+    per-doc scan as a one-row broadcast; the four flag columns stay a
+    narrow projection with no further exchange."""
+    import re
+
+    df = QUERIES["gopher_gate_adaptive"](spark, SF_DIR)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    shuffles = re.findall(
+        r"Exchange (?:hash|range)partitioning|Exchange SinglePartition", p
+    )
+    assert len(shuffles) == 1, p  # the word-frequency aggregate only
+    assert p.count("BroadcastExchange") == 1, p
+    assert "TakeOrderedAndProject" in p  # top-20 never a global sort
+    assert "CartesianProduct" not in p

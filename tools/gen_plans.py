@@ -31,6 +31,8 @@ PICKS = [
     ("bm25_multiquery", "multi-term BM25: broadcast query-term prune BEFORE the first exchange, WindowGroupLimit top-N"),
     ("exact_substring_spans", "seed-and-extend spans: every window partitions by doc_id only, codegen regex gram extraction"),
     ("pq_ann_topk", "PQ ANN: Arrow-batched ADC scan, WindowGroupLimit candidate prune before exact re-rank, broadcast-only joins"),
+    # late-r9: corpus-adaptive gate (the de-vacuized curation family)
+    ("gopher_gate_adaptive", "adaptive quality gate: one word-frequency aggregate feeds a 1-row broadcast, flags stay in the scan projection"),
 ]
 
 KEEP_KW = (
