@@ -61,9 +61,14 @@ from ingest_spark.streaming.pipeline import (
 # LSH/banding/bloom knobs — module-level so every batch of a corpus
 # uses one consistent signature definition (a mismatch would silently
 # miss duplicates; persisting them with the state is the production
-# move, see init_state's artifact)
-NUM_HASHES = 4
-BANDS = 2
+# move, see init_state's artifact). 16 hashes / 4 bands = 4 rows per
+# band (r9): the 4h/2b default saturated past ~100k docs — random
+# band collisions add a quadratic candidate term (BASELINE.md
+# signature-widening study: 3.49M vs 1,933 pairs at 500k docs, same
+# wall) — and rows-per-band is the knob that holds the collision
+# floor flat as the corpus grows.
+NUM_HASHES = 16
+BANDS = 4
 SHINGLE_N = 3
 BLOOM_M = 1 << 20
 BLOOM_K = 3

@@ -789,6 +789,21 @@ def _sql_minhash_sig(
     )
 
 
+def _sql_bands(num_hashes: int, bands: int, sig: str = "sig") -> str:
+    """The banding CTE body over a ``_sql_minhash_sig`` result: one
+    SELECT per band, bucket = band index ':' the band's signature rows
+    joined by ','. Mirrors dedup.minhash_band_table's grouping (the
+    separator differs per engine; only within-engine equality
+    matters)."""
+    rows = num_hashes // bands
+    return " UNION ALL ".join(
+        f"SELECT doc_id, '{bi}:' || "
+        + " || ',' || ".join(f"m{bi * rows + j}" for j in range(rows))
+        + f" AS bucket FROM {sig}"
+        for bi in range(bands)
+    )
+
+
 @q("minhash_signatures", _sql_minhash_sig()[0])
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 4-permutation MinHash signature, engine-portable
@@ -5141,13 +5156,7 @@ def duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      ORDER BY doc_id) AS rn
         FROM gated) WHERE rn = 1),
     sig AS ({_sql_minhash_sig("exact", 16)[0]}),
-    b AS (
-      {" UNION ALL ".join(
-          f"SELECT doc_id, '{bi}:' || "
-          + " || ',' || ".join(f"m{bi * 4 + j}" for j in range(4))
-          + " AS bucket FROM sig"
-          for bi in range(4)
-      )}),
+    b AS ({_sql_bands(16, 4)}),
     pairs AS (
       SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
       FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.doc_id < b2.doc_id),
@@ -5651,11 +5660,8 @@ def contamination_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "incremental_dedup_new",
     f"""
-    WITH sig AS ({_sql_minhash_sig()[0]}),
-    b AS (
-      SELECT doc_id, '0:' || m0 || ',' || m1 AS bucket FROM sig
-      UNION ALL
-      SELECT doc_id, '1:' || m2 || ',' || m3 AS bucket FROM sig),
+    WITH sig AS ({_sql_minhash_sig("documents", 16)[0]}),
+    b AS ({_sql_bands(16, 4)}),
     cross_hit AS (
       SELECT DISTINCT CASE WHEN da.source = 'src1' THEN a.doc_id
                            ELSE b2.doc_id END AS doc_id
@@ -5704,8 +5710,12 @@ def incremental_dedup_new(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("__exact", F.lit(True))
     )
+    # 16h/4b = ingest_spark.incremental's NUM_HASHES/BANDS (kept as
+    # literals here to avoid importing the streaming stack; r9
+    # widening study: 4 rows per band holds the collision floor flat
+    # as the corpus grows)
     pairs = dedup.minhash_lsh_candidates(
-        docs, "doc_id", "text", num_hashes=4, bands=2, shingle_n=3
+        docs, "doc_id", "text", num_hashes=16, bands=4, shingle_n=3
     )
     sides = docs.select("doc_id", is_new.alias("__n"))
     tagged = (
@@ -7201,11 +7211,8 @@ def session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH ex_docs AS (SELECT * FROM documents WHERE source <> 'src1'),
     new_docs AS (SELECT * FROM documents WHERE source = 'src1'),
-    sig AS ({_sql_minhash_sig()[0]}),
-    b AS (
-      SELECT doc_id, '0:' || m0 || ',' || m1 AS bucket FROM sig
-      UNION ALL
-      SELECT doc_id, '1:' || m2 || ',' || m3 AS bucket FROM sig),
+    sig AS ({_sql_minhash_sig("documents", 16)[0]}),
+    b AS ({_sql_bands(16, 4)}),
     near AS (
       SELECT DISTINCT bn.doc_id
       FROM b bn JOIN new_docs n ON n.doc_id = bn.doc_id
@@ -7248,8 +7255,10 @@ def incremental_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     existing corpus is never re-signed). The oracle recomputes every
     decision from scratch with full data in hand, so a hash match
     proves the two-phase persisted path equals the one-shot batch
-    computation: exact dups (content hash), near dups (same 4-hash /
-    2-band LSH as `incremental_dedup_new`), per-doc novelty fraction
+    computation: exact dups (content hash), near dups (same 16-hash /
+    4-band LSH as `incremental_dedup_new` and
+    `ingest_spark.incremental`; widened from 4/2 in r9 per the
+    signature-saturation study), per-doc novelty fraction
     (share of distinct 3-gram shingles never seen in the corpus),
     and the keep decision. `ingest_spark.incremental` docstring has
     the state layout and per-batch cost bounds; tests/test_incremental
