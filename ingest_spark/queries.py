@@ -6183,14 +6183,15 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
                    x -> x IS NOT NULL)) AS p
             FROM w),
            LATERAL (SELECT p[1] AS a, p[2] AS b)
-      GROUP BY a, b)
+      GROUP BY a, b),
+    ptot AS (SELECT CAST(sum(cp) AS BIGINT) AS np FROM pairs)
     SELECT pair, cp AS n_pair,
            CAST(round(ln((CAST(cp AS DOUBLE) * n) / (ua.cu * ub.cu)) * 1000000)
                 AS BIGINT) AS pmi_micros
     FROM pairs
     JOIN uni ua ON pairs.a = ua.word
-    JOIN uni ub ON pairs.b = ub.word, tot
-    WHERE cp >= 50
+    JOIN uni ub ON pairs.b = ub.word, tot, ptot
+    WHERE cp >= greatest(5, np // 2000)
     ORDER BY pmi_micros DESC, pair
     LIMIT 50
     """,
@@ -6199,8 +6200,9 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation extraction by pointwise mutual information — the
     phrase-mining signal (Mikolov-style phrase joining, quality
     filters that detect templated text): PMI(a,b) =
-    ln(N * c(a,b) / (c(a) * c(b))) over adjacent word pairs, min
-    support 50, deterministic integer-micro top-50.
+    ln(N * c(a,b) / (c(a) * c(b))) over adjacent word pairs,
+    corpus-relative min support max(5, total_pairs/2000),
+    deterministic integer-micro top-50.
 
     Plan: ONE token explode feeds the unigram aggregate; positional
     bigrams from the same scan feed the pair aggregate; the unigram
@@ -6212,11 +6214,21 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = docs.select(F.explode(F.split("text", " ")).alias("word"))
     uni = words.groupBy("word").agg(F.count(F.lit(1)).alias("__cu"))
     tot = uni.agg(F.sum("__cu").alias("__n"))
-    pairs = (
+    pair_counts = (
         docs.select(F.explode(text.word_ngrams_fast("text", 2)).alias("pair"))
         .groupBy("pair")
         .agg(F.count(F.lit(1)).alias("n_pair"))
-        .filter(F.col("n_pair") >= 50)
+    )
+    # corpus-relative min support (r9): the fixed `>= 50` straddled
+    # the bench corpus — max pair count at sf0.01 is 48, so the query
+    # was zero-row (vacuous oracle pass) there while sf0.1 kept 900
+    # pairs. Support must scale with token volume at 100 TB anyway;
+    # the floor of 5 keeps tiny corpora honest.
+    ptot = pair_counts.agg(F.sum("n_pair").alias("__np"))
+    pairs = (
+        pair_counts.crossJoin(F.broadcast(ptot))
+        .filter(F.col("n_pair") >= F.greatest(F.lit(5), F.floor(F.col("__np") / 2000)))
+        .drop("__np")
         .withColumn("__a", F.split("pair", " ")[0])
         .withColumn("__b", F.split("pair", " ")[1])
     )

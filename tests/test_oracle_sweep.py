@@ -35,18 +35,30 @@ def duck():
 EMPTY_AT_SF0001_OK = {"tpch_q11_important_stock"}
 
 
+@pytest.fixture(scope="module")
+def duck_sf01():
+    con = duck_connection("/root/testdata/sf0.01")
+    yield con
+    con.close()
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
-def test_oracle_not_vacuous(duck, name):
+def test_oracle_not_vacuous(duck, duck_sf01, name):
     """Guard the r9 defect class: an oracle that returns 0 rows makes
     the equivalence check pass vacuously (0 == 0) while the operator
     under test never touches a row — curation_e2e shipped that way
     for four rounds (EN-stopword gate vs synthetic vocabulary), and
     three join queries had literals matching nothing in this data.
+    Checked at BOTH small SFs because thresholds cut both ways with
+    corpus size: the dead join literals were empty everywhere, while
+    pmi_collocations' fixed min-support of 50 was nonzero at sf0.001
+    (one pair at 51) yet zero at sf0.01 (max pair count 48).
     DuckDB-side only, so the whole surface costs seconds."""
-    n = len(duck.execute(ORACLES[name]).fetchall())
-    if name in EMPTY_AT_SF0001_OK:
-        return
-    assert n > 0, f"{name}: oracle returns 0 rows at sf0.001 — vacuous pass"
+    if name not in EMPTY_AT_SF0001_OK:
+        n = len(duck.execute(ORACLES[name]).fetchall())
+        assert n > 0, f"{name}: oracle returns 0 rows at sf0.001 — vacuous pass"
+    n = len(duck_sf01.execute(ORACLES[name]).fetchall())
+    assert n > 0, f"{name}: oracle returns 0 rows at sf0.01 — vacuous pass"
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
