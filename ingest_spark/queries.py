@@ -3204,21 +3204,29 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(round(sum(l_extendedprice) * 100) AS BIGINT) AS value_cents
       FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         JOIN nation ON s_nationkey = n_nationkey
-      WHERE n_name = 'NATION_7'
-      GROUP BY l_partkey)
+      WHERE n_name = 'NATION_3'
+      GROUP BY l_partkey),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS nc,
+                 CAST(sum(value_cents) AS BIGINT) AS tc FROM val)
     SELECT l_partkey, round(value_cents / 100.0, 2) AS value
-    FROM val WHERE value_cents * 1000 > (SELECT sum(value_cents) FROM val)
+    FROM val, s WHERE value_cents * nc > 2 * tc
     """,
 )
 def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 (adapted: shipped value stands in for partsupp stock
-    value): parts whose single-nation value exceeds 0.1% of that
-    nation's total. The HAVING-vs-global-scalar compare is a broadcast
+    value): parts whose single-nation value exceeds 2x the MEAN part
+    value in that nation. The official Q11 scales its share fraction
+    by 1/SF for exactly the reason r9 hit: a fixed share cut selects
+    fewer parts as the catalog grows — the old 0.1%-of-total literal
+    kept 238 parts at sf0.01 and ZERO at sf0.1 (vacuous at bench SF);
+    the mean-relative form is scale-free (14/127/1228 parts at
+    sf0.001/0.01/0.1; NATION_7 -> NATION_3, which has supplier volume
+    at every SF). The HAVING-vs-global-scalar compare is a broadcast
     of a 1-row aggregate, and the threshold compare runs in integer
     cents so both engines make the identical cut."""
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
-    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
     val = (
         li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
@@ -3229,9 +3237,12 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("value_cents")
         )
     )
-    total = val.agg(F.sum("value_cents").alias("total_cents"))
+    total = val.agg(
+        F.count(F.lit(1)).cast("long").alias("__nc"),
+        F.sum("value_cents").alias("__tc"),
+    )
     return (
-        val.join(F.broadcast(total), F.col("value_cents") * 1000 > F.col("total_cents"))
+        val.join(F.broadcast(total), F.col("value_cents") * F.col("__nc") > 2 * F.col("__tc"))
         .select("l_partkey", F.round(F.col("value_cents") / 100.0, 2).alias("value"))
     )
 

@@ -29,10 +29,10 @@ def duck():
 
 
 # Queries whose result is legitimately empty at sf0.001 (and ONLY
-# there — each must be nonzero at sf0.01, checked when added):
-# tpch_q11's value-share threshold needs more than 150 customers'
-# stock to clear (238 rows at sf0.01).
-EMPTY_AT_SF0001_OK = {"tpch_q11_important_stock"}
+# there — each must be nonzero at sf0.01, checked when added).
+# Currently none: tpch_q11 left this set when its share threshold
+# became mean-relative (scale-free) in r9.
+EMPTY_AT_SF0001_OK: set[str] = set()
 
 
 @pytest.fixture(scope="module")
