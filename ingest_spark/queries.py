@@ -2356,7 +2356,7 @@ def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(list_filter(list_transform(embedding, x -> CAST(x AS DOUBLE)),
                                 x -> x > 0)) AS INT) AS n_positive,
            CAST(len(list_filter(list_transform(embedding, x -> CAST(x AS DOUBLE)),
-                                x -> abs(x) > 2)) > 0 AS BOOLEAN) AS any_extreme,
+                                x -> abs(x) > 0.35)) > 0 AS BOOLEAN) AS any_extreme,
            round(CAST(list_aggregate(list_filter(list_transform(embedding,
                  x -> CAST(x AS DOUBLE)), x -> x > 0), 'sum') AS DOUBLE), 6)
              AS positive_mass
@@ -2365,14 +2365,18 @@ def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def hof_array_filtering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E6 higher-order-function surface: filter/exists/aggregate over
-    array columns without exploding (row count preserved, no shuffle)."""
+    array columns without exploding (row count preserved, no shuffle).
+    r9: the exists threshold moved from |x| > 2 — impossible on
+    unit-norm vectors, so the flag was constant false — to
+    |x| > 0.35, a strongly-loaded component (134/500 vectors at
+    sf0.01), so the predicate actually branches."""
     emb = load_table(spark, sf_dir, "embeddings")
     v = F.col("embedding").cast("array<double>")
     pos = F.filter(v, lambda x: x > 0)
     return emb.select(
         "vec_id",
         F.size(pos).alias("n_positive"),
-        F.exists(v, lambda x: F.abs(x) > 2).alias("any_extreme"),
+        F.exists(v, lambda x: F.abs(x) > 0.35).alias("any_extreme"),
         F.round(F.aggregate(pos, F.lit(0.0), lambda s, x: s + x), 6).alias("positive_mass"),
     )
 
