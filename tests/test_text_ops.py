@@ -87,6 +87,41 @@ def test_gopher_filters_rules(spark):
     assert rows[2]["pass_stopwords"] is True
 
 
+def test_corpus_common_words_topk_and_adaptive_gate(spark):
+    """r9: corpus_common_words ranks by DOCUMENT frequency (distinct
+    per doc — a word repeated 100x in one doc counts once), breaks
+    ties by word ascending, and plugs into gopher_filters as the
+    adaptive stopword list."""
+    from pyspark.sql import functions as F
+
+    from ingest_spark.operators.text import corpus_common_words, gopher_filters
+
+    df = spark.createDataFrame(
+        [
+            (1, "zz zz zz zz aa bb"),   # zz repeated: df(zz)=1 here
+            (2, "aa bb cc"),
+            (3, "aa bb dd"),
+            (4, "aa ee ff"),
+        ],
+        "doc_id long, text string",
+    )
+    # document frequencies: aa=4, bb=3, cc=dd=ee=ff=zz=1
+    got = corpus_common_words(df, "text", k=3).collect()[0]["__common"]
+    assert got == ["aa", "bb", "cc"]  # df desc, then word asc; zz's repeats don't rank it
+
+    # adaptive gate: n_stop_distinct = distinct common words present
+    docs = spark.createDataFrame(
+        [(1, "aa bb cc"), (2, "aa aa dd"), (3, "aa bb ee")],
+        "doc_id long, text string",
+    )  # df: aa=3, bb=2 -> k=2 common = [aa, bb]
+    common = corpus_common_words(docs, "text", k=2)
+    flagged = gopher_filters(
+        docs.crossJoin(F.broadcast(common)), common_words_col="__common"
+    ).collect()
+    by_id = {r["doc_id"]: r["n_stop_distinct"] for r in flagged}
+    assert by_id == {1: 2, 2: 1, 3: 2}  # aa repeats in doc 2 count once
+
+
 def test_pack_sequences_bin_boundaries(spark):
     from ingest_spark.operators.text import pack_sequences
 
