@@ -23,6 +23,10 @@ five bespoke state stores):
               -> per-doc novelty fraction for new batches
     quality/  classifier weights via artifacts.save_artifact — train
               once on the seed corpus, score every future batch
+    signature/ the NUM_HASHES/BANDS/SHINGLE_N/bloom constants the
+              state was built with — validated by ingest_batch so a
+              build with different constants fails LOUDLY instead of
+              silently missing every duplicate (r9)
 
 Per-batch cost: one signature/shingle pass over the NEW batch plus
 joins against stored tables (bands/novelty are key-partitioned joins;
@@ -148,10 +152,54 @@ def init_state(
     tables = _batch_tables(docs, id_col, text_col)
     for name, maintainer in _maintainers(state_dir, swap).items():
         maintainer(tables[name], 0)
+    # the signature definition travels WITH the state (r9): band
+    # buckets are opaque strings shaped by these constants, so a
+    # probe under different constants never matches and silently
+    # misses every duplicate — ingest_batch validates this artifact
+    # before scoring.
+    artifacts.save_artifact(
+        spark, _path(state_dir, "signature"), "signature_params",
+        _signature_params(),
+    )
     if train_quality_on is not None:
         weights = classifier.train_logreg(docs, train_quality_on)
         artifacts.save_artifact(
             spark, _path(state_dir, "quality"), "quality_logreg", weights
+        )
+
+
+def _signature_params() -> dict:
+    return {
+        "num_hashes": NUM_HASHES,
+        "bands": BANDS,
+        "shingle_n": SHINGLE_N,
+        "bloom_m": BLOOM_M,
+        "bloom_k": BLOOM_K,
+    }
+
+
+def _check_signature(spark: SparkSession, state_dir: str) -> None:
+    """Refuse to score against state seeded under different signature
+    constants (e.g. a 4h/2b-era dir probed by the 16h/4b build after
+    the r9 widening): bucket strings would never match and every
+    near-dup would be silently kept. Loud failure is the contract."""
+    path = _path(state_dir, "signature")
+    current = _signature_params()
+    if not os.path.exists(path):
+        raise RuntimeError(
+            f"state dir {state_dir!r} carries no signature artifact — it "
+            f"was seeded by a pre-widening build or not via init_state. "
+            f"Probing it with the current constants {current} would "
+            f"silently miss duplicates; re-seed with init_state (or write "
+            f"the artifact after verifying the state's parameters)."
+        )
+    _, stored = artifacts.load_artifact(spark, path, "signature_params")
+    if stored != current:
+        raise RuntimeError(
+            f"signature mismatch: state at {state_dir!r} was built with "
+            f"{stored}, module constants are {current} — near-dup probes "
+            f"would silently miss. Re-seed with init_state or run a build "
+            f"with matching constants."
         )
 
 
@@ -180,6 +228,7 @@ def ingest_batch(
     prefilters the hash probe so a mostly-novel batch skips the
     hashes join for almost every doc; bands and novelty are
     key-partitioned equi-joins sized by the batch."""
+    _check_signature(spark, state_dir)
     tables = _batch_tables(new_docs, id_col, text_col)
     ids = new_docs.select(F.col(id_col).alias("doc_id"))
 

@@ -332,3 +332,36 @@ def test_walkthrough_under_pointer_swap(spark, tmp_path):
             spark, _corpus(spark, BATCH2), state, 2, **kw
         )
     assert results["rename"] == results["pointer"]
+
+
+def test_signature_mismatch_fails_loudly(spark, tmp_path):
+    """r9: the signature constants travel with the state. A state dir
+    built under different NUM_HASHES/BANDS (or one missing the
+    artifact entirely — a pre-widening dir) must make ingest_batch
+    raise, not silently miss every near-dup because the band bucket
+    strings never match."""
+    import shutil
+
+    import pytest as _pytest
+
+    from ingest_spark import artifacts
+
+    state = str(tmp_path / "state")
+    incremental.init_state(spark, _corpus(spark, SEED), state)
+
+    # sanity: matching constants score fine
+    incremental.ingest_batch(spark, _corpus(spark, BATCH1), state).collect()
+
+    # wrong constants recorded in the state -> loud mismatch
+    artifacts.save_artifact(
+        spark, f"{state}/signature", "signature_params",
+        {"num_hashes": 4, "bands": 2, "shingle_n": 3,
+         "bloom_m": incremental.BLOOM_M, "bloom_k": incremental.BLOOM_K},
+    )
+    with _pytest.raises(RuntimeError, match="signature mismatch"):
+        incremental.ingest_batch(spark, _corpus(spark, BATCH1), state)
+
+    # no artifact at all (pre-r9 state dir) -> loud refusal
+    shutil.rmtree(f"{state}/signature")
+    with _pytest.raises(RuntimeError, match="no signature artifact"):
+        incremental.ingest_batch(spark, _corpus(spark, BATCH1), state)
