@@ -804,6 +804,18 @@ def _sql_bands(num_hashes: int, bands: int, sig: str = "sig") -> str:
     )
 
 
+# The corpus-adaptive stopword list as a shared oracle fragment:
+# top-20 words by DOCUMENT frequency (distinct per doc), ties by
+# word, collected into one sorted array. Mirrors
+# text.corpus_common_words exactly; used by gopher_gate_adaptive and
+# curation_e2e so the two oracles can never desynchronize.
+_SQL_COMMON_CTE = f"""common AS (
+      SELECT w FROM (
+        SELECT unnest(list_distinct({WORDS})) AS w FROM documents)
+      GROUP BY w ORDER BY count(*) DESC, w LIMIT 20),
+    clist AS (SELECT list(w ORDER BY w) AS cw FROM common)"""
+
+
 @q("minhash_signatures", _sql_minhash_sig()[0])
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 4-permutation MinHash signature, engine-portable
@@ -5034,11 +5046,7 @@ def gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "gopher_gate_adaptive",
     f"""
-    WITH common AS (
-      SELECT w FROM (
-        SELECT unnest(list_distinct({WORDS})) AS w FROM documents)
-      GROUP BY w ORDER BY count(*) DESC, w LIMIT 20),
-    clist AS (SELECT list(w ORDER BY w) AS cw FROM common),
+    WITH {_SQL_COMMON_CTE},
     d AS (
       SELECT doc_id,
              CAST(len({WORDS}) AS INT) AS n_words,
@@ -5148,11 +5156,7 @@ def duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "curation_e2e",
     f"""
-    WITH RECURSIVE common AS (
-      SELECT w FROM (
-        SELECT unnest(list_distinct({WORDS})) AS w FROM documents)
-      GROUP BY w ORDER BY count(*) DESC, w LIMIT 20),
-    clist AS (SELECT list(w ORDER BY w) AS cw FROM common),
+    WITH RECURSIVE {_SQL_COMMON_CTE},
     gated AS (
       SELECT doc_id, text, source FROM (
         SELECT doc_id, text, source,

@@ -365,3 +365,31 @@ def test_signature_mismatch_fails_loudly(spark, tmp_path):
     shutil.rmtree(f"{state}/signature")
     with _pytest.raises(RuntimeError, match="no signature artifact"):
         incremental.ingest_batch(spark, _corpus(spark, BATCH1), state)
+
+
+def test_query_literals_match_module_constants():
+    """r9 review: incremental_dedup_new / incremental_ingest_e2e
+    promise 'the same LSH as ingest_spark.incremental' but carry the
+    constants as literals (importing the streaming stack into
+    queries.py would be a cycle). Pin them: a retuning of
+    NUM_HASHES/BANDS that skips the queries fails here instead of
+    leaving the e2e benchmark silently on stale constants (the
+    oracle would keep matching — both sides stale)."""
+    import re
+
+    from ingest_spark.queries import ORACLES
+    from ingest_spark.queries import incremental_dedup_new as dn
+
+    import inspect
+
+    nh, nb = incremental.NUM_HASHES, incremental.BANDS
+    # Spark bodies: the literal call inside each function's source
+    src = inspect.getsource(dn)
+    assert f"num_hashes={nh}, bands={nb}" in src, (nh, nb)
+    # Oracles: the signature CTE has columns m0..m{nh-1} and the band
+    # union has exactly nb SELECTs
+    for name in ("incremental_dedup_new", "incremental_ingest_e2e"):
+        sql = ORACLES[name]
+        assert f"m{nh - 1}" in sql and f"m{nh}" not in sql, name
+        bands = re.findall(r"'\d+:' \|\|", sql)
+        assert len(bands) == nb, (name, bands)

@@ -279,12 +279,15 @@ def test_round5_curation_plans_have_no_cartesian(spark):
     from ingest_spark.queries import QUERIES
 
     sf = "/root/testdata/sf0.001"
-    one_row_bnlj_ok = {
-        "unigram_logprob_score",
-        "bm25_multiquery",
-        "dsir_importance_weights",
+    # name -> max allowed BNLJ count (each a 1-row scalar broadcast);
+    # a cap, not a wholesale exemption, so a regression adding an
+    # unintended second nested-loop join still fails (r9 review)
+    one_row_bnlj_max = {
+        "unigram_logprob_score": 1,
+        "bm25_multiquery": 1,
+        "dsir_importance_weights": 1,
         # r9: one-row corpus_common_words broadcast into the gate
-        "curation_e2e",
+        "curation_e2e": 1,
     }
     for name in (
         "semantic_dedup_survivors",
@@ -302,8 +305,8 @@ def test_round5_curation_plans_have_no_cartesian(spark):
     ):
         p = QUERIES[name](spark, sf)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in p, name
-        if name not in one_row_bnlj_ok:
-            assert "BroadcastNestedLoopJoin" not in p, name
+        n_bnlj = p.count("BroadcastNestedLoopJoin")
+        assert n_bnlj <= one_row_bnlj_max.get(name, 0), (name, n_bnlj)
 
 
 def test_duplicate_passage_fraction_uses_window_not_join(spark):
