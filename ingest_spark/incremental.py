@@ -185,15 +185,21 @@ def _check_signature(spark: SparkSession, state_dir: str) -> None:
     near-dup would be silently kept. Loud failure is the contract."""
     path = _path(state_dir, "signature")
     current = _signature_params()
-    if not os.path.exists(path):
+    # Probe THROUGH Spark, not os.path.exists (ADVICE r9 #2): the state
+    # dir may live on HDFS/S3 where a driver-local filesystem check is
+    # always false and would hard-fail correctly seeded state. A failed
+    # read maps to the same loud re-seed instruction.
+    try:
+        _, stored = artifacts.load_artifact(spark, path, "signature_params")
+    except Exception as exc:  # AnalysisException PATH_NOT_FOUND et al.
         raise RuntimeError(
-            f"state dir {state_dir!r} carries no signature artifact — it "
-            f"was seeded by a pre-widening build or not via init_state. "
-            f"Probing it with the current constants {current} would "
-            f"silently miss duplicates; re-seed with init_state (or write "
-            f"the artifact after verifying the state's parameters)."
-        )
-    _, stored = artifacts.load_artifact(spark, path, "signature_params")
+            f"state dir {state_dir!r} carries no readable signature "
+            f"artifact ({type(exc).__name__}) — it was seeded by a "
+            f"pre-widening build or not via init_state. Probing it with "
+            f"the current constants {current} would silently miss "
+            f"duplicates; re-seed with init_state (or write the artifact "
+            f"after verifying the state's parameters)."
+        ) from exc
     if stored != current:
         raise RuntimeError(
             f"signature mismatch: state at {state_dir!r} was built with "

@@ -205,6 +205,12 @@ def decode_png(data: bytes) -> dict:
     # which _CODEC_ERRORS deliberately does not catch. Same contract as
     # the LZW/PackBits/BMP guards: oversized expansion is a ValueError
     # (-> kind='decode_error' row), never a job-killing OOM.
+    # Zero dims are invalid per the PNG spec (11.2.2) AND would bypass
+    # the bomb guard below: expected==0 makes zlib.decompress treat
+    # max_length=0 as UNLIMITED, re-opening the unbounded-inflate OOM
+    # this block exists to close (ADVICE r9 #1).
+    if width == 0 or height == 0:
+        raise ValueError("PNG IHDR declares a zero dimension")
     if width * height * bpp > _PNG_MAX_PIXEL_BYTES:
         raise ValueError(
             f"PNG dims {width}x{height}x{bpp} exceed the "

@@ -6852,7 +6852,12 @@ def langid_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterative GD trainer (train_logreg) remains covered by unit
     tests (determinism, separable-corpus accuracy, numpy parity)."""
     docs = load_table(spark, sf_dir, "documents").withColumn(
-        "label", F.col("lang") == "en"
+        # coalesce (ADVICE r9 #3): a NULL lang must land in the negative
+        # class exactly like the oracle's CASE WHEN lang='en' THEN 1
+        # ELSE 0 END — bare `lang == 'en'` yields NULL, which Spark's
+        # sums would silently EXCLUDE from both classes, flipping the
+        # trained weights on any corpus with missing lang tags.
+        "label", F.coalesce(F.col("lang") == "en", F.lit(False))
     )
     weights = classifier.train_centroid(docs, "label")
     return classifier.score_docs(docs, weights, emit_margin=True)

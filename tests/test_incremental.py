@@ -363,7 +363,7 @@ def test_signature_mismatch_fails_loudly(spark, tmp_path):
 
     # no artifact at all (pre-r9 state dir) -> loud refusal
     shutil.rmtree(f"{state}/signature")
-    with _pytest.raises(RuntimeError, match="no signature artifact"):
+    with _pytest.raises(RuntimeError, match="no readable signature artifact"):
         incremental.ingest_batch(spark, _corpus(spark, BATCH1), state)
 
 

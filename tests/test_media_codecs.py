@@ -1224,7 +1224,21 @@ def test_png_idat_bomb_is_valueerror_not_oom():
     with pytest.raises(ValueError, match="decode ceiling"):
         decode_png(crafted)
 
-    # 3) well-formed images still round-trip through the bounded path
+    # 3) zero-dim IHDR (ADVICE r9 #1): height=0 makes expected==0 and
+    # zlib treats max_length=0 as UNLIMITED — must be rejected at the
+    # header, BEFORE the bomb IDAT is touched
+    for w, h in ((2, 0), (0, 2), (0, 0)):
+        zdim = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        crafted = (
+            PNG_SIGNATURE
+            + chunk(b"IHDR", zdim)
+            + chunk(b"IDAT", zlib.compress(bomb_raw, 9))
+            + chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="zero dimension"):
+            decode_png(crafted)
+
+    # 4) well-formed images still round-trip through the bounded path
     png = encode_png(5, 4, bytes(range(60)), color_type=2)
     d = decode_png(png)
     assert (d["width"], d["height"]) == (5, 4)

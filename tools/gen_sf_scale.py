@@ -110,6 +110,12 @@ def _rewrite_documents(docs: pd.DataFrame, shard: int) -> pd.DataFrame:
         ).digest()[:8]
         rng = np.random.default_rng(int.from_bytes(seed_bytes, "little"))
         own = np.array(text.split(), dtype=object)
+        if len(own) == 0:
+            # empty/whitespace-only doc: nothing to shuffle or
+            # substitute — rng.integers(0, 0) would raise and abort
+            # the whole shard (ADVICE r9 #4)
+            texts.append(text)
+            continue
         words = own.copy()
         rng.shuffle(words)
         sub = rng.random(len(words)) < SUB_FRAC
