@@ -234,6 +234,17 @@ def main() -> None:
             }
         )
     )
+    # Steady per-query dict on its OWN near-tail line (VERDICT r9
+    # §Next #6): the big line above can outgrow the driver's 2000-char
+    # tail capture, which made round-over-round per-query comparison
+    # depend on repo-side BENCH files. This line is just the dict
+    # (~30 bytes/query), so it survives the tail alongside the compact
+    # totals line below.
+    print(
+        json.dumps(
+            {"metric": "per_query_steady_sec", "queries": per_query, "sf": sf}
+        )
+    )
     # Compact per-round summary LAST (VERDICT r8 §Next #8): the driver
     # records only the output TAIL, which used to truncate away the
     # totals buried at the front of the big per-query line — this

@@ -28,18 +28,29 @@ def test_bench_runs_and_emits_contract_json():
     json_lines = [
         ln for ln in proc.stdout.splitlines() if ln.startswith("{")
     ]
-    # full per-query line + the compact tail-safe summary (VERDICT r8 #8)
-    assert len(json_lines) == 2, proc.stdout[-2000:]
+    # full per-query line + tail-safe steady dict (VERDICT r9 #6) +
+    # the compact tail-safe summary (VERDICT r8 #8)
+    assert len(json_lines) == 3, proc.stdout[-2000:]
     d = json.loads(json_lines[0])
     assert d["metric"] == "headline_suite_wall_sec"
     assert d["unit"] == "sec" and d["value"] > 0
     assert d["sf"] == 0.001
-    compact = json.loads(json_lines[1])
+    steady = json.loads(json_lines[1])
+    assert steady["metric"] == "per_query_steady_sec"
+    assert steady["queries"] == d["queries"]
+    compact = json.loads(json_lines[2])
     assert compact["metric"] == "headline_suite_wall_sec"
     assert compact["total_steady"] == d["value"] == d["total_steady"]
     assert compact["total_cold"] == d["total_cold"] == d["value_cold"]
     assert compact["n_queries"] == len(d["queries"])
-    assert len(json_lines[1]) < 500  # must survive any tail capture
+    assert len(json_lines[2]) < 500  # must survive any tail capture
+    # the steady dict + compact line together must fit the driver's
+    # 2000-char tail capture, or per-query round-over-round comparison
+    # silently regresses to repo-side files again
+    assert len(json_lines[1]) + len(json_lines[2]) < 2000, (
+        len(json_lines[1]),
+        len(json_lines[2]),
+    )
     import bench
 
     assert set(d["queries"]) == set(bench.HEADLINE)

@@ -42,23 +42,35 @@ def duck_sf01():
     con.close()
 
 
+@pytest.fixture(scope="module")
+def duck_sf1():
+    con = duck_connection("/root/testdata/sf0.1")
+    yield con
+    con.close()
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
-def test_oracle_not_vacuous(duck, duck_sf01, name):
+def test_oracle_not_vacuous(duck, duck_sf01, duck_sf1, name):
     """Guard the r9 defect class: an oracle that returns 0 rows makes
     the equivalence check pass vacuously (0 == 0) while the operator
     under test never touches a row — curation_e2e shipped that way
     for four rounds (EN-stopword gate vs synthetic vocabulary), and
     three join queries had literals matching nothing in this data.
-    Checked at BOTH small SFs because thresholds cut both ways with
-    corpus size: the dead join literals were empty everywhere, while
+    Checked at ALL THREE SFs (r10, VERDICT r9 §Next #5 — the sf0.1
+    leg was a manual scan before) because thresholds cut both ways
+    with corpus size: the dead join literals were empty everywhere;
     pmi_collocations' fixed min-support of 50 was nonzero at sf0.001
-    (one pair at 51) yet zero at sf0.01 (max pair count 48).
+    (one pair at 51) yet zero at sf0.01 (max pair count 48); and
+    tpch_q11's old fixed share cut was nonzero at sf0.01 but ZERO at
+    sf0.1 — the bench SF, where no in-CI guard would have seen it.
     DuckDB-side only, so the whole surface costs seconds."""
     if name not in EMPTY_AT_SF0001_OK:
         n = len(duck.execute(ORACLES[name]).fetchall())
         assert n > 0, f"{name}: oracle returns 0 rows at sf0.001 — vacuous pass"
     n = len(duck_sf01.execute(ORACLES[name]).fetchall())
     assert n > 0, f"{name}: oracle returns 0 rows at sf0.01 — vacuous pass"
+    n = len(duck_sf1.execute(ORACLES[name]).fetchall())
+    assert n > 0, f"{name}: oracle returns 0 rows at sf0.1 — vacuous pass"
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
