@@ -7370,3 +7370,50 @@ def incremental_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint()
     finally:
         shutil.rmtree(state, ignore_errors=True)
+
+
+# process-scoped prebuilt-state cache for incremental_ingest_batch:
+# sf_dir -> seeded state dir. Seeding runs ONCE per process (the
+# bench's cold pass); steady passes then measure pure per-batch cost.
+_INGEST_STATE_CACHE: dict[str, str] = {}
+
+
+def _prebuilt_ingest_state(spark: SparkSession, sf_dir: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    from ingest_spark import incremental
+
+    state = _INGEST_STATE_CACHE.get(sf_dir)
+    if state is None:
+        docs = load_table(spark, sf_dir, "documents")
+        state = tempfile.mkdtemp(prefix="ingest_state_cache_")
+        incremental.init_state(
+            spark, docs.filter(F.col("source") != "src1"), state
+        )
+        _INGEST_STATE_CACHE[sf_dir] = state
+        atexit.register(shutil.rmtree, state, ignore_errors=True)
+    return state
+
+
+@q("incremental_ingest_batch", ORACLES["incremental_ingest_e2e"])
+def incremental_ingest_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-batch ingest cost against PREBUILT corpus state (VERDICT r9
+    §Next #4): `incremental_ingest_e2e` deliberately seeds the full
+    corpus state in-query, so its bench number measured seeding+ingest
+    together — this entry is the pq_ann_topk-shaped split. State for
+    (sf_dir's) existing corpus is seeded once per process and cached;
+    the measured work is ONLY `incremental.ingest_batch` — hash/band/
+    shingle the new batch, bloom-prefiltered probe of the stored
+    hashes, band-bucket equi-join, novelty left-join — i.e. the
+    steady-state per-batch cost that stays flat over batches
+    (SCALE_RUNS.jsonl flatness study). Same oracle as the e2e entry:
+    identical decisions, proven by the same full-recompute SQL."""
+    state = _prebuilt_ingest_state(spark, sf_dir)
+    from ingest_spark import incremental
+
+    docs = load_table(spark, sf_dir, "documents")
+    return incremental.ingest_batch(
+        spark, docs.filter(F.col("source") == "src1"), state
+    )
