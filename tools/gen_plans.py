@@ -33,6 +33,11 @@ PICKS = [
     ("pq_ann_topk", "PQ ANN: Arrow-batched ADC scan, WindowGroupLimit candidate prune before exact re-rank, broadcast-only joins"),
     # late-r9: corpus-adaptive gate (the de-vacuized curation family)
     ("gopher_gate_adaptive", "adaptive quality gate: one word-frequency aggregate feeds a 1-row broadcast, flags stay in the scan projection"),
+    # r10 (VERDICT r9 #7): the full curation pipeline after the
+    # duplicated-gate fix — source carries through chunk_tokens, so the
+    # gate subtree (documents scan + Gopher filter + common-words
+    # aggregate + exact-dedup window) compiles exactly ONCE
+    ("curation_e2e", "composed curation pipeline: single gate subtree (one documents scan feeding the gate), one 1-row common-words broadcast, LSH band equi-join, no re-join after chunking"),
 ]
 
 KEEP_KW = (
