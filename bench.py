@@ -218,7 +218,7 @@ def main() -> None:
             # run. Both numbers are reported.
             warm_src = f"{workdir}/events_json_warm"
             bs.generate_input(spark, warm_src, 5000, 4)
-            cold = bs.run_pipeline(spark, warm_src, f"{workdir}/warm")
+            warmup_run = bs.run_pipeline(spark, warm_src, f"{workdir}/warm")
             src = f"{workdir}/events_json"
             bs.generate_input(spark, src, n_rows, 16)
             run = bs.run_pipeline(spark, src, workdir)
@@ -228,7 +228,7 @@ def main() -> None:
                 "wall_sec": run["wall_sec"],
                 "batches": run["batches"],
                 "warmup_rows": 5000,
-                "warmup_wall_sec": cold["wall_sec"],
+                "warmup_wall_sec": warmup_run["wall_sec"],
             }
         finally:
             shutil.rmtree(workdir, ignore_errors=True)
