@@ -2523,10 +2523,21 @@ def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
-    n1 = load_table(spark, sf_dir, "nation").select(
+    # r10: prefilter both nation copies to the queried pair — the DNF
+    # references BOTH sides so Catalyst can't derive these single-side
+    # IN-filters itself, yet each is implied by the pair predicate
+    # ((13,19)|(19,13) ⊆ {13,19}x{13,19}); the broadcast joins then
+    # prune ~92% of supplier/customer rows BEFORE the fact join
+    # instead of after the 5-way join materializes them.
+    pair = ("NATION_13", "NATION_19")
+    n1 = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(*pair)
+    ).select(
         F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
     )
-    n2 = load_table(spark, sf_dir, "nation").select(
+    n2 = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(*pair)
+    ).select(
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
     )
     j = (
@@ -6049,7 +6060,7 @@ def bloom_passage_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM documents, unnest(string_split(text, ' ')) AS u(word)
             WHERE lang = 'en' GROUP BY word),
     raw AS (SELECT word, CAST(count(*) AS BIGINT) AS cr FROM w GROUP BY word),
-    tot AS (SELECT (SELECT CAST(sum(ct) AS BIGINT) FROM tgt) AS tt,
+    tot AS (SELECT (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) FROM tgt) AS tt,
                    (SELECT CAST(sum(cr) AS BIGINT) FROM raw) AS tr,
                    (SELECT CAST(count(*) AS BIGINT) FROM raw) AS v),
     lw AS (SELECT raw.word,
@@ -6097,7 +6108,10 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # left-join, and only ONE 1-row totals broadcast (r10: the old
     # two-aggregate shape compiled to 2 BroadcastNestedLoopJoins and
     # tripped the test_plans 1-BNLJ cap once the curation_e2e failure
-    # stopped masking it).
+    # stopped masking it). Corner fixed by the same change: an EMPTY
+    # target slice now contributes tt=0 (add-one smoothing stays
+    # defined) instead of a NULL that nulled every weight — the oracle
+    # coalesces its tgt subquery to match.
     raw = words.groupBy("word").agg(
         F.count(F.lit(1)).alias("__cr"),
         F.sum((F.col("lang") == "en").cast("long")).alias("__ct"),
