@@ -686,3 +686,48 @@ def test_sf_scaled_sides_degrade_to_shuffle_join_when_too_big(spark):
                 assert "SortMergeJoin" in p or "ShuffledHashJoin" in p, name
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """The documented 100-TB skew posture has two legs: manual salting
+    (duplicate_passage_fraction_skewsafe) and AQE's runtime skew-join
+    split for plain equi-joins. This pins the second leg actually
+    firing: a 90%-hot key under shuffle-join thresholds must come out
+    of AQE as SortMergeJoin(skew=true) with a 'coalesced and skewed'
+    shuffle read — i.e. the hot partition was split into advisory-size
+    chunks at runtime, no salting, no code change. If a Spark upgrade
+    or conf refactor silently disables this, the manual-salting
+    operators become the ONLY skew defense and this fails."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(500_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.concat(F.lit("payload_"), F.col("id").cast("string")).alias("v"),
+        )
+        right = spark.range(1000).select(
+            F.col("id").alias("k"), F.col("id").alias("w")
+        )
+        j = left.join(right, "k").groupBy().agg(F.count(F.lit(1)).alias("n"))
+        assert j.collect()[0]["n"] == 500_000  # executes -> final plan
+        p = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin(skew=true)" in p, p[:2000]
+        assert "coalesced and skewed" in p, p[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
