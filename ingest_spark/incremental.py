@@ -84,6 +84,18 @@ def _path(state_dir: str, table: str) -> str:
     return os.path.join(state_dir, table)
 
 
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    """Existence probe through Hadoop's FileSystem API — resolves the
+    scheme (file://, hdfs://, s3a://...), so replay markers work on
+    object-store state dirs where os.path.exists is always False
+    (r10; same failure class as ADVICE r9 #2 on the signature
+    artifact)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
+
+
 def _maintainers(state_dir: str, swap=RenameSwap) -> dict:
     """One foreach_batch_rollup closure per state table. Key-only
     tables (hashes/bands/bloom) use the rollup's groupBy identity —
@@ -302,10 +314,17 @@ def ingest_batch(
             ).alias("kept"),
         )
     )
-    if os.path.exists(_path(state_dir, "quality")):
+    # probe through Spark, not os.path.exists (r10, same class as the
+    # signature fix above): on an HDFS/S3 state dir a driver-local
+    # check is always false, which would SILENTLY disable quality
+    # scoring on correctly trained state
+    try:
         _, weights = artifacts.load_artifact(
             spark, _path(state_dir, "quality"), "quality_logreg"
         )
+    except Exception:  # no quality artifact trained for this state
+        weights = None
+    if weights is not None:
         scored = classifier.score_docs(new_docs, weights, id_col, text_col).select(
             F.col(id_col).alias("doc_id"),
             "quality_prob",
@@ -392,7 +411,7 @@ def ingest_and_commit(
             f"batch_id must be >= 1 (0 is init_state's seed), got {batch_id}"
         )
     dec_path = _path(state_dir, f"decisions-{batch_id}")
-    if os.path.exists(os.path.join(dec_path, "_SUCCESS")):
+    if _fs_exists(spark, os.path.join(dec_path, "_SUCCESS")):
         decisions = spark.read.parquet(dec_path)
     else:
         ingest_batch(
