@@ -197,21 +197,24 @@ def _check_signature(spark: SparkSession, state_dir: str) -> None:
     near-dup would be silently kept. Loud failure is the contract."""
     path = _path(state_dir, "signature")
     current = _signature_params()
-    # Probe THROUGH Spark, not os.path.exists (ADVICE r9 #2): the state
-    # dir may live on HDFS/S3 where a driver-local filesystem check is
-    # always false and would hard-fail correctly seeded state. A failed
-    # read maps to the same loud re-seed instruction.
-    try:
-        _, stored = artifacts.load_artifact(spark, path, "signature_params")
-    except Exception as exc:  # AnalysisException PATH_NOT_FOUND et al.
+    # Probe through Hadoop FS, not os.path.exists (ADVICE r9 #2): the
+    # state dir may live on HDFS/S3 where a driver-local filesystem
+    # check is always false and would hard-fail correctly seeded state.
+    # ONLY genuine absence maps to the re-seed instruction — a present
+    # artifact that fails to read (corrupt bytes, transient store
+    # error, permissions) propagates as itself, because advising
+    # "re-seed" on a recoverable fault invites destroying good state
+    # (r10 review).
+    if not _fs_exists(spark, path):
         raise RuntimeError(
             f"state dir {state_dir!r} carries no readable signature "
-            f"artifact ({type(exc).__name__}) — it was seeded by a "
-            f"pre-widening build or not via init_state. Probing it with "
-            f"the current constants {current} would silently miss "
-            f"duplicates; re-seed with init_state (or write the artifact "
-            f"after verifying the state's parameters)."
-        ) from exc
+            f"artifact — it was seeded by a pre-widening build or not "
+            f"via init_state. Probing it with the current constants "
+            f"{current} would silently miss duplicates; re-seed with "
+            f"init_state (or write the artifact after verifying the "
+            f"state's parameters)."
+        )
+    _, stored = artifacts.load_artifact(spark, path, "signature_params")
     if stored != current:
         raise RuntimeError(
             f"signature mismatch: state at {state_dir!r} was built with "
@@ -314,17 +317,17 @@ def ingest_batch(
             ).alias("kept"),
         )
     )
-    # probe through Spark, not os.path.exists (r10, same class as the
-    # signature fix above): on an HDFS/S3 state dir a driver-local
-    # check is always false, which would SILENTLY disable quality
-    # scoring on correctly trained state
-    try:
+    # existence probe through Hadoop FS, not os.path.exists (r10, same
+    # class as the signature fix above): on an HDFS/S3 state dir a
+    # driver-local check is always false, which would SILENTLY disable
+    # quality scoring on correctly trained state. Existence and load
+    # are split on purpose — a PRESENT artifact that fails to load
+    # (corrupt, wrong name/version) must stay a loud error, not a
+    # silent skip (r10 review).
+    if _fs_exists(spark, _path(state_dir, "quality")):
         _, weights = artifacts.load_artifact(
             spark, _path(state_dir, "quality"), "quality_logreg"
         )
-    except Exception:  # no quality artifact trained for this state
-        weights = None
-    if weights is not None:
         scored = classifier.score_docs(new_docs, weights, id_col, text_col).select(
             F.col(id_col).alias("doc_id"),
             "quality_prob",

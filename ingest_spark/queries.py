@@ -2547,8 +2547,12 @@ def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(
-            ((F.col("supp_nation") == "NATION_13") & (F.col("cust_nation") == "NATION_19"))
-            | ((F.col("supp_nation") == "NATION_19") & (F.col("cust_nation") == "NATION_13"))
+            # built from the SAME `pair` tuple as the prefilter above,
+            # so "prefilter ⊇ filter" holds by construction — two
+            # literal sets drifting apart would silently prune valid
+            # rows (r10 review)
+            ((F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1]))
+            | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0]))
         )
     )
     return j.groupBy(
@@ -6114,7 +6118,13 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # coalesces its tgt subquery to match.
     raw = words.groupBy("word").agg(
         F.count(F.lit(1)).alias("__cr"),
-        F.sum((F.col("lang") == "en").cast("long")).alias("__ct"),
+        # when/otherwise, not a bare cast: `lang == 'en'` is NULL for
+        # NULL-lang docs and F.sum skips NULLs — a word occurring ONLY
+        # in untagged docs would get __ct = sum(all NULLs) = NULL and
+        # null out every containing doc's score (r10 review)
+        F.sum(
+            F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0))
+        ).alias("__ct"),
     )
     tot = raw.agg(
         F.sum("__cr").alias("__tr"),

@@ -49,7 +49,16 @@ def duck_sf1():
     con.close()
 
 
-@pytest.mark.parametrize("name", sorted(ORACLES))
+# one vacuity check per DISTINCT oracle SQL: queries that share an
+# oracle verbatim (incremental_ingest_batch reuses the e2e recompute —
+# the heaviest SQL in the registry) would otherwise execute it twice
+# per SF leg for a guaranteed-identical row count (r10 review)
+_DISTINCT_ORACLE_NAMES = sorted(
+    {sql: name for name, sql in sorted(ORACLES.items(), reverse=True)}.values()
+)
+
+
+@pytest.mark.parametrize("name", _DISTINCT_ORACLE_NAMES)
 def test_oracle_not_vacuous(duck, duck_sf01, duck_sf1, name):
     """Guard the r9 defect class: an oracle that returns 0 rows makes
     the equivalence check pass vacuously (0 == 0) while the operator

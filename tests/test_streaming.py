@@ -989,3 +989,47 @@ def test_pointer_swap_fresh_checkpoint_restart_never_stages_into_live(
     live = PointerSwap.resolve(legacy)
     assert live.endswith(".v-0")
     assert PointerSwap.staging(legacy, 0) != live
+
+
+def test_pointer_swap_on_uri_path_hadoop_io(spark, tmp_path):
+    """r10: PointerSwap's pointer, replay markers, and version GC go
+    through the Hadoop FileSystem API for scheme-qualified paths —
+    exercised here with file:// URIs, where driver-local open() would
+    be ENOENT for every probe. Before r10 this exact scenario silently
+    re-merged every replayed batch (markers unreadable) and resolve()
+    always returned the bare table path; the local-path test above
+    keeps covering the os.replace branch. RenameSwap refuses URI paths
+    loudly (its rename-atomicity contract is local-FS-only)."""
+    import pytest as _pytest
+
+    from ingest_spark.streaming.pipeline import (
+        PointerSwap,
+        RenameSwap,
+        foreach_batch_rollup,
+    )
+
+    rollup = "file://" + str(tmp_path / "rollup_uri")
+    apply = foreach_batch_rollup(rollup, ["k"], ["v"], swap=PointerSwap)
+    apply(spark.createDataFrame([("a", 1.0), ("b", 2.0)], "k string, v double"), 0)
+    apply(spark.createDataFrame([("a", 4.0)], "k string, v double"), 1)
+    want = {"a": (2, 5.0), "b": (1, 2.0)}
+    assert _read_pointer_rollup(spark, rollup) == want
+    # replay of an already-applied batch must SKIP (marker readable
+    # through Hadoop IO), not re-merge to a=(3, 9.0)
+    apply(spark.createDataFrame([("a", 4.0)], "k string, v double"), 1)
+    assert _read_pointer_rollup(spark, rollup) == want
+    # pointer resolves to the v-1 version dir, not the bare path
+    assert ".v-" in PointerSwap.resolve(rollup)
+    # GC through globStatus kept current + grace only, and did NOT
+    # delete the live version (URI normalization in the keep-set)
+    import os as _os
+
+    versions = sorted(
+        p for p in _os.listdir(tmp_path) if p.startswith("rollup_uri.v-")
+    )
+    assert versions == ["rollup_uri.v-0", "rollup_uri.v-1"]
+
+    with _pytest.raises(ValueError, match="driver-local"):
+        foreach_batch_rollup(
+            "s3a://bucket/rollup", ["k"], ["v"], swap=RenameSwap
+        )(spark.createDataFrame([("a", 1.0)], "k string, v double"), 0)
