@@ -212,6 +212,16 @@ def chunk_tokens(
     exactly the duplicated-gate regression VERDICT r9 §Wrong #1 flagged
     in curation_e2e."""
     extra = list(carry or [])
+    # carried names must not collide with generated output columns or
+    # the id column (ADVICE r10): a carry of e.g. "chunk_id" would
+    # silently produce duplicate/ambiguous columns downstream.
+    reserved = {id_col, "chunk_id", "chunk_text", "n_tokens", "_toks", "_start"}
+    clash = [c for c in extra if c in reserved]
+    if clash:
+        raise ValueError(
+            f"chunk_tokens carry column(s) {clash} collide with generated "
+            f"columns/id_col {sorted(reserved)}; rename before chunking"
+        )
     toks = F.split(F.col(text_col), " ")
     starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(stride))
     chunked = df.select(

@@ -7413,11 +7413,19 @@ def _prebuilt_ingest_state(spark: SparkSession, sf_dir: str) -> str:
     if state is None:
         docs = load_table(spark, sf_dir, "documents")
         state = tempfile.mkdtemp(prefix="ingest_state_cache_")
-        incremental.init_state(
-            spark, docs.filter(F.col("source") != "src1"), state
-        )
-        _INGEST_STATE_CACHE[sf_dir] = state
+        # register cleanup BEFORE init_state (ADVICE r10): if seeding
+        # raises partway, the fresh temp dir must not leak for the
+        # life of the machine's tmp — rmtree of a half-built dir is
+        # fine, and a retry gets a clean slate.
         atexit.register(shutil.rmtree, state, ignore_errors=True)
+        try:
+            incremental.init_state(
+                spark, docs.filter(F.col("source") != "src1"), state
+            )
+        except BaseException:
+            shutil.rmtree(state, ignore_errors=True)
+            raise
+        _INGEST_STATE_CACHE[sf_dir] = state
     return state
 
 

@@ -652,7 +652,18 @@ def _fs_read_text(path: str) -> str | None:
     fs, jpath = _hadoop_fs(path)
     if not fs.exists(jpath):
         return None
-    stream = fs.open(jpath)
+    try:
+        stream = fs.open(jpath)
+    except Exception as exc:  # noqa: BLE001 — narrowed to FNF below
+        # exists->open race (ADVICE r10): a file deleted between the
+        # two calls raises java.io.FileNotFoundException through py4j,
+        # which the callers' (OSError, ValueError, ...) handlers do
+        # not catch — genuine absence must behave identically to the
+        # local branch (None). Any OTHER Java IO fault stays loud.
+        jexc = getattr(exc, "java_exception", None)
+        if jexc is not None and "FileNotFoundException" in jexc.getClass().getName():
+            return None
+        raise
     try:
         from pyspark.sql import SparkSession
 
@@ -670,7 +681,13 @@ def _fs_write_text(path: str, text: str, atomic_replace: bool = False) -> None:
     (POSIX-atomic); on a scheme-qualified store a single create(
     overwrite=True) — one PUT, the only operation PointerSwap's
     crash-safety relies on (its class docstring documents exactly
-    this split)."""
+    this split). Caveat (ADVICE r10): the single-PUT claim holds for
+    OBJECT stores (S3/GCS: the new object appears atomically or not
+    at all); on HDFS create(overwrite=True) truncates then writes, so
+    a crash mid-write can leave a zero-length file — PointerSwap's
+    resolve() treats empty pointer text as absent for exactly this
+    reason, degrading a torn HDFS flip to a replayed batch instead of
+    a broken table."""
     if not _is_uri(path):
         if atomic_replace:
             tmp = f"{path}.tmp-{os.getpid()}"
@@ -857,8 +874,15 @@ class PointerSwap:
     @staticmethod
     def resolve(table_path: str) -> str:
         text = _fs_read_text(table_path + PointerSwap.PTR)
-        if text is None:
-            return table_path  # no pointer yet: first batch
+        # Empty/whitespace pointer text is treated as absent, exactly
+        # like a missing file (ADVICE r10): the single-PUT atomicity
+        # claim holds for object stores, but HDFS create(overwrite)
+        # truncates-then-writes, so a crash mid-flip can leave a
+        # zero-length pointer — resolving that to '' would break every
+        # subsequent read; falling back to the base path keeps the
+        # previous behavior of "no pointer yet".
+        if text is None or not text.strip():
+            return table_path  # no pointer yet (or truncated): first batch
         return text.strip()
 
     @staticmethod

@@ -917,6 +917,73 @@ def test_pointer_swap_rollup_and_crash_before_flip(spark, tmp_path):
     assert versions == ["rollup.v-1", "rollup.v-2"]
 
 
+def test_pointer_swap_torn_empty_pointer_resolves_to_base(spark, tmp_path):
+    """ADVICE r10: on HDFS create(overwrite=True) truncates then
+    writes, so a crash mid-flip can leave a ZERO-LENGTH pointer file.
+    resolve() must treat empty/whitespace pointer text as absent (fall
+    back to the base path) instead of returning '' — which would break
+    every subsequent read of the table."""
+    from ingest_spark.streaming.pipeline import PointerSwap
+
+    rollup = str(tmp_path / "rollup")
+    with open(rollup + PointerSwap.PTR, "w") as fh:
+        fh.write("")  # torn flip: pointer exists but is empty
+    assert PointerSwap.resolve(rollup) == rollup
+    with open(rollup + PointerSwap.PTR, "w") as fh:
+        fh.write("  \n")  # whitespace-only is equally torn
+    assert PointerSwap.resolve(rollup) == rollup
+
+
+def test_fs_read_text_exists_open_race_returns_none(monkeypatch):
+    """ADVICE r10: _fs_read_text's URI branch had an exists-then-open
+    race — a file deleted between the two calls surfaced as a
+    Py4JJavaError(FileNotFoundException) that crashed the micro-batch,
+    while the local branch maps absence to None. Genuine absence must
+    behave identically on both branches; other Java faults stay loud."""
+    from ingest_spark.streaming import pipeline as P
+
+    class _JClass:
+        def __init__(self, name):
+            self._n = name
+
+        def getName(self):
+            return self._n
+
+    class _JExc:
+        def __init__(self, name):
+            self._c = _JClass(name)
+
+        def getClass(self):
+            return self._c
+
+    class _RaisingFS:
+        def __init__(self, jclass):
+            self._jclass = jclass
+
+        def exists(self, _):
+            return True  # existed at check time...
+
+        def open(self, _):
+            exc = Exception("gone")
+            exc.java_exception = _JExc(self._jclass)
+            raise exc  # ...deleted before open
+
+    monkeypatch.setattr(
+        P, "_hadoop_fs",
+        lambda path: (_RaisingFS("java.io.FileNotFoundException"), object()),
+    )
+    assert P._fs_read_text("file:///nope/raced.txt") is None
+    # a non-FNF Java fault must NOT be swallowed as absence
+    monkeypatch.setattr(
+        P, "_hadoop_fs",
+        lambda path: (_RaisingFS("java.io.IOException"), object()),
+    )
+    import pytest
+
+    with pytest.raises(Exception, match="gone"):
+        P._fs_read_text("file:///nope/raced.txt")
+
+
 def test_pointer_swap_scd2(spark, tmp_path):
     """foreach_batch_scd2 through PointerSwap equals the same batches
     through the default strategy."""

@@ -51,6 +51,21 @@ def test_chunk_tokens_carry_passthrough(spark):
     assert [r["n_tokens"] for r in rows if r["doc_id"] == 2] == [3]
 
 
+def test_chunk_tokens_carry_collision_raises(spark):
+    """ADVICE r10: a carried column named like a generated output
+    column (chunk_id/chunk_text/n_tokens/_toks/_start) or the id
+    column must raise, not silently produce ambiguous duplicates."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, "a b c", 7)], "doc_id long, text string, chunk_id int"
+    )
+    with pytest.raises(ValueError, match="chunk_id"):
+        chunk_tokens(df, size=4, stride=4, carry=["chunk_id"])
+    with pytest.raises(ValueError, match="doc_id"):
+        chunk_tokens(df, size=4, stride=4, carry=["doc_id"])
+
+
 def test_pii_redact_counts_and_placeholders(spark):
     df = spark.createDataFrame(
         [
