@@ -61,6 +61,12 @@ HEADLINE = [
     "duplicate_passages",
     "bm25_retrieval",
     "neardup_components",
+    # r11 (VERDICT r10 §Next #4): the PRODUCTION 16h/4b signature as
+    # benched pair-generation + components entries — these run at
+    # EVERY SF (no sf10 skip): 4-row bands keep collisions
+    # precision-bounded where the 4h/2b demos saturate by construction
+    "minhash_lsh_neardup_prod",
+    "neardup_components_prod",
     # r9: the O(log n) star-contraction CC variant rides alongside the
     # O(diameter) label-prop one — the sf10 evidence run (BASELINE.md)
     # showed the label variant's shallow-cluster assumption break on a
@@ -96,6 +102,40 @@ HEADLINE = [
     "embedding_neardup_lsh",
     "multimodal_mjpeg_frames",
 ]
+
+# Measured and recorded but EXCLUDED from the headline steady total
+# (VERDICT r10 §Next #6): incremental_ingest_e2e's in-query state
+# seeding is I/O-bimodal (4.4-18.6 s at sf0.1 across processes on
+# identical code), which injects ±8 s of noise into a ~50 s suite
+# total; incremental_ingest_batch is the stable comparable signal.
+NON_TOTAL = {"incremental_ingest_e2e"}
+
+# Row-heavy queries whose .collect() is dominated by py4j/Arrow driver
+# delivery at big SFs (±30-140% documented drift at sf10) — each gets
+# an additional ENGINE-ONLY steady leg through an aggregating checksum
+# sink (count + summed crc32 over the canonical row JSON), recorded as
+# `queries_checksum` alongside the collect numbers (VERDICT r10 §Next
+# #5). The checksum VALUES ride along so a round-over-round engine
+# delta is readable AND provably the same result set.
+ROW_HEAVY = [
+    "sessionize_events",
+    "window_topn_per_group",
+    "tfidf_top_terms",
+    "dsir_importance_weights",
+]
+
+
+def _checksum_sink(df):
+    """Aggregate a result frame to one (count, crc-sum) row JVM-side —
+    full plan execution, zero driver row delivery. crc32 over the
+    to_json of the whole row struct; the SUM is order-independent so
+    partitioning can't change the value."""
+    from pyspark.sql import functions as F
+
+    return df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.crc32(F.to_json(F.struct(*df.columns)))).alias("crc"),
+    ).collect()[0]
 
 
 def main() -> None:
@@ -178,21 +218,58 @@ def main() -> None:
     # be stolen by box contention; the min of three is the plan's
     # cost. Methodology in BASELINE.md.
     STEADY_PASSES = int(os.environ.get("SPARK_GRAFT_STEADY_PASSES", "3"))
+    # SPARK_GRAFT_SINK=checksum switches the MAIN steady passes to the
+    # aggregating sink for every query — the engine-only mode the sf10+
+    # evidence runs use so collect-bound queries measure the plan, not
+    # driver serialization (VERDICT r10 §Next #5).
+    sink_mode = os.environ.get("SPARK_GRAFT_SINK", "collect")
     samples: dict[str, list[float]] = {name: [] for name in headline}
     rows: dict[str, int] = {}
     for _ in range(STEADY_PASSES):
         for name in headline:
             t0 = time.perf_counter()
-            out = QUERIES[name](spark, sf_dir).collect()
-            samples[name].append(time.perf_counter() - t0)
-            rows[name] = len(out)
+            if sink_mode == "checksum":
+                r = _checksum_sink(QUERIES[name](spark, sf_dir))
+                samples[name].append(time.perf_counter() - t0)
+                rows[name] = int(r["n"])
+            else:
+                out = QUERIES[name](spark, sf_dir).collect()
+                samples[name].append(time.perf_counter() - t0)
+                rows[name] = len(out)
 
     per_query = {n: round(min(s), 3) for n, s in samples.items()}
     per_query_median = {
         n: round(sorted(s)[len(s) // 2], 3) for n, s in samples.items()
     }
-    total = round(sum(per_query.values()), 3)
-    total_cold = round(sum(v for v in cold.values() if v >= 0), 3)
+    total = round(
+        sum(v for n, v in per_query.items() if n not in NON_TOTAL), 3
+    )
+    total_cold = round(
+        sum(v for n, v in cold.items() if v >= 0 and n not in NON_TOTAL), 3
+    )
+
+    # Engine-only checksum leg for the collect-bound row-heavy queries
+    # (always-on in collect mode; redundant when the whole suite is
+    # already checksum-sunk). Runs AFTER the main passes so it can't
+    # perturb them.
+    queries_checksum: dict[str, float] = {}
+    checksum_values: dict[str, dict] = {}
+    if sink_mode != "checksum":
+        ck_samples: dict[str, list[float]] = {
+            n: [] for n in ROW_HEAVY if n in headline
+        }
+        for _ in range(STEADY_PASSES):
+            for name in ck_samples:
+                t0 = time.perf_counter()
+                r = _checksum_sink(QUERIES[name](spark, sf_dir))
+                ck_samples[name].append(time.perf_counter() - t0)
+                checksum_values[name] = {
+                    "n": int(r["n"]),
+                    "crc_sum": int(r["crc"]) if r["crc"] is not None else None,
+                }
+        queries_checksum = {
+            n: round(min(s), 3) for n, s in ck_samples.items()
+        }
 
     # Streaming micro-bench rides along (VERDICT r5 §Next #6) so the
     # per-round record includes the stateful-pipeline throughput; a
@@ -246,6 +323,10 @@ def main() -> None:
                 "queries": per_query,
                 "queries_median": per_query_median,
                 "queries_cold": cold,
+                "queries_checksum": queries_checksum or None,
+                "checksum_values": checksum_values or None,
+                "sink": sink_mode,
+                "total_excludes": sorted(NON_TOTAL & set(headline)) or None,
                 "steady_passes": STEADY_PASSES,
                 "streaming": streaming,
                 "rows": rows,
@@ -265,6 +346,20 @@ def main() -> None:
             {"metric": "per_query_steady_sec", "queries": per_query, "sf": sf}
         )
     )
+    # Engine-only steady times for the collect-bound queries on their
+    # own tail line (VERDICT r10 §Next #5) — the comparable numbers at
+    # big SFs where collect() drifts ±30-140% with driver delivery.
+    if queries_checksum:
+        print(
+            json.dumps(
+                {
+                    "metric": "per_query_checksum_sec",
+                    "queries": queries_checksum,
+                    "values": checksum_values,
+                    "sf": sf,
+                }
+            )
+        )
     # Compact per-round summary LAST (VERDICT r8 §Next #8): the driver
     # records only the output TAIL, which used to truncate away the
     # totals buried at the front of the big per-query line — this
@@ -281,6 +376,8 @@ def main() -> None:
                 "n_queries": len(headline),
                 "steady_passes": STEADY_PASSES,
                 "streaming_rows_per_sec": (streaming or {}).get("rows_per_sec"),
+                "sink": sink_mode,
+                "total_excludes": sorted(NON_TOTAL & set(headline)) or None,
                 "sf": sf,
             }
         )

@@ -856,6 +856,32 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_LSH_PAIRS_PROD = f"""
+    WITH sig AS ({_sql_minhash_sig("documents", 16)[0]}),
+    b AS ({_sql_bands(16, 4)})
+    SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+    FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.doc_id < b2.doc_id
+"""
+
+
+@q("minhash_lsh_neardup_prod", _SQL_LSH_PAIRS_PROD)
+def minhash_lsh_neardup_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 PRODUCTION signature (VERDICT r10 §Next #4): 16 hashes in 4
+    bands of 4 rows — the parameters curation_e2e and the incremental
+    pipeline already run, now benched standalone so the dedup family
+    has a pair-generation entry that survives every SF. The 4h/2b
+    sibling above stays as a small-SF oracle-parity fixture; its 2-row
+    bands collide-saturate past ~100k docs by construction (the
+    documented 3.49M-pair blowup), while 4-row bands keep collisions
+    precision-bounded (1,933 pairs at the same corpus — BASELINE.md
+    r9). Plan shape is identical: banded bucket equi-join, never
+    all-pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_candidates(
+        docs, "doc_id", "text", num_hashes=16, bands=4, shingle_n=3
+    )
+
+
 @q(
     "neardup_collapse_survivors",
     f"""
@@ -2649,7 +2675,11 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
             "total_revenue"
         )
-    )
+    ).localCheckpoint()  # referenced 2x (probe + max): pin the fact agg, don't
+    # recompute it — r11 registry audit (VERDICT r10 §Next #2, q11 class):
+    # without this the lineitem scan + supplier-grain shuffle executed twice
+    # (no runtime ReusedExchange), exactly the doubled-fact-subtree defect.
+    # supplier grain: two slim columns, MEMORY_AND_DISK, spills not OOMs.
     max_rev = revenue.agg(F.max("total_revenue").alias("mx"))
     return (
         # max_rev is 1 row forever -> hint kept; supplier scales with
@@ -3029,6 +3059,40 @@ def neardup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "neardup_components_prod",
+    f"""
+    WITH RECURSIVE sig AS ({_sql_minhash_sig("documents", 16)[0]}),
+    b AS ({_sql_bands(16, 4)}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+      FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.doc_id < b2.doc_id),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    reach(id, label) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e.s, r.label FROM edges e JOIN reach r ON r.id = e.d)
+    SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS component
+    FROM reach GROUP BY id
+    """,
+)
+def neardup_components_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the PRODUCTION 16h/4b near-dup graph
+    (VERDICT r10 §Next #4) — the components sibling of
+    minhash_lsh_neardup_prod, using the skew-hardened star algorithm
+    (the variant the sf10 convergence evidence runs under). The 4h/2b
+    components entries stay as small-SF saturation fixtures."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_candidates(
+        docs, "doc_id", "text", num_hashes=16, bands=4, shingle_n=3
+    )
+    return dedup.connected_components(pairs, algorithm="star").select(
+        F.col("id").alias("doc_id"), "component"
+    )
+
+
+@q(
     "window_rank_variety",
     """
     SELECT o_orderkey, o_custkey,
@@ -3289,7 +3353,18 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.001/0.01/0.1; NATION_7 -> NATION_3, which has supplier volume
     at every SF). The HAVING-vs-global-scalar compare is a broadcast
     of a 1-row aggregate, and the threshold compare runs in integer
-    cents so both engines make the identical cut."""
+    cents so both engines make the identical cut.
+
+    `val` is referenced twice (probe rows + the 1-row total) and Spark
+    does not dedupe common subplans, so without pinning the full
+    lineitem join + aggregate would execute TWICE (VERDICT r10 §Wrong
+    #1 — at 100x a doubled fact scan is real money). localCheckpoint()
+    materializes it once; both downstream references read the
+    checkpoint blocks (same fix as tpch_q21's 3x-reused lateness
+    frame). The pinned frame is per-partkey grain — two slim columns,
+    MEMORY_AND_DISK-backed, so it spills rather than OOMs at scale;
+    the lineage truncation trades executor-loss recompute for halving
+    the dominant scan, the right call for a 2-column aggregate."""
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
@@ -3303,6 +3378,7 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("value_cents")
         )
+        .localCheckpoint()  # referenced 2x (probe + total): pin, don't recompute
     )
     total = val.agg(
         F.count(F.lit(1)).cast("long").alias("__nc"),
@@ -4437,6 +4513,12 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
+        # referenced 4x (n_orders, freq, both self-join sides) and the
+        # runtime ReusedExchange only deduped 2 of them — the distinct
+        # SHUFFLE of the whole fact re-executed (r11 registry audit,
+        # VERDICT r10 §Next #2 q11 class). Pin it once: one lineitem
+        # scan + one distinct shuffle, four readers of the blocks.
+        .localCheckpoint()
     )
     n_orders = post.agg(F.count_distinct("l_orderkey").alias("n"))
     freq = post.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("f"))
@@ -5470,7 +5552,10 @@ def corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = docs.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("toks").alias("tokens"),
-    )
+    ).localCheckpoint()  # referenced 2x (cells + 1-row total) with no
+    # runtime ReusedExchange — without pinning, the document scan +
+    # tokenize + aggregate ran twice (r11 registry audit, q11 class).
+    # lang x source grain: a handful of rows at any corpus size.
     total = g.agg(F.sum("tokens").alias("total"))
     return g.crossJoin(F.broadcast(total)).select(
         "lang",
@@ -5865,8 +5950,16 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     The 1-row corpus total stays an explicit broadcast."""
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
-    freq = words.groupBy("word").agg(F.count(F.lit(1)).cast("double").alias("__c"))
-    total = words.agg(F.count(F.lit(1)).cast("double").alias("__t"))
+    freq = words.groupBy("word").agg(
+        F.count(F.lit(1)).cast("double").alias("__c")
+    ).localCheckpoint()  # referenced 2x (total + score join); pinning the
+    # vocab-grain aggregate means ONE explode feeds the vocab (r11
+    # registry audit, q11 class — pre-r11 this query exploded the
+    # corpus 3x: freq, total, and the score probe).
+    # the corpus token total is the SUM of the vocab counts — derive it
+    # from the pinned vocab (vocab-grain reduce) instead of a third
+    # full corpus explode
+    total = freq.agg(F.sum("__c").alias("__t"))
     lp = F.round(F.log(F.col("__c") / F.col("__t")) * 1_000_000).cast("long")
     scored = (
         words.join(freq, "word")
@@ -6309,12 +6402,22 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject."""
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select(F.explode(F.split("text", " ")).alias("word"))
-    uni = words.groupBy("word").agg(F.count(F.lit(1)).alias("__cu"))
+    uni = words.groupBy("word").agg(
+        F.count(F.lit(1)).alias("__cu")
+    ).localCheckpoint()  # referenced 3x (tot, __a join, __b join); the
+    # runtime ReusedExchange only deduped part of it — pin the vocab
+    # aggregate so the unigram explode + shuffle run once (r11 registry
+    # audit, VERDICT r10 §Next #2 q11 class). Vocab grain: slim.
     tot = uni.agg(F.sum("__cu").alias("__n"))
     pair_counts = (
         docs.select(F.explode(text.word_ngrams_fast("text", 2)).alias("pair"))
         .groupBy("pair")
         .agg(F.count(F.lit(1)).alias("n_pair"))
+        # referenced 2x (ptot + the support-filtered probe): pin so the
+        # bigram explode + pair shuffle run once. Pair grain is the
+        # biggest frame here but it IS the query's hub — one disk-backed
+        # materialization beats re-exploding the corpus.
+        .localCheckpoint()
     )
     # corpus-relative min support (r9): the fixed `>= 50` straddled
     # the bench corpus — max pair count at sf0.01 is 48, so the query

@@ -654,11 +654,12 @@ def test_sf_scaled_sides_degrade_to_shuffle_join_when_too_big(spark):
         "tpch_q8_market_share": 3,     # nation x2 + region hints
         "tpch_q9_product_profit": 1,   # nation hint
         "tpch_q10_returned_revenue": 1,  # nation hint
-        # nation hint x2: the val subtree is referenced twice (once for
-        # the rows, once for the global-scalar threshold — same shape
-        # as the oracle's `FROM val, s`), so its one hinted join
-        # appears in both branches
-        "tpch_q11_important_stock": 2,
+        # tpch_q11_important_stock left out since r11: its val subtree
+        # is localCheckpoint-pinned, so the final plan has no file
+        # scans or hinted joins at all (only a broadcast nested-loop
+        # of the 1-row total against the materialized blocks) — its
+        # single-scan guarantee is pinned by
+        # test_q11_fact_subtree_evaluated_once below.
         "tpch_q14_promo_share": 0,
         "tpch_q15_top_supplier": 1,    # 1-row max_rev scalar, equi-joined
         "tpch_q16_supplier_variety": 0,
@@ -686,6 +687,62 @@ def test_sf_scaled_sides_degrade_to_shuffle_join_when_too_big(spark):
                 assert "SortMergeJoin" in p or "ShuffledHashJoin" in p, name
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_q11_fact_subtree_evaluated_once(spark):
+    """VERDICT r10 §Next #1: tpch_q11's `val` (lineitem ⋈ supplier ⋈
+    nation + per-partkey aggregate) is referenced twice — probe rows
+    and the 1-row total — and Spark does not dedupe common subplans,
+    so pre-r11 the full fact scan + shuffle executed TWICE (the old
+    carve-out in the threshold=-1 dict documented it as 'nation hint
+    x2'). Since r11 `val` is localCheckpoint-pinned: the executed plan
+    of the returned frame must contain ZERO lineitem file scans (the
+    one real scan ran inside the checkpoint job) and read the
+    materialized blocks (ExistingRDD) instead; the only join left is
+    the broadcast of the 1-row total."""
+    p = _plan(spark, "tpch_q11_important_stock")
+    assert "lineitem" not in p, p          # no re-derivation of the fact subtree
+    assert "supplier" not in p, p
+    assert "Scan ExistingRDD" in p, p      # checkpoint blocks, both references
+    assert "CartesianProduct" not in p, p  # 1-row total arrives broadcast
+    assert p.count("BroadcastHashJoin") == 0, p
+
+
+def test_no_unpinned_fact_subtree_double_evaluation(spark):
+    """VERDICT r10 §Next #2: the registry-wide audit for the q11
+    pattern (a derived fact-grain frame referenced twice — probe +
+    broadcast total — that Spark recomputes because it has no common-
+    subplan dedup beyond ReuseExchange). The r11 audit found five
+    fact-grain offenders with no runtime exchange reuse; each is now
+    localCheckpoint-pinned at its natural grain. This guards the fix:
+    the executed plan must scan the FACT table at most the pinned
+    number of times (0 = fully behind the checkpoint). The full audit
+    table lives in PLANS.md §Registry audit."""
+    import re
+
+    # name -> (fact table, max file scans of it allowed in the plan)
+    pinned = {
+        "tpch_q15_top_supplier": ("lineitem", 0),
+        "market_basket_lift": ("lineitem", 0),
+        "corpus_composition": ("documents", 0),
+        # the score probe legitimately re-reads documents once; the
+        # vocab + total live behind the pinned freq frame
+        "unigram_logprob_score": ("documents", 1),
+        "pmi_collocations": ("documents", 0),
+    }
+    for name, (table, max_scans) in pinned.items():
+        df = QUERIES[name](spark, SF_DIR)
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        f = df._jdf.queryExecution().explainString(mode)
+        n = sum(
+            1
+            for b in re.split(r"\n\(\d+\) ", f)
+            if b.startswith("Scan parquet") and f"{table}.parquet" in b
+        )
+        assert n <= max_scans, (name, table, n, max_scans)
+        assert "Scan ExistingRDD" in f, name  # the pin is actually there
 
 
 def test_aqe_splits_skewed_join_partitions(spark):
