@@ -99,6 +99,60 @@ def test_jdbc_reader_options(spark):
         jdbc_reader(spark, "jdbc:postgresql://db/x", "t", partition_column="id")
 
 
+def test_jdbc_roundtrip_executes_against_embedded_derby(spark):
+    """S7 executable (VERDICT r10 §Next #3): a REAL JDBC scan, not
+    just option construction — Spark bundles Apache Derby, so the
+    Sqoop-import surface (sqoop.yaml:39-50) round-trips in-sandbox:
+    write 100 rows over JDBC, read them back through the partitioned
+    reader (4 range predicates), and assert the composed filter is
+    pushed into the remote query."""
+    from pyspark.sql import functions as F
+
+    from ingest_spark.sources.jdbc import (
+        DERBY_DRIVER,
+        derby_memory_url,
+        jdbc_write,
+    )
+
+    url = derby_memory_url("ingest_s7")
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    jdbc_write(df, url, "t_s7", driver=DERBY_DRIVER)
+
+    back = jdbc_reader(
+        spark,
+        url,
+        "t_s7",
+        partition_column="k",
+        lower_bound=0,
+        upper_bound=100,
+        num_partitions=4,
+        driver=DERBY_DRIVER,
+    ).load()
+    # the partitioned read actually splits into 4 range scans
+    assert back.rdd.getNumPartitions() == 4
+    assert back.count() == 100
+    assert back.agg(F.sum("v")).first()[0] == sum(2 * i for i in range(100))
+
+    # filter pushdown reaches the remote query
+    filt = back.filter(F.col("v") > 100)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = filt._jdf.queryExecution().explainString(mode)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and "GreaterThan(v,100)" in pushed[0], plan
+    assert filt.count() == 49
+
+    # append mode lands more rows through the same surface
+    jdbc_write(df, url, "t_s7", mode="append", driver=DERBY_DRIVER)
+    assert (
+        jdbc_reader(spark, url, "t_s7", driver=DERBY_DRIVER).load().count()
+        == 200
+    )
+
+
 def test_json_contract_quarantines_corrupt_rows(spark, tmp_path):
     from pyspark.sql import types as T
 
