@@ -29,8 +29,9 @@ def test_bench_runs_and_emits_contract_json():
         ln for ln in proc.stdout.splitlines() if ln.startswith("{")
     ]
     # full per-query line + tail-safe steady dict (VERDICT r9 #6) +
-    # the compact tail-safe summary (VERDICT r8 #8)
-    assert len(json_lines) == 3, proc.stdout[-2000:]
+    # engine-only checksum leg (VERDICT r10 #5) + the compact
+    # tail-safe summary (VERDICT r8 #8)
+    assert len(json_lines) == 4, proc.stdout[-2000:]
     d = json.loads(json_lines[0])
     assert d["metric"] == "headline_suite_wall_sec"
     assert d["unit"] == "sec" and d["value"] > 0
@@ -38,18 +39,37 @@ def test_bench_runs_and_emits_contract_json():
     steady = json.loads(json_lines[1])
     assert steady["metric"] == "per_query_steady_sec"
     assert steady["queries"] == d["queries"]
-    compact = json.loads(json_lines[2])
+    import bench
+
+    ck = json.loads(json_lines[2])
+    assert ck["metric"] == "per_query_checksum_sec"
+    assert set(ck["queries"]) == set(bench.ROW_HEAVY)
+    assert all(
+        v["n"] > 0 and v["crc_sum"] is not None for v in ck["values"].values()
+    )
+    compact = json.loads(json_lines[3])
     assert compact["metric"] == "headline_suite_wall_sec"
     assert compact["total_steady"] == d["value"] == d["total_steady"]
     assert compact["total_cold"] == d["total_cold"] == d["value_cold"]
-    assert compact["n_queries"] == len(d["queries"])
-    assert len(json_lines[2]) < 500  # must survive any tail capture
-    # the steady dict + compact line together must fit the driver's
-    # 2000-char tail capture, or per-query round-over-round comparison
-    # silently regresses to repo-side files again
-    assert len(json_lines[1]) + len(json_lines[2]) < 2000, (
+    # the steady total EXCLUDES the I/O-bimodal e2e entry (r10 #6) —
+    # recorded per-query, never summed
+    assert compact["total_excludes"] == ["incremental_ingest_e2e"]
+    assert abs(
+        sum(
+            v
+            for n, v in d["queries"].items()
+            if n not in set(compact["total_excludes"])
+        )
+        - d["value"]
+    ) < 0.01
+    assert len(json_lines[3]) < 500  # must survive any tail capture
+    # the steady dict + checksum leg + compact line together must fit
+    # the driver's 2000-char tail capture, or per-query round-over-round
+    # comparison silently regresses to repo-side files again
+    assert len(json_lines[1]) + len(json_lines[2]) + len(json_lines[3]) < 2000, (
         len(json_lines[1]),
         len(json_lines[2]),
+        len(json_lines[3]),
     )
     import bench
 
