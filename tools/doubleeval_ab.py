@@ -126,13 +126,98 @@ def unigram(pin):
     )
 
 
-STUDIES = {"tpch_q15": q15, "market_basket": basket, "unigram_logprob": unigram}
+def corpus(pin: bool):
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", F.size(F.split("text", " ")).cast("long")
+    )
+    g = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("toks").alias("tokens"),
+    )
+    if pin:
+        g = g.localCheckpoint()
+    total = g.agg(F.sum("tokens").alias("total"))
+    return g.crossJoin(F.broadcast(total)).select(
+        "lang",
+        "source",
+        "n_docs",
+        "tokens",
+        (
+            (F.col("tokens") * 1000000 / F.col("total"))
+            .cast("long")
+            .cast("double")
+            / 1000000
+        ).alias("token_share"),
+    )
+
+
+def pmi(pin):
+    """pin: False = nothing pinned, 'uni' = vocab table only, True =
+    vocab + pair table."""
+    from ingest_spark.operators import text
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("word"))
+    uni = words.groupBy("word").agg(F.count(F.lit(1)).alias("__cu"))
+    if pin:
+        uni = uni.localCheckpoint()
+    tot = uni.agg(F.sum("__cu").alias("__n"))
+    pair_counts = (
+        docs.select(F.explode(text.word_ngrams_fast("text", 2)).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    if pin is True:
+        pair_counts = pair_counts.localCheckpoint()
+    ptot = pair_counts.agg(F.sum("n_pair").alias("__np"))
+    pairs = (
+        pair_counts.crossJoin(F.broadcast(ptot))
+        .filter(
+            F.col("n_pair")
+            >= F.greatest(F.lit(5), F.floor(F.col("__np") / 2000))
+        )
+        .drop("__np")
+        .withColumn("__a", F.split("pair", " ")[0])
+        .withColumn("__b", F.split("pair", " ")[1])
+    )
+    ua = uni.select(F.col("word").alias("__a"), F.col("__cu").alias("__ca"))
+    ub = uni.select(F.col("word").alias("__b"), F.col("__cu").alias("__cb"))
+    pmi_col = (
+        F.round(
+            F.log(
+                (F.col("n_pair").cast("double") * F.col("__n"))
+                / (F.col("__ca") * F.col("__cb"))
+            )
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("pmi_micros")
+    )
+    return (
+        pairs.join(ua, "__a")
+        .join(ub, "__b")
+        .crossJoin(F.broadcast(tot))
+        .select("pair", "n_pair", pmi_col)
+        .orderBy(F.desc("pmi_micros"), "pair")
+        .limit(50)
+    )
+
+
+STUDIES = {
+    "tpch_q15": q15,
+    "market_basket": basket,
+    "unigram_logprob": unigram,
+    "corpus_composition": corpus,
+    "pmi_collocations": pmi,
+}
 
 results = {}
 for name, build in STUDIES.items():
     variants = [("unpinned", False), ("pinned", True)]
     if name == "unigram_logprob":
         variants.insert(1, ("derived", "derived"))
+    if name == "pmi_collocations":
+        variants.insert(1, ("uni_only", "uni"))
     # warm every shape once (untimed)
     for _, pin in variants:
         _checksum(build(pin))
