@@ -71,7 +71,7 @@ def jdbc_write(
     df: DataFrame,
     url: str,
     table: str,
-    mode: str = "overwrite",
+    mode: str = "append",
     batch_size: int = 10_000,
     **properties: str,
 ) -> None:
@@ -79,7 +79,13 @@ def jdbc_write(
     write partition opens its own connection and inserts in
     ``batch_size`` batches — parallelism is the frame's partitioning,
     so repartition() before calling to control connection count
-    against a production database."""
+    against a production database.
+
+    Default mode is ``append`` (ADVICE r11: Sqoop-export semantics are
+    insert into an existing table; Spark's ``overwrite`` DROPS and
+    recreates the target — destroying indexes/grants — so destructive
+    modes must be an explicit opt-in, optionally with the JDBC
+    ``truncate`` option to keep the table definition)."""
     writer = (
         df.write.format("jdbc")
         .option("url", url)

@@ -71,8 +71,6 @@ def test_bench_runs_and_emits_contract_json():
         len(json_lines[2]),
         len(json_lines[3]),
     )
-    import bench
-
     assert set(d["queries"]) == set(bench.HEADLINE)
     assert all(v >= 0 for v in d["queries"].values())
     assert all(v >= 0 for v in d["rows"].values())
