@@ -25,7 +25,8 @@ from pyspark.sql import types as T
 
 from ingest_spark.catalog import load_table
 from ingest_spark.functions.hashing import content_hash, normalized_fingerprint
-from ingest_spark.operators import classifier, dedup, flatten, graph, multimodal, relational, similarity, text, windows
+from ingest_spark.pinning import pin
+from ingest_spark.operators import bloom, classifier, dedup, flatten, graph, multimodal, relational, similarity, text, windows
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -2671,15 +2672,17 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
     s = load_table(spark, sf_dir, "supplier")
-    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+    revenue = pin(li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
             "total_revenue"
         )
-    ).localCheckpoint()  # referenced 2x (probe + max): pin the fact agg, don't
+    ))  # referenced 2x (probe + max): pin the fact agg, don't
     # recompute it — r11 registry audit (VERDICT r10 §Next #2, q11 class):
     # without this the lineitem scan + supplier-grain shuffle executed twice
     # (no runtime ReusedExchange), exactly the doubled-fact-subtree defect.
     # supplier grain: two slim columns, MEMORY_AND_DISK, spills not OOMs.
+    # r12: pin() = persist-with-lineage locally / reliable checkpoint on
+    # cluster (VERDICT r11 §Next #2 fault posture; ledger op pin_mode_ab).
     max_rev = revenue.agg(F.max("total_revenue").alias("mx"))
     return (
         # max_rev is 1 row forever -> hint kept; supplier scales with
@@ -3368,7 +3371,7 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
-    val = (
+    val = pin(
         # supplier scales with SF -> AQE decides; nation keeps its hint
         li.join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
@@ -3378,8 +3381,7 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("value_cents")
         )
-        .localCheckpoint()  # referenced 2x (probe + total): pin, don't recompute
-    )
+    )  # referenced 2x (probe + total): pin, don't recompute (r12: pin())
     total = val.agg(
         F.count(F.lit(1)).cast("long").alias("__nc"),
         F.sum("value_cents").alias("__tc"),
@@ -3515,7 +3517,7 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
-    l = (
+    l = pin(
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(
             "l_orderkey",
@@ -3524,8 +3526,7 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "late"
             ),
         )
-        .localCheckpoint()  # reused 3x: pin once instead of 3 joins re-deriving it
-    )
+    )  # reused 3x: pin once instead of 3 joins re-deriving it (r12: pin())
     l1 = l.filter(F.col("late")).select(
         F.col("l_orderkey").alias("o1"), F.col("l_suppkey").alias("s1")
     )
@@ -4509,7 +4510,7 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     prunes the pair tail BEFORE the frequency joins. Baskets are small
     (1-7 items), so pair fan-out is bounded ~21x postings; at 100 TB
     the posting self-join co-partitions on the basket key."""
-    post = (
+    post = pin(
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
@@ -4518,7 +4519,6 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         # SHUFFLE of the whole fact re-executed (r11 registry audit,
         # VERDICT r10 §Next #2 q11 class). Pin it once: one lineitem
         # scan + one distinct shuffle, four readers of the blocks.
-        .localCheckpoint()
     )
     n_orders = post.agg(F.count_distinct("l_orderkey").alias("n"))
     freq = post.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("f"))
@@ -5549,10 +5549,10 @@ def corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").withColumn(
         "toks", F.size(F.split("text", " ")).cast("long")
     )
-    g = docs.groupBy("lang", "source").agg(
+    g = pin(docs.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("toks").alias("tokens"),
-    ).localCheckpoint()  # referenced 2x (cells + 1-row total) with no
+    ))  # referenced 2x (cells + 1-row total) with no
     # runtime ReusedExchange — without pinning, the document scan +
     # tokenize + aggregate ran twice (r11 registry audit, q11 class).
     # lang x source grain: a handful of rows at any corpus size.
@@ -5950,9 +5950,9 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     The 1-row corpus total stays an explicit broadcast."""
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
-    freq = words.groupBy("word").agg(
+    freq = pin(words.groupBy("word").agg(
         F.count(F.lit(1)).cast("double").alias("__c")
-    ).localCheckpoint()  # referenced 2x (total + score join); pinning the
+    ))  # referenced 2x (total + score join); pinning the
     # vocab-grain aggregate means ONE explode feeds the vocab (r11
     # registry audit, q11 class — pre-r11 this query exploded the
     # corpus 3x: freq, total, and the score probe).
@@ -6402,14 +6402,14 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject."""
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select(F.explode(F.split("text", " ")).alias("word"))
-    uni = words.groupBy("word").agg(
+    uni = pin(words.groupBy("word").agg(
         F.count(F.lit(1)).alias("__cu")
-    ).localCheckpoint()  # referenced 3x (tot, __a join, __b join); the
+    ))  # referenced 3x (tot, __a join, __b join); the
     # runtime ReusedExchange only deduped part of it — pin the vocab
     # aggregate so the unigram explode + shuffle run once (r11 registry
     # audit, VERDICT r10 §Next #2 q11 class). Vocab grain: slim.
     tot = uni.agg(F.sum("__cu").alias("__n"))
-    pair_counts = (
+    pair_counts = pin(
         docs.select(F.explode(text.word_ngrams_fast("text", 2)).alias("pair"))
         .groupBy("pair")
         .agg(F.count(F.lit(1)).alias("n_pair"))
@@ -6417,7 +6417,6 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         # bigram explode + pair shuffle run once. Pair grain is the
         # biggest frame here but it IS the query's hub — one disk-backed
         # materialization beats re-exploding the corpus.
-        .localCheckpoint()
     )
     # corpus-relative min support (r9): the fixed `>= 50` straddled
     # the bench corpus — max pair count at sf0.01 is 48, so the query
@@ -7149,7 +7148,24 @@ def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     salted_dup_flags for mega-gram corpora); the islands window
     partitions by doc_id with per-doc position counts bounded by doc
     length. Spans never cross docs, so everything after the seed
-    filter is doc-local."""
+    filter is doc-local.
+
+    r12 (VERDICT r11 §Next #1): the seed set is pinned once via
+    pin() — the SMALL aggregate (13k/41k rows at sf1/sf10, so the
+    loss-exposure window is a trivially recomputable frame, unlike
+    the token-grain pins rejected in r11; primitive per the
+    pinning.py policy: localCheckpoint locally, reliable checkpoint
+    on a cluster) — and a broadcast Bloom filter over the seeds' h1
+    prunes
+    the probe side's grams BEFORE the join (operators/bloom.py).
+    Measured probe survival is 0.4-1.2% (sf10/sf1), so when the seed
+    set outgrows the broadcast threshold on a real boilerplate-heavy
+    corpus and the join degrades to sort-merge, the probe-side
+    exchange carries ~1% of the positions instead of every gram in
+    the corpus. False positives only — the exact equi-join on the
+    full 128-bit gh follows, so results are identical at any fpp
+    (asserted by the ledger A/B exact_substring_bloom_ab and the
+    unchanged DuckDB oracle)."""
     docs = load_table(spark, sf_dir, "documents")
     L = 10
     words = F.split("text", " ")
@@ -7165,10 +7181,24 @@ def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         # would fabricate duplicated seeds (ADVICE r6)
         dedup.hash128("gram").alias("gh"),
     )
-    freq = pg.groupBy("gh").agg(F.count(F.lit(1)).alias("__n")).filter(
-        F.col("__n") >= 2
+    freq = pin(
+        pg.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= 2)
+        .select("gh"),
+        # pin the small seed set: referenced by the bloom build AND the
+        # join build side — unpinned, the full gram generation +
+        # aggregate would run for each (pin policy: pinning.py)
     )
-    dup = pg.join(freq.select("gh"), "gh")
+    n_seeds = freq.count()  # cheap on the pinned frame; sizes the bloom
+    probe = bloom.bloom_prune(
+        pg,
+        freq.select(F.col("gh.h1").alias("h1")),
+        F.col("gh.h1"),
+        "h1",
+        n_seeds,
+    )
+    dup = probe.join(freq, "gh")
     wd = Window.partitionBy("doc_id").orderBy("pos")
     brk = F.when(
         F.col("pos") - F.lag("pos").over(wd) <= L - 1, F.lit(0)

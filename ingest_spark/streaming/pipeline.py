@@ -675,19 +675,59 @@ def _fs_read_text(path: str) -> str | None:
         stream.close()
 
 
+def _rename_overwrite(src: str, dst: str) -> bool:
+    """Atomic rename-with-overwrite through Hadoop's FileContext API
+    (``Options.Rename.OVERWRITE``) — the primitive HDFS guarantees
+    atomic and Structured Streaming's own HDFSMetadataLog commits
+    through. Returns False when the scheme has no AbstractFileSystem
+    binding (e.g. s3a without an fs.AbstractFileSystem.s3a.impl —
+    UnsupportedFileSystemException), so the caller can fall back to
+    the single-PUT path that IS atomic on object stores."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    jvm = spark._jvm
+    src_jpath = jvm.org.apache.hadoop.fs.Path(src)
+    dst_jpath = jvm.org.apache.hadoop.fs.Path(dst)
+    try:
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            dst_jpath.toUri(), spark._jsc.hadoopConfiguration()
+        )
+        rename_cls = jvm.org.apache.hadoop.fs.Options.Rename
+        opts = spark.sparkContext._gateway.new_array(rename_cls, 1)
+        opts[0] = rename_cls.OVERWRITE
+        fc.rename(src_jpath, dst_jpath, opts)
+        return True
+    except Exception as exc:  # noqa: BLE001 — narrowed below
+        jexc = getattr(exc, "java_exception", None)
+        if jexc is not None and "UnsupportedFileSystem" in jexc.getClass().getName():
+            return False
+        raise
+
+
 def _fs_write_text(path: str, text: str, atomic_replace: bool = False) -> None:
     """Write a small text file on any scheme. ``atomic_replace`` is
-    the pointer-flip contract: locally an os.replace of a temp file
-    (POSIX-atomic); on a scheme-qualified store a single create(
-    overwrite=True) — one PUT, the only operation PointerSwap's
-    crash-safety relies on (its class docstring documents exactly
-    this split). Caveat (ADVICE r10): the single-PUT claim holds for
-    OBJECT stores (S3/GCS: the new object appears atomically or not
-    at all); on HDFS create(overwrite=True) truncates then writes, so
-    a crash mid-write can leave a zero-length file — PointerSwap's
-    resolve() treats empty pointer text as absent for exactly this
-    reason, degrading a torn HDFS flip to a replayed batch instead of
-    a broken table."""
+    the pointer-flip contract: the destination must transition
+    old-content -> new-content with NO observable torn state.
+
+    - Local paths: os.replace of a temp file (POSIX-atomic).
+    - URI paths (r12, VERDICT r11 §Next #7): WRITE-THEN-RENAME — the
+      text lands in a ``.tmp-<pid>`` sibling first, then flips in via
+      FileContext rename(OVERWRITE), which HDFS guarantees atomic.
+      Pre-r12 this branch was a bare create(overwrite=True), which on
+      HDFS truncates-then-writes: a writer crash between the truncate
+      and the write left a ZERO-LENGTH pointer (ADVICE r10 — the
+      empty-text fallback in PointerSwap.resolve() degrades that to a
+      replayed batch, and stays as defense-in-depth for pointers torn
+      by pre-r12 writers). With write-then-rename the destination is
+      never opened for write at all: a crash before the rename leaves
+      the OLD pointer fully intact, a crash after it leaves the NEW
+      one — proven by test_pointer_flip_crashed_writer_leaves_old_
+      pointer_intact on a file:// FileContext.
+    - Schemes with no FileContext binding (s3a-style object stores)
+      fall back to the single PUT create(overwrite=True), which IS
+      atomic there: the new object appears fully or not at all, and
+      the orphaned temp object is removed best-effort."""
     if not _is_uri(path):
         if atomic_replace:
             tmp = f"{path}.tmp-{os.getpid()}"
@@ -699,6 +739,26 @@ def _fs_write_text(path: str, text: str, atomic_replace: bool = False) -> None:
                 fh.write(text)
         return
     fs, jpath = _hadoop_fs(path)
+    if atomic_replace:
+        tmp = f"{path}.tmp-{os.getpid()}"
+        _, tmp_jpath = _hadoop_fs(tmp)
+        out = fs.create(tmp_jpath, True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+        if _rename_overwrite(tmp, path):
+            return
+        # object-store fallback: single PUT is atomic there; drop the tmp
+        try:
+            out = fs.create(jpath, True)
+            try:
+                out.write(bytearray(text.encode("utf-8")))
+            finally:
+                out.close()
+        finally:
+            fs.delete(tmp_jpath, False)
+        return
     out = fs.create(jpath, True)  # overwrite=True: single-object PUT
     try:
         out.write(bytearray(text.encode("utf-8")))

@@ -934,6 +934,60 @@ def test_pointer_swap_torn_empty_pointer_resolves_to_base(spark, tmp_path):
     assert PointerSwap.resolve(rollup) == rollup
 
 
+def test_pointer_flip_crashed_writer_leaves_old_pointer_intact(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r11 §Next #7: the URI-path pointer flip is now
+    WRITE-THEN-RENAME (temp sibling + FileContext rename(OVERWRITE) —
+    the primitive HDFS guarantees atomic). Simulate the crashed
+    writer: the process dies AFTER the temp write but BEFORE the
+    rename. The live pointer must be FULLY INTACT — not zero-length,
+    not partially written — because the destination is never opened
+    for write. Under the pre-r12 create(overwrite=True) flip this
+    exact crash window truncated the pointer (HDFS truncates, then
+    writes), the defect ADVICE r10 documented. file:// paths route
+    through the same Hadoop FileContext code path as hdfs://."""
+    import pytest
+
+    from ingest_spark.streaming import pipeline as pl
+
+    ptr = "file://" + str(tmp_path / "rollup.ptr")  # URI -> Hadoop IO
+    pl._fs_write_text(ptr, "rollup.v-7", atomic_replace=True)
+    assert pl._fs_read_text(ptr) == "rollup.v-7"
+
+    def killed_before_rename(src, dst):
+        raise RuntimeError("writer killed between temp write and rename")
+
+    monkeypatch.setattr(pl, "_rename_overwrite", killed_before_rename)
+    with pytest.raises(RuntimeError):
+        pl._fs_write_text(ptr, "rollup.v-8", atomic_replace=True)
+    # old pointer untouched: the crash left a .tmp orphan, never a torn dst
+    assert pl._fs_read_text(ptr) == "rollup.v-7"
+    monkeypatch.undo()
+    # the replayed batch (fresh writer) completes the flip
+    pl._fs_write_text(ptr, "rollup.v-8", atomic_replace=True)
+    assert pl._fs_read_text(ptr) == "rollup.v-8"
+
+
+def test_pointer_flip_object_store_fallback_single_put(
+    spark, tmp_path, monkeypatch
+):
+    """Schemes with no FileContext binding (s3a-style object stores
+    raise UnsupportedFileSystemException) fall back to the single
+    create(overwrite=True) PUT — atomic on object stores by object
+    semantics — and must clean up the orphaned temp object."""
+    import os
+
+    from ingest_spark.streaming import pipeline as pl
+
+    ptr = "file://" + str(tmp_path / "rollup.ptr")
+    monkeypatch.setattr(pl, "_rename_overwrite", lambda src, dst: False)
+    pl._fs_write_text(ptr, "rollup.v-3", atomic_replace=True)
+    assert pl._fs_read_text(ptr) == "rollup.v-3"
+    leftovers = [p for p in os.listdir(tmp_path) if ".tmp-" in p]
+    assert leftovers == [], leftovers
+
+
 def test_fs_read_text_exists_open_race_returns_none(monkeypatch):
     """ADVICE r10: _fs_read_text's URI branch had an exists-then-open
     race — a file deleted between the two calls surfaced as a
