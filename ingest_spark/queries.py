@@ -1551,11 +1551,22 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates (tf, then document frequency over the tf table) -> the
     vocab side joins back with the strategy left to AQE (broadcast at
     bench scale by measured size) -> WindowGroupLimit rank.
-    The corpus size N is a collected literal (like the watermark)."""
+    The corpus size N is a collected literal (like the watermark).
+
+    r12: tf is pin()ned — the r11 plan executed the tf subtree (scan
+    -> explode -> vocab shuffle) TWICE, once as the join probe and
+    once under dfreq; ReuseExchange never fired because column pruning
+    diverges the two subplans. The pin is at doc-word grain (strictly
+    smaller than the token grain) and measured 1.85x at sf1 / 1.66x at
+    sf10 with identical checksums (ledger study text_shape_ab;
+    tools/text_shape_ab.py). The sibling dsir rewrite was measured and
+    REJECTED (0.74-0.82x at sf10) — see PLANS.md."""
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()
     words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
-    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    tf = pin(
+        words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    )
     dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     # vocab grows with the corpus (Heaps' law) — like the unigram vocab
     # (r5), its join strategy is AQE's measured call, not a forced hint

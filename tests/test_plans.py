@@ -729,6 +729,12 @@ def test_no_unpinned_fact_subtree_double_evaluation(spark):
         # vocab + total live behind the pinned freq frame
         "unigram_logprob_score": ("documents", 1),
         "pmi_collocations": ("documents", 0),
+        # r12 (VERDICT r11 §Next #5): the tf subtree executed twice
+        # (probe + dfreq); ReuseExchange never fired because column
+        # pruning diverges the subplans. tf is now pinned at doc-word
+        # grain — everything derives from the pin (1.85x sf1 / 1.66x
+        # sf10, ledger study text_shape_ab).
+        "tfidf_top_terms": ("documents", 0),
     }
     for name, (table, max_scans) in pinned.items():
         df = QUERIES[name](spark, SF_DIR)
