@@ -27,6 +27,57 @@ TABLES = (
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
+# sessions whose workers have been shipped the package (keyed by the
+# JVM SparkContext id so a restarted session re-ships)
+_SHIPPED: set[int] = set()
+
+
+def ensure_worker_imports(spark: SparkSession) -> None:
+    """Ship the ingest_spark package to Python workers via addPyFile.
+
+    The driver contract imports this engine from an arbitrary cwd with
+    its own vanilla session; pure-DataFrame queries never import
+    Python code on workers, but the media/UDF queries do (`from
+    ingest_spark.operators.media_codecs import ...` inside
+    mapInPandas), and cloudpickle serializes module-level functions BY
+    REFERENCE — the worker must be able to import the package. When
+    the driver's cwd/PYTHONPATH doesn't include the repo root, that
+    import fails only on workers, only for UDF-bearing queries (r12:
+    four multimodal oracle FAIL-runs when the harness ran from /tmp).
+    ``addPyFile`` on a zip of the package is Spark's own mechanism for
+    exactly this and works mid-session from any cwd; shipped once per
+    SparkContext (~0.2 MB)."""
+    try:
+        sc = spark.sparkContext
+        key = id(sc._jsc)
+        if key in _SHIPPED:
+            return
+        import tempfile
+        import zipfile
+
+        pkg_root = os.path.dirname(os.path.abspath(__file__))
+        zpath = os.path.join(
+            tempfile.gettempdir(), f"ingest_spark_pyfiles_{os.getuid()}.zip"
+        )
+        tmp = zpath + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for dirpath, _dirs, files in os.walk(pkg_root):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(dirpath, fn)
+                        rel = os.path.join(
+                            "ingest_spark",
+                            os.path.relpath(full, pkg_root),
+                        )
+                        zf.write(full, rel)
+        os.replace(tmp, zpath)
+        sc.addPyFile(zpath)
+        _SHIPPED.add(key)
+    except Exception:
+        # best-effort: in-repo runs work without it, and a failure
+        # here must never take down a pure-DataFrame query
+        pass
+
 
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
@@ -54,6 +105,7 @@ def load_table(
     it still reaches the scan as a pushed filter.
     """
     path = table_path(sf_dir, name)
+    ensure_worker_imports(spark)
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 

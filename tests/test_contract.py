@@ -145,3 +145,39 @@ def test_rows_only_queries_not_vacuous(spark, sf_dir):
             abs(r["exact_p50"]), 1e-9
         )
         assert rel < 0.02, (sf_dir, r["event_type"], rel)
+
+
+def test_worker_imports_shipped_from_foreign_cwd():
+    """r12: the driver contract runs from an arbitrary cwd; the four
+    UDF-bearing multimodal queries import ingest_spark INSIDE Python
+    workers (cloudpickle pickles module functions by reference), which
+    failed with ModuleNotFoundError whenever the driver's cwd/
+    PYTHONPATH excluded the repo. catalog.ensure_worker_imports ships
+    the package zip via addPyFile on first load_table. Proven here
+    end-to-end: a subprocess with cwd=/tmp and a scrubbed PYTHONPATH
+    runs a worker-side-import query at sf0.001."""
+    import os
+    import subprocess
+
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    code = (
+        "import sys; sys.path.insert(0, '/root/repo');\n"
+        "from pyspark.sql import SparkSession\n"
+        "from ingest_spark.queries import QUERIES\n"
+        "spark = (SparkSession.builder.master('local[2]')"
+        ".config('spark.sql.shuffle.partitions','4')"
+        ".config('spark.ui.enabled','false').getOrCreate())\n"
+        "n = QUERIES['multimodal_jpeg420_decode'](spark, "
+        "'/root/testdata/sf0.001').count()\n"
+        "assert n > 0, n\n"
+        "print('WORKER_IMPORT_OK', n)\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        cwd="/tmp",
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert "WORKER_IMPORT_OK" in proc.stdout, proc.stderr[-2000:]
