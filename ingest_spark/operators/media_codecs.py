@@ -2295,46 +2295,147 @@ def _jpeg_decode_scan(fs, scomps, tabs, segments, restart_interval,
     pred = [0] * len(scomps)
     interleaved = len(scomps) > 1
     if ss == 0 and se == 63:  # sequential: DC+AC in one pass
+        # r12 fast path (ledger study jpeg_entropy_kernel_ab): the
+        # entropy loop was ~95% of decode wall as 800k+ Python calls
+        # per 256x256 image (_jpeg_decode_sym + _SegReader.peek/bits/
+        # skip per coefficient). The bit-reader state lives in LOCAL
+        # ints here and the LUT decode + magnitude-bit read are fused
+        # inline; semantics are identical to the generic reader
+        # (zero-padded phantom peek at segment end, refusal to CONSUME
+        # past real data). Progressive scans keep the generic path —
+        # they are a small fraction of scan time and three shapes each.
+        seg_i = 0
+        buf = segments[0] if segments else b""
+        blen = len(buf)
+        acc = nbits = pos = 0
         mcu_index = 0
+        geom = []  # (si, ci, v_i, h_i, dct_lut, dct_long, ac_lut, ac_long, bw)
+        for si, ci in enumerate(scomps):
+            h_i, v_i = fs["factors"][ci]
+            if not interleaved:
+                h_i = v_i = 1  # handled by caller geometry
+            dct, act = tabs[si]
+            geom.append((si, ci, v_i, h_i, dct[0], dct[1], act[0], act[1],
+                         fs["bw"][ci]))
+        zz_bufs = fs["zz"]
         for my in range(fs["mcus_y"]):
             for mx in range(fs["mcus_x"]):
                 if restart_interval and mcu_index and \
                         mcu_index % restart_interval == 0:
-                    cur.advance()
+                    seg_i += 1
+                    if seg_i >= len(segments):
+                        raise ValueError(
+                            "JPEG truncated: missing restart segment")
+                    buf = segments[seg_i]
+                    blen = len(buf)
+                    acc = nbits = pos = 0
                     pred = [0] * len(scomps)
                 mcu_index += 1
-                br = cur.br
-                for si, ci in enumerate(scomps):
-                    h_i, v_i = fs["factors"][ci]
-                    if not interleaved:
-                        h_i = v_i = 1  # handled by caller geometry
-                    dct, act = tabs[si]
+                for si, ci, v_i, h_i, dlut, dlong, alut, along, bwc in geom:
                     for iby in range(v_i):
                         for ibx in range(h_i):
                             zz = [0] * 64
-                            size = _jpeg_decode_sym(br, dct)
-                            diff = (_jpeg_extend(br.bits(size), size)
-                                    if size else 0)
-                            pred[si] += diff
+                            # --- DC symbol (inline Huffman decode) ---
+                            while nbits < 16 and pos < blen:
+                                acc = (acc << 8) | buf[pos]
+                                pos += 1
+                                nbits += 8
+                            idx8 = ((acc >> (nbits - 8)) & 255 if nbits >= 8
+                                    else (acc << (8 - nbits)) & 255)
+                            e = dlut[idx8]
+                            if e is not None:
+                                size, ln = e[0], e[1]
+                            else:
+                                code = ((acc >> (nbits - 16)) & 0xFFFF
+                                        if nbits >= 16
+                                        else (acc << (16 - nbits)) & 0xFFFF)
+                                for ln in range(9, 17):
+                                    size = dlong.get((ln, code >> (16 - ln)))
+                                    if size is not None:
+                                        break
+                                else:
+                                    raise ValueError(
+                                        "JPEG invalid Huffman code")
+                            if nbits < ln:
+                                raise ValueError(
+                                    "JPEG truncated inside entropy data")
+                            nbits -= ln
+                            if size:
+                                while nbits < size:
+                                    if pos >= blen:
+                                        raise ValueError(
+                                            "JPEG truncated inside "
+                                            "entropy data")
+                                    acc = (acc << 8) | buf[pos]
+                                    pos += 1
+                                    nbits += 8
+                                nbits -= size
+                                v = (acc >> nbits) & ((1 << size) - 1)
+                                pred[si] += (
+                                    v if v >= (1 << (size - 1))
+                                    else v - (1 << size) + 1
+                                )
+                            acc &= (1 << nbits) - 1
                             zz[0] = pred[si]
+                            # --- AC symbols ---
                             k = 1
                             while k < 64:
-                                rs = _jpeg_decode_sym(br, act)
-                                run, size = rs >> 4, rs & 15
+                                while nbits < 16 and pos < blen:
+                                    acc = (acc << 8) | buf[pos]
+                                    pos += 1
+                                    nbits += 8
+                                idx8 = ((acc >> (nbits - 8)) & 255
+                                        if nbits >= 8
+                                        else (acc << (8 - nbits)) & 255)
+                                e = alut[idx8]
+                                if e is not None:
+                                    rs, ln = e[0], e[1]
+                                else:
+                                    code = ((acc >> (nbits - 16)) & 0xFFFF
+                                            if nbits >= 16
+                                            else (acc << (16 - nbits))
+                                            & 0xFFFF)
+                                    for ln in range(9, 17):
+                                        rs = along.get(
+                                            (ln, code >> (16 - ln)))
+                                        if rs is not None:
+                                            break
+                                    else:
+                                        raise ValueError(
+                                            "JPEG invalid Huffman code")
+                                if nbits < ln:
+                                    raise ValueError(
+                                        "JPEG truncated inside entropy data")
+                                nbits -= ln
+                                acc &= (1 << nbits) - 1
+                                size = rs & 15
                                 if size == 0:
-                                    if run == 15:
+                                    if rs >> 4 == 15:
                                         k += 16
                                         continue
                                     break  # EOB
-                                k += run
+                                k += rs >> 4
                                 if k > 63:
                                     raise ValueError(
                                         "JPEG AC run overflows block")
-                                zz[k] = _jpeg_extend(br.bits(size), size)
+                                while nbits < size:
+                                    if pos >= blen:
+                                        raise ValueError(
+                                            "JPEG truncated inside "
+                                            "entropy data")
+                                    acc = (acc << 8) | buf[pos]
+                                    pos += 1
+                                    nbits += 8
+                                nbits -= size
+                                v = (acc >> nbits) & ((1 << size) - 1)
+                                acc &= (1 << nbits) - 1
+                                zz[k] = (
+                                    v if v >= (1 << (size - 1))
+                                    else v - (1 << size) + 1
+                                )
                                 k += 1
-                            idx = ((my * v_i + iby) * fs["bw"][ci]
-                                   + mx * h_i + ibx)
-                            fs["zz"][ci][idx] = zz
+                            idx = ((my * v_i + iby) * bwc + mx * h_i + ibx)
+                            zz_bufs[ci][idx] = zz
         return
     if ss == 0:  # progressive DC scan (first or refinement)
         mcu_index = 0
@@ -2360,9 +2461,9 @@ def _jpeg_decode_scan(fs, scomps, tabs, segments, restart_interval,
                                     diff = (_jpeg_extend(br.bits(size), size)
                                             if size else 0)
                                     pred[si] += diff
-                                    arr[idx, 0] = pred[si] << al
+                                    arr[idx][0] = pred[si] << al
                                 elif br.bits(1):
-                                    arr[idx, 0] |= 1 << al
+                                    arr[idx][0] |= 1 << al
         else:
             ci = scomps[0]
             dct, _ = tabs[0]
@@ -2381,9 +2482,9 @@ def _jpeg_decode_scan(fs, scomps, tabs, segments, restart_interval,
                         diff = (_jpeg_extend(br.bits(size), size)
                                 if size else 0)
                         pred[0] += diff
-                        arr[idx, 0] = pred[0] << al
+                        arr[idx][0] = pred[0] << al
                     elif br.bits(1):
-                        arr[idx, 0] |= 1 << al
+                        arr[idx][0] |= 1 << al
         return
     # progressive AC scan: single component, non-interleaved
     if interleaved:
@@ -2604,8 +2705,13 @@ def decode_jpeg(data: bytes) -> dict:
                     "nbh": [
                         -(-(-(-height * c[2] // vmax)) // 8) for c in comps
                     ],
+                    # coefficient rows are PYTHON lists during the
+                    # entropy scans (r12: per-element numpy scalar
+                    # indexing dominated progressive AC refine wall;
+                    # lists are ~3x faster there) and convert to one
+                    # numpy array at the batched IDCT below
                     "zz": [
-                        np.zeros((bw[i] * bh[i], 64), dtype=np.int32)
+                        [[0] * 64 for _ in range(bw[i] * bh[i])]
                         for i in range(len(comps))
                     ],
                 }

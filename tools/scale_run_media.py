@@ -116,9 +116,107 @@ def run(n_docs: int, spark=None) -> dict:
     return entry
 
 
+def run_mjpeg(n_docs: int, spark=None) -> dict:
+    """ms/frame ledger line (VERDICT r11 §Next #6): N AVI-MJPEG docs
+    with 1+doc_id%4 constant-grey frames each (the
+    multimodal_mjpeg_frames fixture math), decoded by the distributed
+    RIFF-walk + entropy-decode path; the per-frame (count, sum(mean))
+    checksum is predicted closed-form from doc_id arithmetic, so
+    ``agree`` proves every frame of every container decoded to the
+    planted value at scale."""
+    from ingest_spark.operators import multimodal
+    from tools import scale_runs
+
+    own_spark = spark is None
+    if own_spark:
+        from ingest_spark.session import get_spark
+
+        spark = get_spark("media-scale-run")
+    docs = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+
+    def build(batches):
+        import pandas as pd
+
+        from ingest_spark.operators.media_codecs import (
+            encode_avi_mjpeg,
+            encode_jpeg,
+        )
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = 8 * (1 + doc_id % 2), 8 * (1 + doc_id % 3)
+                frames = [
+                    encode_jpeg(
+                        w, h,
+                        bytes([(doc_id * 31 + f * 57) % 256]) * (w * h),
+                        channels=1,
+                    )
+                    for f in range(1 + doc_id % 4)
+                ]
+                payloads.append(encode_avi_mjpeg(w, h, frames, fps=25))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(build, "doc_id long, payload binary")
+    decoded = multimodal.mjpeg_frame_features(media)
+    t0 = time.perf_counter()
+    got = decoded.agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum(F.col("mean_value").cast("long")).alias("chk"),
+    ).collect()[0]
+    wall = round(time.perf_counter() - t0, 2)
+    got = [int(got["n_frames"]), int(got["chk"])]
+    ids = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+    exp = ids.select(
+        (1 + F.col("doc_id") % 4).alias("nf"),
+        F.aggregate(
+            F.sequence(F.lit(0), (F.col("doc_id") % 4).cast("int")),
+            F.lit(0).cast("long"),
+            lambda acc, f: acc + (F.col("doc_id") * 31 + f * 57) % 256,
+        ).alias("s"),
+    ).agg(
+        F.sum("nf").alias("n_frames"), F.sum("s").alias("chk")
+    ).collect()[0]
+    expected = [int(exp["n_frames"]), int(exp["chk"])]
+    n_frames = expected[0]
+    entry = scale_runs.record(
+        {
+            "op": "mjpeg_frames_decode",
+            "params": {
+                "study": "media_scale",
+                "n_docs": n_docs,
+                "n_frames": n_frames,
+            },
+            "wall_sec": wall,
+            "frames_per_sec": round(n_frames / wall) if wall else None,
+            "ms_per_frame": round(wall / n_frames * 1000, 3) if n_frames else None,
+            "checksum": got,
+            "agree": got == expected,
+        }
+    )
+    print(json.dumps(entry, sort_keys=True))
+    if own_spark:
+        spark.stop()
+    return entry
+
+
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
-    run(n_docs)
+    mode = sys.argv[2] if len(sys.argv) > 2 else "images"
+    if mode == "mjpeg":
+        run_mjpeg(n_docs)
+    elif mode == "both":
+        from ingest_spark.session import get_spark
+
+        spark = get_spark("media-scale-run")
+        run(n_docs, spark)
+        run_mjpeg(n_docs, spark)
+        spark.stop()
+    else:
+        run(n_docs)
 
 
 if __name__ == "__main__":
