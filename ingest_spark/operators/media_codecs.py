@@ -1488,7 +1488,10 @@ def _fdct_quant_blocks(blocks, quant: list[int]):
     import numpy as np
 
     c = _dct_m()
-    fcoef = np.einsum("ux,nxy,vy->nuv", c, blocks, c, optimize=True)
+    # F[n] = C @ p[n] @ C^T — two batched BLAS matmuls; einsum with
+    # optimize=True re-ran its contraction-path search on EVERY call,
+    # ~50% of tiny-frame (8x8 MCU-grid) wall (r12 kernel study)
+    fcoef = np.matmul(np.matmul(c, blocks), c.T)
     t = fcoef.reshape(-1, 64) / np.asarray(quant, dtype=np.float64)
     out = np.sign(t) * np.floor(np.abs(t) + 0.5)
     return out[:, _JPEG_ZIGZAG].astype(np.int32)
@@ -1507,7 +1510,8 @@ def _idct_blocks(zz, quant: list[int]):
     raster[:, _JPEG_ZIGZAG] = fcoef
     fmat = raster.reshape(-1, 8, 8)
     c = _dct_m()
-    p = np.einsum("ux,nuv,vy->nxy", c, fmat, c, optimize=True)
+    # p[n] = C^T @ F[n] @ C (see _fdct_quant_blocks on why matmul)
+    p = np.matmul(np.matmul(c.T, fmat), c)
     return np.clip(np.floor(p + 128.5), 0, 255).astype(np.uint8)
 
 
