@@ -100,3 +100,42 @@ def test_headline_names_are_declared_queries():
 
     missing = [n for n in bench.HEADLINE if n not in QUERIES]
     assert not missing, f"bench names not in QUERIES: {missing}"
+
+
+def test_bench_checksum_mode_emits_engine_only_contract():
+    """VERDICT r11 §Next #4: the engine-only checksum leg is the
+    canonical round-over-round comparator at every SF, so its output
+    contract gets the same never-ship-broken pin as the collect leg:
+    SPARK_GRAFT_SINK=checksum must produce the same 4-line JSON shape,
+    flagged sink=checksum, with non-negative per-query walls and real
+    row counts (the checksum sink counts rows JVM-side)."""
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+               SPARK_GRAFT_CPUS="8", SPARK_GRAFT_STEADY_PASSES="1",
+               SPARK_GRAFT_STREAM_ROWS="5000",
+               SPARK_GRAFT_SINK="checksum")
+    proc = subprocess.run(
+        [sys.executable, "/root/repo/bench.py"],
+        capture_output=True,
+        text=True,
+        timeout=900,
+        env=env,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    json_lines = [
+        ln for ln in proc.stdout.splitlines() if ln.startswith("{")
+    ]
+    # 3 lines, not 4: the separate ROW_HEAVY checksum leg is redundant
+    # when the whole suite already runs through the checksum sink
+    assert len(json_lines) == 3, proc.stdout[-2000:]
+    d = json.loads(json_lines[0])
+    compact = json.loads(json_lines[2])
+    import bench
+
+    assert compact["sink"] == "checksum"
+    assert d["value"] > 0
+    assert set(d["queries"]) == set(bench.HEADLINE)
+    assert all(v >= 0 for v in d["queries"].values())
+    # the checksum sink still counts every result row JVM-side
+    assert all(v >= 0 for v in d["rows"].values())
+    assert any(v > 0 for v in d["rows"].values())
