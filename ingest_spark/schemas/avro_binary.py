@@ -209,6 +209,238 @@ def _decode_value(data: bytes, pos: int, t: Any, path: str) -> tuple[Any, int]:
     raise ValueError(f"{path}: unsupported avro type {t!r}")
 
 
+# ------------------------------------------------------ schema resolution
+#
+# Avro spec §Schema Resolution (r12): the reference's registry workflow
+# fetches the LATEST version per subject (fetch_data_energinet.py:
+# 266-274) while topics retain records written under older versions, so
+# a reader must decode writer-schema bytes INTO its own (newer) schema:
+# fields matched by name (any order), reader-only fields filled from
+# their defaults, writer-only fields decoded and discarded, and the
+# spec's type promotions applied (int->long/float/double,
+# long->float/double, float->double, string<->bytes). Parity-tested
+# against Java's resolving GenericDatumReader (the implementation the
+# registry ecosystem runs on).
+
+_PROMOTIONS = {
+    "int": ("long", "float", "double"),
+    "long": ("float", "double"),
+    "float": ("double",),
+    "string": ("bytes",),
+    "bytes": ("string",),
+}
+
+
+def _kind(t: Any) -> str:
+    if isinstance(t, list):
+        return "union"
+    if isinstance(t, dict):
+        return t["type"]
+    return t
+
+
+def _promote(v: Any, wkind: str, rkind: str) -> Any:
+    if rkind in ("long",):
+        return int(v)
+    if rkind in ("float", "double"):
+        return float(v)
+    if rkind == "bytes":  # string -> bytes
+        return v.encode("utf-8")
+    if rkind == "string":  # bytes -> string
+        return v.decode("utf-8")
+    raise AssertionError(wkind)
+
+
+def _branch_matches(wt: Any, rt: Any) -> bool:
+    """Can a writer (non-union) type resolve against reader branch rt?"""
+    wk, rk = _kind(wt), _kind(rt)
+    if wk == rk:
+        return True
+    return rk in _PROMOTIONS.get(wk, ())
+
+
+def _default_value(t: Any, d: Any, path: str) -> Any:
+    """Materialize a reader field's JSON default as a decoded value.
+    Per spec, a union's default is interpreted against its FIRST
+    branch; bytes defaults are JSON strings of codepoints 0-255."""
+    if isinstance(t, list):
+        return _default_value(t[0], d, path)
+    k = _kind(t)
+    if k == "null":
+        return None
+    if k in ("int", "long"):
+        return int(d)
+    if k in ("float", "double"):
+        return float(d)
+    if k == "boolean":
+        return bool(d)
+    if k == "string":
+        return str(d)
+    if k == "bytes":
+        return str(d).encode("latin-1")
+    if k == "record":
+        out = {}
+        for f in t["fields"]:
+            nm = f["name"]
+            if isinstance(d, dict) and nm in d:
+                out[nm] = _default_value(f["type"], d[nm], f"{path}.{nm}")
+            elif "default" in f:
+                out[nm] = _default_value(f["type"], f["default"], f"{path}.{nm}")
+            else:
+                raise ValueError(f"{path}.{nm}: record default missing field")
+        return out
+    if k == "array":
+        return [_default_value(t["items"], x, f"{path}[]") for x in (d or [])]
+    if k == "map":
+        return {
+            mk: _default_value(t["values"], mv, f"{path}[{mk}]")
+            for mk, mv in (d or {}).items()
+        }
+    raise ValueError(f"{path}: unsupported default for type {t!r}")
+
+
+def _decode_resolved(
+    data: bytes, pos: int, wt: Any, rt: Any, path: str
+) -> tuple[Any, int]:
+    if isinstance(wt, list):  # writer union: index picks the branch
+        idx, pos = _read_long(data, pos)
+        if not 0 <= idx < len(wt):
+            raise ValueError(f"{path}: union index {idx} out of range")
+        return _decode_resolved(data, pos, wt[idx], rt, path)
+    if isinstance(rt, list):  # reader union: first matching branch
+        for branch in rt:
+            if _branch_matches(wt, branch):
+                return _decode_resolved(data, pos, wt, branch, path)
+        raise ValueError(
+            f"{path}: writer type {_kind(wt)!r} matches no reader "
+            f"union branch {[_kind(b) for b in rt]}"
+        )
+    wk, rk = _kind(wt), _kind(rt)
+    if wk == "record" and rk == "record":
+        out = {}
+        rfields = {f["name"]: f for f in rt["fields"]}
+        for f in wt["fields"]:
+            nm = f["name"]
+            if nm in rfields:
+                out[nm], pos = _decode_resolved(
+                    data, pos, f["type"], rfields[nm]["type"], f"{path}.{nm}"
+                )
+            else:  # writer-only: decode and discard (spec: skipped)
+                _, pos = _decode_value(data, pos, f["type"], f"{path}.{nm}")
+        wnames = {f["name"] for f in wt["fields"]}
+        for f in rt["fields"]:
+            if f["name"] not in wnames:
+                if "default" not in f:
+                    raise ValueError(
+                        f"{path}.{f['name']}: reader field absent from "
+                        "writer schema and has no default"
+                    )
+                out[f["name"]] = _default_value(
+                    f["type"], f["default"], f"{path}.{f['name']}"
+                )
+        return out, pos
+    if wk == "array" and rk == "array":
+        items = []
+        while True:
+            n, pos = _read_long(data, pos)
+            if n == 0:
+                return items, pos
+            if n < 0:
+                n = -n
+                _, pos = _read_long(data, pos)
+            for _ in range(n):
+                item, pos = _decode_resolved(
+                    data, pos, wt["items"], rt["items"], f"{path}[]"
+                )
+                items.append(item)
+    if wk == "map" and rk == "map":
+        out = {}
+        while True:
+            n, pos = _read_long(data, pos)
+            if n == 0:
+                return out, pos
+            if n < 0:
+                n = -n
+                _, pos = _read_long(data, pos)
+            for _ in range(n):
+                mk, pos = _decode_value(data, pos, "string", f"{path}<key>")
+                out[mk], pos = _decode_resolved(
+                    data, pos, wt["values"], rt["values"], f"{path}[{mk}]"
+                )
+    v, pos = _decode_value(data, pos, wt, path)
+    if wk == rk:
+        return v, pos
+    if rk in _PROMOTIONS.get(wk, ()):
+        return _promote(v, wk, rk), pos
+    raise ValueError(
+        f"{path}: writer type {wk!r} is not resolvable to reader {rk!r}"
+    )
+
+
+def _resolve_check(wt: Any, rt: Any, path: str, errors: list[str]) -> None:
+    """Dry-run of _decode_resolved over the SCHEMAS only — the
+    registry-compatibility preflight (reference O2: the producer
+    aborts if the subject is missing; the registry itself enforces
+    BACKWARD compatibility, which is exactly 'every writer value is
+    resolvable into the reader schema')."""
+    if isinstance(wt, list):
+        for branch in wt:
+            _resolve_check(branch, rt, path, errors)
+        return
+    if isinstance(rt, list):
+        if any(_branch_matches(wt, b) for b in rt):
+            branch = next(b for b in rt if _branch_matches(wt, b))
+            _resolve_check(wt, branch, path, errors)
+        else:
+            errors.append(
+                f"{path}: writer {_kind(wt)!r} matches no reader branch"
+            )
+        return
+    wk, rk = _kind(wt), _kind(rt)
+    if wk == "record" and rk == "record":
+        rfields = {f["name"]: f for f in rt["fields"]}
+        wnames = {f["name"] for f in wt["fields"]}
+        for f in wt["fields"]:
+            if f["name"] in rfields:
+                _resolve_check(
+                    f["type"], rfields[f["name"]]["type"],
+                    f"{path}.{f['name']}", errors,
+                )
+        for f in rt["fields"]:
+            if f["name"] not in wnames and "default" not in f:
+                errors.append(
+                    f"{path}.{f['name']}: new reader field has no default"
+                )
+        return
+    if wk == "array" and rk == "array":
+        _resolve_check(wt["items"], rt["items"], f"{path}[]", errors)
+        return
+    if wk == "map" and rk == "map":
+        _resolve_check(wt["values"], rt["values"], f"{path}<v>", errors)
+        return
+    if wk != rk and rk not in _PROMOTIONS.get(wk, ()):
+        errors.append(f"{path}: writer {wk!r} not resolvable to {rk!r}")
+
+
+def check_backward_compatible(
+    writer_schema: dict | str, reader_schema: dict | str
+) -> list[str]:
+    """Return the list of resolution errors a reader using
+    ``reader_schema`` would hit on data written under
+    ``writer_schema`` — empty means BACKWARD compatible (the registry
+    default the reference's subjects run under). Schema preflight for
+    contract evolution: call before registering a new version."""
+    w, r = _parse(writer_schema), _parse(reader_schema)
+    errors: list[str] = []
+    _resolve_check(
+        {"type": "record", "fields": w["fields"]},
+        {"type": "record", "fields": r["fields"]},
+        r.get("name", "record"),
+        errors,
+    )
+    return errors
+
+
 # ------------------------------------------------------------ public API
 
 
@@ -230,13 +462,28 @@ def encode_record(schema: dict | str, record: dict) -> bytes:
     return bytes(buf)
 
 
-def decode_record(schema: dict | str, data: bytes) -> dict:
+def decode_record(
+    schema: dict | str, data: bytes, reader_schema: dict | str | None = None
+) -> dict:
     """Avro binary body -> dict; rejects trailing garbage (a wrong
-    schema usually 'succeeds' with leftover bytes — fail loudly)."""
+    schema usually 'succeeds' with leftover bytes — fail loudly).
+
+    With ``reader_schema``, full spec schema RESOLUTION runs: bytes
+    written under ``schema`` (the writer) decode into the reader's
+    shape — name-matched fields in any order, reader defaults for new
+    fields, writer-only fields skipped, numeric/string promotions
+    (the registry latest-version consumer case, T13)."""
     s = _parse(schema)
-    out, pos = _decode_value(
-        data, 0, {"type": "record", "fields": s["fields"]}, s.get("name", "record")
-    )
+    wt = {"type": "record", "fields": s["fields"]}
+    name = s.get("name", "record")
+    if reader_schema is None:
+        out, pos = _decode_value(data, 0, wt, name)
+    else:
+        r = _parse(reader_schema)
+        out, pos = _decode_resolved(
+            data, 0, wt, {"type": "record", "fields": r["fields"]},
+            r.get("name", name),
+        )
     if pos != len(data):
         raise ValueError(f"{len(data) - pos} trailing bytes after record")
     return out
@@ -450,14 +697,19 @@ def decode_df(
     schema: dict | str,
     value_col: str = "value",
     confluent: bool = False,
+    reader_schema: dict | str | None = None,
 ) -> DataFrame:
     """Distributed decode: ``value: binary`` -> typed contract columns
     (mapInPandas). ``confluent=True`` strips the 5-byte header first —
     the reader-side interop the reference consumer got wrong
-    (consumer.py:27-33 parsed wire-framed bytes as a container file)."""
+    (consumer.py:27-33 parsed wire-framed bytes as a container file).
+    ``reader_schema`` turns on spec schema resolution: payloads
+    written under ``schema`` decode into the reader's (newer) shape,
+    and the output columns/types are the READER's."""
     s = _parse(schema)
-    spark_schema = avsc_to_struct(s)
-    names = [f["name"] for f in s["fields"]]
+    out_schema = _parse(reader_schema) if reader_schema is not None else s
+    spark_schema = avsc_to_struct(out_schema)
+    names = [f["name"] for f in out_schema["fields"]]
 
     def _dec(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -478,7 +730,9 @@ def decode_df(
                     body = raw[5:]
                 else:
                     body = raw
-                rows.append(decode_record(s, body))
+                rows.append(
+                    decode_record(s, body, reader_schema=reader_schema)
+                )
             yield pd.DataFrame(rows, columns=names)
 
     return df.mapInPandas(_dec, spark_schema)

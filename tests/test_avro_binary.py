@@ -401,3 +401,134 @@ def test_streaming_avro_container_sink(spark, tmp_path):
     assert {r["time"]: r["value"] for r in back.collect()} == {
         f"2018M{m:02d}": m for m in range(1, 7)
     }
+
+
+# ------------------------------------------------------ schema resolution
+
+
+V1 = {
+    "type": "record",
+    "name": "Evt",
+    "fields": [
+        {"name": "a", "type": "int"},
+        {"name": "b", "type": "string"},
+        {"name": "gone", "type": {"type": "array", "items": "int"}},
+        {"name": "u", "type": ["null", "int"], "default": None},
+    ],
+}
+# v2: field order changed, `gone` removed, `c` added with default,
+# a promoted int->long, u promoted ["null","int"]->["null","long"]
+V2 = {
+    "type": "record",
+    "name": "Evt",
+    "fields": [
+        {"name": "b", "type": "string"},
+        {"name": "c", "type": "double", "default": 2.5},
+        {"name": "a", "type": "long"},
+        {"name": "u", "type": ["null", "long"], "default": None},
+    ],
+}
+V1_REC = {"a": 7, "b": "x", "gone": [1, 2, 3], "u": 5}
+
+
+def test_schema_resolution_reader_newer():
+    """T13 registry-latest case: v1 bytes decoded under the v2 reader
+    — name matching across reordered fields, writer-only field
+    skipped, added field filled from its default, int->long and
+    union-branch promotions applied."""
+    body = encode_record(V1, V1_REC)
+    out = decode_record(V1, body, reader_schema=V2)
+    assert out == {"b": "x", "c": 2.5, "a": 7, "u": 5}
+    # same bytes without resolution keep the writer shape
+    assert decode_record(V1, body)["gone"] == [1, 2, 3]
+
+
+def test_schema_resolution_matches_java_resolving_reader(spark):
+    """Parity with the implementation the registry ecosystem runs on:
+    Java's GenericDatumReader(writer, reader) resolves the same v1
+    payload; its reader-schema re-encoding must equal the Python
+    resolution's reader-schema re-encoding byte-for-byte."""
+    jvm = spark.sparkContext._jvm
+    body = encode_record(V1, V1_REC)
+    jw = jvm.org.apache.avro.Schema.Parser().parse(json.dumps(normalize_avsc(V1)))
+    jr = jvm.org.apache.avro.Schema.Parser().parse(json.dumps(normalize_avsc(V2)))
+    reader = jvm.org.apache.avro.generic.GenericDatumReader(jw, jr)
+    dec = jvm.org.apache.avro.io.DecoderFactory.get().binaryDecoder(body, None)
+    rec = reader.read(None, dec)
+    writer = jvm.org.apache.avro.generic.GenericDatumWriter(jr)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    enc = jvm.org.apache.avro.io.EncoderFactory.get().binaryEncoder(baos, None)
+    writer.write(rec, enc)
+    enc.flush()
+    theirs = bytes(baos.toByteArray())
+    ours = encode_record(V2, decode_record(V1, body, reader_schema=V2))
+    assert ours == theirs
+
+
+def test_schema_resolution_string_bytes_promotion():
+    w = {"type": "record", "name": "R",
+         "fields": [{"name": "s", "type": "string"},
+                    {"name": "raw", "type": "bytes"}]}
+    r = {"type": "record", "name": "R",
+         "fields": [{"name": "s", "type": "bytes"},
+                    {"name": "raw", "type": "string"}]}
+    body = encode_record(w, {"s": "héllo", "raw": "héllo".encode("utf-8")})
+    out = decode_record(w, body, reader_schema=r)
+    assert out == {"s": "héllo".encode("utf-8"), "raw": "héllo"}
+
+
+def test_schema_resolution_missing_default_fails():
+    r_bad = {"type": "record", "name": "Evt",
+             "fields": [{"name": "a", "type": "int"},
+                        {"name": "b", "type": "string"},
+                        {"name": "gone", "type": {"type": "array", "items": "int"}},
+                        {"name": "u", "type": ["null", "int"], "default": None},
+                        {"name": "nodefault", "type": "int"}]}
+    body = encode_record(V1, V1_REC)
+    with pytest.raises(ValueError, match="no default"):
+        decode_record(V1, body, reader_schema=r_bad)
+
+
+def test_schema_resolution_incompatible_type_fails():
+    r_bad = {"type": "record", "name": "Evt",
+             "fields": [{"name": "a", "type": "string"},
+                        {"name": "b", "type": "string"},
+                        {"name": "gone", "type": {"type": "array", "items": "int"}},
+                        {"name": "u", "type": ["null", "int"], "default": None}]}
+    body = encode_record(V1, V1_REC)
+    with pytest.raises(ValueError, match="not resolvable"):
+        decode_record(V1, body, reader_schema=r_bad)
+
+
+def test_check_backward_compatible():
+    from ingest_spark.schemas.avro_binary import check_backward_compatible
+
+    assert check_backward_compatible(V1, V2) == []
+    # demotion long->int is NOT resolvable
+    errs = check_backward_compatible(V2, V1)
+    assert any("not resolvable" in e or "no reader branch" in e for e in errs)
+    # new field without default flagged with its path
+    r_bad = {"type": "record", "name": "Evt",
+             "fields": V1["fields"] + [{"name": "x", "type": "int"}]}
+    errs = check_backward_compatible(V1, r_bad)
+    assert errs and "x" in errs[0] and "no default" in errs[0]
+    # every production contract is trivially self-compatible
+    for name, c in CONTRACTS.items():
+        assert check_backward_compatible(c, c) == [], name
+
+
+def test_decode_df_with_reader_schema(spark):
+    """Distributed resolution: a binary column of v1 payloads decodes
+    into the v2 reader's columns/types via decode_df."""
+    import pandas as pd
+
+    rows = [{"a": i, "b": f"r{i}", "gone": [i], "u": None if i % 2 else i}
+            for i in range(50)]
+    pdf = pd.DataFrame({"value": [encode_record(V1, r) for r in rows]})
+    df = spark.createDataFrame(pdf)
+    out = decode_df(df, V1, reader_schema=V2)
+    assert [f.name for f in out.schema.fields] == ["b", "c", "a", "u"]
+    got = {r["a"]: r for r in out.collect()}
+    assert len(got) == 50
+    assert got[3]["c"] == 2.5 and got[3]["b"] == "r3" and got[3]["u"] is None
+    assert got[4]["u"] == 4
