@@ -27,9 +27,10 @@ TABLES = (
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
-# sessions whose workers have been shipped the package (keyed by the
-# JVM SparkContext id so a restarted session re-ships)
-_SHIPPED: set[int] = set()
+# sessions whose workers have been shipped the package (keyed by
+# applicationId — unique per SparkContext lifetime, unlike id(), which
+# CPython can recycle after a context restart; ADVICE r12)
+_SHIPPED: set[str] = set()
 
 
 def ensure_worker_imports(spark: SparkSession) -> None:
@@ -49,7 +50,7 @@ def ensure_worker_imports(spark: SparkSession) -> None:
     SparkContext (~0.2 MB)."""
     try:
         sc = spark.sparkContext
-        key = id(sc._jsc)
+        key = sc.applicationId
         if key in _SHIPPED:
             return
         import tempfile
@@ -59,18 +60,30 @@ def ensure_worker_imports(spark: SparkSession) -> None:
         zpath = os.path.join(
             tempfile.gettempdir(), f"ingest_spark_pyfiles_{os.getuid()}.zip"
         )
-        tmp = zpath + ".tmp"
-        with zipfile.ZipFile(tmp, "w") as zf:
-            for dirpath, _dirs, files in os.walk(pkg_root):
-                for fn in files:
-                    if fn.endswith(".py"):
-                        full = os.path.join(dirpath, fn)
-                        rel = os.path.join(
-                            "ingest_spark",
-                            os.path.relpath(full, pkg_root),
-                        )
-                        zf.write(full, rel)
-        os.replace(tmp, zpath)
+        # mkstemp-unique temp file, atomically renamed into place: two
+        # concurrent driver processes can't ship each other a
+        # half-written zip (ADVICE r12 — the fixed .tmp path raced)
+        fd, tmp = tempfile.mkstemp(
+            dir=tempfile.gettempdir(), suffix=".zip.tmp"
+        )
+        try:
+            with os.fdopen(fd, "wb") as fh, zipfile.ZipFile(fh, "w") as zf:
+                for dirpath, _dirs, files in os.walk(pkg_root):
+                    for fn in files:
+                        if fn.endswith(".py"):
+                            full = os.path.join(dirpath, fn)
+                            rel = os.path.join(
+                                "ingest_spark",
+                                os.path.relpath(full, pkg_root),
+                            )
+                            zf.write(full, rel)
+            os.replace(tmp, zpath)
+        except BaseException:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
         sc.addPyFile(zpath)
         _SHIPPED.add(key)
     except Exception:

@@ -87,6 +87,39 @@ def _parse(schema: dict | str) -> dict:
     return normalize_avsc(schema)
 
 
+def _value_matches(t: Any, v: Any) -> bool:
+    """Does Python value v encode naturally under (non-union) branch t?
+    Drives multi-branch union encode the way Java's GenericDatumWriter
+    resolves a union: by the runtime type of the datum. bool is tested
+    before int (bool subclasses int in Python)."""
+    k = t["type"] if isinstance(t, dict) else t
+    if k == "null":
+        return v is None
+    if k == "boolean":
+        return isinstance(v, bool)
+    if k in ("int", "long"):
+        return isinstance(v, int) and not isinstance(v, bool)
+    if k in ("float", "double"):
+        return isinstance(v, float)
+    if k == "string":
+        return isinstance(v, str)
+    if k == "bytes":
+        return isinstance(v, (bytes, bytearray))
+    if k == "enum":
+        return isinstance(v, str) and v in t["symbols"]
+    if k == "fixed":
+        return isinstance(v, (bytes, bytearray)) and len(v) == t["size"]
+    if k == "record":
+        return isinstance(v, dict)
+    if k == "map":
+        return isinstance(v, dict)
+    if k == "array":
+        return not isinstance(v, (str, bytes, bytearray, dict)) and hasattr(
+            v, "__len__"
+        )
+    return False
+
+
 def _encode_value(buf: bytearray, t: Any, v: Any, path: str) -> None:
     if isinstance(t, list):  # union: index, then value
         if v is None:
@@ -94,7 +127,16 @@ def _encode_value(buf: bytearray, t: Any, v: Any, path: str) -> None:
                 raise ValueError(f"{path}: null for non-nullable union {t}")
             _write_long(buf, t.index("null"))
             return
-        branch = next(i for i, x in enumerate(t) if x != "null")
+        # type-aware branch pick (r13): a ["null","int","string"] union
+        # must encode a str under the string branch, not the first
+        # non-null one. Exact runtime-type match first; fall back to
+        # first non-null branch for cross-typed numerics (int value
+        # into a ["null","double"] contract — the pre-r13 behavior the
+        # reference contracts rely on).
+        matches = [i for i, x in enumerate(t) if x != "null" and _value_matches(x, v)]
+        branch = matches[0] if matches else next(
+            i for i, x in enumerate(t) if x != "null"
+        )
         _write_long(buf, branch)
         _encode_value(buf, t[branch], v, path)
         return
@@ -120,6 +162,22 @@ def _encode_value(buf: bytearray, t: Any, v: Any, path: str) -> None:
                     _encode_value(buf, "string", k, f"{path}<key>")
                     _encode_value(buf, t["values"], mv, f"{path}[{k}]")
             _write_long(buf, 0)
+            return
+        if kind == "enum":  # spec: zero-based index into symbols, as int
+            try:
+                _write_long(buf, t["symbols"].index(v))
+            except ValueError:
+                raise ValueError(
+                    f"{path}: {v!r} not in enum symbols {t['symbols']}"
+                ) from None
+            return
+        if kind == "fixed":  # spec: exactly `size` raw bytes, no length
+            raw = bytes(v)
+            if len(raw) != t["size"]:
+                raise ValueError(
+                    f"{path}: fixed size {t['size']} but value has {len(raw)} bytes"
+                )
+            buf += raw
             return
         t = kind  # annotated primitive (logicalType): physical type wins
     if v is None:
@@ -185,6 +243,17 @@ def _decode_value(data: bytes, pos: int, t: Any, path: str) -> tuple[Any, int]:
                 for _ in range(n):
                     k, pos = _decode_value(data, pos, "string", f"{path}<key>")
                     out[k], pos = _decode_value(data, pos, t["values"], f"{path}[{k}]")
+        if kind == "enum":
+            idx, pos = _read_long(data, pos)
+            syms = t["symbols"]
+            if not 0 <= idx < len(syms):
+                raise ValueError(f"{path}: enum index {idx} out of range")
+            return syms[idx], pos
+        if kind == "fixed":
+            n = t["size"]
+            if pos + n > len(data):
+                raise ValueError(f"{path}: truncated fixed of size {n}")
+            return bytes(data[pos : pos + n]), pos + n
         t = kind
     if t == "null":
         return None, pos
@@ -255,8 +324,40 @@ def _branch_matches(wt: Any, rt: Any) -> bool:
     """Can a writer (non-union) type resolve against reader branch rt?"""
     wk, rk = _kind(wt), _kind(rt)
     if wk == rk:
-        return True
+        return _names_compatible(wt, rt, wk)
     return rk in _PROMOTIONS.get(wk, ())
+
+
+def _names_compatible(wt: Any, rt: Any, kind: str) -> bool:
+    """Spec: named types (record/enum/fixed) resolve only when their
+    unqualified names match (or the reader lists the writer's name as
+    an alias). Unnamed writer/reader dicts stay permissive."""
+    if kind not in ("record", "enum", "fixed"):
+        return True
+    wn = wt.get("name") if isinstance(wt, dict) else None
+    rn = rt.get("name") if isinstance(rt, dict) else None
+    if wn is None or rn is None:
+        return True
+    if wn.split(".")[-1] == rn.split(".")[-1]:
+        return True
+    aliases = rt.get("aliases", []) if isinstance(rt, dict) else []
+    return wn.split(".")[-1] in {a.split(".")[-1] for a in aliases}
+
+
+def _pick_reader_branch(wt: Any, branches: list) -> Any | None:
+    """Java's resolving GenericDatumReader prefers an EXACT kind match
+    over a promotion when choosing a reader-union branch (r13, advised):
+    writer long vs reader ["double","long"] must decode as long, not
+    double (precision loss beyond 2^53). Two passes: exact kind (with
+    name compatibility for named types), then promotions."""
+    wk = _kind(wt)
+    for b in branches:
+        if _kind(b) == wk and _names_compatible(wt, b, wk):
+            return b
+    for b in branches:
+        if _kind(b) in _PROMOTIONS.get(wk, ()):
+            return b
+    return None
 
 
 def _default_value(t: Any, d: Any, path: str) -> Any:
@@ -278,6 +379,13 @@ def _default_value(t: Any, d: Any, path: str) -> Any:
         return str(d)
     if k == "bytes":
         return str(d).encode("latin-1")
+    if k == "enum":
+        return str(d)
+    if k == "fixed":
+        raw = str(d).encode("latin-1")
+        if len(raw) != t["size"]:
+            raise ValueError(f"{path}: fixed default wrong size")
+        return raw
     if k == "record":
         out = {}
         for f in t["fields"]:
@@ -307,15 +415,36 @@ def _decode_resolved(
         if not 0 <= idx < len(wt):
             raise ValueError(f"{path}: union index {idx} out of range")
         return _decode_resolved(data, pos, wt[idx], rt, path)
-    if isinstance(rt, list):  # reader union: first matching branch
-        for branch in rt:
-            if _branch_matches(wt, branch):
-                return _decode_resolved(data, pos, wt, branch, path)
+    if isinstance(rt, list):  # reader union: exact kind first, then promotion
+        branch = _pick_reader_branch(wt, rt)
+        if branch is not None:
+            return _decode_resolved(data, pos, wt, branch, path)
         raise ValueError(
             f"{path}: writer type {_kind(wt)!r} matches no reader "
             f"union branch {[_kind(b) for b in rt]}"
         )
     wk, rk = _kind(wt), _kind(rt)
+    if wk == "enum" and rk == "enum":
+        idx, pos = _read_long(data, pos)
+        wsyms = wt["symbols"]
+        if not 0 <= idx < len(wsyms):
+            raise ValueError(f"{path}: enum index {idx} out of range")
+        sym = wsyms[idx]
+        if sym in rt["symbols"]:
+            return sym, pos
+        if "default" in rt:  # spec: reader enum default catches unknowns
+            return rt["default"], pos
+        raise ValueError(
+            f"{path}: writer enum symbol {sym!r} absent from reader "
+            "symbols and reader declares no default"
+        )
+    if wk == "fixed" and rk == "fixed":
+        if wt["size"] != rt["size"]:
+            raise ValueError(
+                f"{path}: fixed size mismatch writer={wt['size']} "
+                f"reader={rt['size']}"
+            )
+        return _decode_value(data, pos, wt, path)
     if wk == "record" and rk == "record":
         out = {}
         rfields = {f["name"]: f for f in rt["fields"]}
@@ -388,8 +517,8 @@ def _resolve_check(wt: Any, rt: Any, path: str, errors: list[str]) -> None:
             _resolve_check(branch, rt, path, errors)
         return
     if isinstance(rt, list):
-        if any(_branch_matches(wt, b) for b in rt):
-            branch = next(b for b in rt if _branch_matches(wt, b))
+        branch = _pick_reader_branch(wt, rt)
+        if branch is not None:
             _resolve_check(wt, branch, path, errors)
         else:
             errors.append(
@@ -417,6 +546,21 @@ def _resolve_check(wt: Any, rt: Any, path: str, errors: list[str]) -> None:
         return
     if wk == "map" and rk == "map":
         _resolve_check(wt["values"], rt["values"], f"{path}<v>", errors)
+        return
+    if wk == "enum" and rk == "enum":
+        missing = set(wt["symbols"]) - set(rt["symbols"])
+        if missing and "default" not in rt:
+            errors.append(
+                f"{path}: writer enum symbols {sorted(missing)} absent "
+                "from reader and no reader default"
+            )
+        return
+    if wk == "fixed" and rk == "fixed":
+        if wt["size"] != rt["size"]:
+            errors.append(
+                f"{path}: fixed size mismatch writer={wt['size']} "
+                f"reader={rt['size']}"
+            )
         return
     if wk != rk and rk not in _PROMOTIONS.get(wk, ()):
         errors.append(f"{path}: writer {wk!r} not resolvable to {rk!r}")

@@ -86,6 +86,10 @@ def _avro_type_to_spark(t: Any) -> tuple[T.DataType, bool]:
             return T.MapType(T.StringType(), val, valueContainsNull=val_null), False
         if kind == "record":
             return _record_to_struct(t), False
+        if kind == "enum":  # symbols are strings; Spark has no enum type
+            return T.StringType(), False
+        if kind == "fixed":  # size-checked at serde time, opaque in Spark
+            return T.BinaryType(), False
         if kind in _PRIMITIVES:
             # primitive with annotations (logicalType etc.) — the
             # declared physical type wins (see module docstring)

@@ -114,7 +114,12 @@ def _avro_json(t, v):
     if isinstance(t, list):
         if v is None:
             return None
-        branch = next(x for x in t if x != "null")
+        from ingest_spark.schemas.avro_binary import _value_matches
+
+        branch = next(
+            (x for x in t if x != "null" and _value_matches(x, v)),
+            next(x for x in t if x != "null"),
+        )
         name = branch if isinstance(branch, str) else branch.get("name", branch["type"])
         return {name: _avro_json(branch, v)}
     if isinstance(t, dict):
@@ -129,7 +134,7 @@ def _avro_json(t, v):
         if kind == "map":
             return {k: _avro_json(t["values"], mv) for k, mv in v.items()}
         t = kind
-    if t == "bytes":
+    if t in ("bytes", "fixed"):
         return v.decode("latin-1")  # avro JSON spec: ISO-8859-1 string
     return v
 
@@ -532,3 +537,142 @@ def test_decode_df_with_reader_schema(spark):
     assert len(got) == 50
     assert got[3]["c"] == 2.5 and got[3]["b"] == "r3" and got[3]["u"] is None
     assert got[4]["u"] == 4
+
+
+# ------------------------------------------------- r13 hardening: unions/enum/fixed
+
+MULTI_UNION = {
+    "type": "record",
+    "name": "Multi",
+    "fields": [{"name": "v", "type": ["null", "int", "string", "boolean"]}],
+}
+
+ENUM_FIXED = {
+    "type": "record",
+    "name": "EF",
+    "fields": [
+        {
+            "name": "color",
+            "type": {"type": "enum", "name": "Color",
+                     "symbols": ["RED", "GREEN", "BLUE"]},
+        },
+        {
+            "name": "digest",
+            "type": {"type": "fixed", "name": "MD5", "size": 4},
+        },
+        {
+            "name": "maybe_color",
+            "type": ["null", {"type": "enum", "name": "Color2",
+                              "symbols": ["A", "B"]}],
+            "default": None,
+        },
+    ],
+}
+
+
+@pytest.mark.parametrize(
+    "value", [None, 7, "seven", True, False, 0, ""], ids=repr
+)
+def test_multibranch_union_byte_parity(spark, value):
+    """r12 verdict #4: a ["null","int","string","boolean"] union must
+    encode by the VALUE's runtime type (Java GenericDatumWriter
+    semantics), not the first non-null branch. Byte-parity vs the
+    Apache Avro Java library, plus exact round-trip (bool-before-int
+    ordering matters: True must come back as True, not 1)."""
+    rec = {"v": value}
+    ours = encode_record(MULTI_UNION, rec)
+    theirs = _jvm_encode(spark, MULTI_UNION, rec)
+    assert ours == theirs
+    back = decode_record(MULTI_UNION, ours)
+    assert back == rec and type(back["v"]) is type(value)
+
+
+@pytest.mark.parametrize(
+    "rec",
+    [
+        {"color": "RED", "digest": b"\x00\x01\x02\xff", "maybe_color": None},
+        {"color": "BLUE", "digest": b"abcd", "maybe_color": "B"},
+    ],
+    ids=["null-union", "enum-in-union"],
+)
+def test_enum_fixed_byte_parity(spark, rec):
+    """enum (zigzag symbol index) + fixed (raw size bytes, no length
+    prefix) byte-parity vs Java, including an enum inside a union."""
+    ours = encode_record(ENUM_FIXED, rec)
+    theirs = _jvm_encode(spark, ENUM_FIXED, rec)
+    assert ours == theirs
+    assert decode_record(ENUM_FIXED, ours) == rec
+
+
+def test_enum_fixed_reject_bad_values():
+    with pytest.raises(ValueError, match="enum symbols"):
+        encode_record(ENUM_FIXED, {"color": "MAUVE", "digest": b"abcd"})
+    with pytest.raises(ValueError, match="fixed size"):
+        encode_record(ENUM_FIXED, {"color": "RED", "digest": b"toolong!"})
+
+
+def test_reader_union_prefers_exact_kind_match(spark):
+    """ADVICE r12: writer long vs reader ["double","long"] must pick
+    the long branch (exact kind) over the double promotion — Java's
+    resolving GenericDatumReader behavior; a double would silently
+    lose precision beyond 2^53. Verified against the JVM reader."""
+    w = {"type": "record", "name": "R", "fields": [{"name": "n", "type": "long"}]}
+    r = {"type": "record", "name": "R",
+         "fields": [{"name": "n", "type": ["double", "long"]}]}
+    big = 2**60 + 1  # not representable as a double
+    body = encode_record(w, {"n": big})
+    out = decode_record(w, body, reader_schema=r)
+    assert out == {"n": big} and type(out["n"]) is int
+    # JVM oracle: resolving reader keeps it a long too
+    jvm = spark.sparkContext._jvm
+    jw = jvm.org.apache.avro.Schema.Parser().parse(json.dumps(normalize_avsc(w)))
+    jr = jvm.org.apache.avro.Schema.Parser().parse(json.dumps(normalize_avsc(r)))
+    reader = jvm.org.apache.avro.generic.GenericDatumReader(jw, jr)
+    dec = jvm.org.apache.avro.io.DecoderFactory.get().binaryDecoder(body, None)
+    rec = reader.read(None, dec)
+    assert int(str(rec.get("n"))) == big
+
+
+def test_enum_schema_resolution():
+    """Writer enum with an extra symbol: resolution falls back to the
+    reader's declared enum default for unknown symbols, and errors
+    loudly when the reader has none."""
+    w = {"type": "record", "name": "R",
+         "fields": [{"name": "c", "type": {
+             "type": "enum", "name": "C", "symbols": ["X", "Y", "Z"]}}]}
+    r_def = {"type": "record", "name": "R",
+             "fields": [{"name": "c", "type": {
+                 "type": "enum", "name": "C", "symbols": ["X", "Y"],
+                 "default": "X"}}]}
+    r_nodef = {"type": "record", "name": "R",
+               "fields": [{"name": "c", "type": {
+                   "type": "enum", "name": "C", "symbols": ["X", "Y"]}}]}
+    body = encode_record(w, {"c": "Z"})
+    assert decode_record(w, body, reader_schema=r_def) == {"c": "X"}
+    with pytest.raises(ValueError, match="absent from reader"):
+        decode_record(w, body, reader_schema=r_nodef)
+    # shared symbols resolve unchanged
+    body_y = encode_record(w, {"c": "Y"})
+    assert decode_record(w, body_y, reader_schema=r_nodef) == {"c": "Y"}
+    # preflight agrees with runtime on both shapes
+    from ingest_spark.schemas.avro_binary import check_backward_compatible
+
+    assert check_backward_compatible(w, r_def) == []
+    assert any("absent" in e for e in check_backward_compatible(w, r_nodef))
+
+
+def test_fixed_schema_resolution_size_mismatch():
+    from ingest_spark.schemas.avro_binary import check_backward_compatible
+
+    w = {"type": "record", "name": "R",
+         "fields": [{"name": "d", "type": {
+             "type": "fixed", "name": "D", "size": 4}}]}
+    r = {"type": "record", "name": "R",
+         "fields": [{"name": "d", "type": {
+             "type": "fixed", "name": "D", "size": 8}}]}
+    body = encode_record(w, {"d": b"abcd"})
+    with pytest.raises(ValueError, match="size mismatch"):
+        decode_record(w, body, reader_schema=r)
+    assert any("size mismatch" in e for e in check_backward_compatible(w, r))
+    # same size resolves
+    assert decode_record(w, body, reader_schema=w) == {"d": b"abcd"}
