@@ -115,14 +115,22 @@ def dedup_within_window(
 def shingles(text: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a text column.
 
-    Implemented as a zero-width-lookahead regex extraction
-    (``(?<=^| )(?=((?:[^ ]+ ){n-1}[^ ]+))`` — one capture per word
-    start) because plain JVM regex runs inside whole-stage codegen,
-    ~8x faster than the equivalent higher-order ``transform`` which
-    evaluates interpreted. Docs with fewer than ``n`` words fall back
-    to one whole-text shingle (matches the SQL oracle's CASE)."""
+    Implemented as a consuming regex with a lookahead capture
+    (``(?=((?:[^ ]+ ){n-1}[^ ]+))[^ ]+ ?`` — each match captures the
+    n-gram ahead, then consumes exactly one word so the next probe
+    lands on the next word start) because plain JVM regex runs inside
+    whole-stage codegen, ~8x faster than the equivalent higher-order
+    ``transform`` which evaluates interpreted. r13: this form replaced
+    the original variable-width-lookbehind anchor ``(?<=^| )(?=...)``
+    — identical output (verified per-doc over sf0.1 for n=2/3/5 plus
+    multi-space/edge fuzz; a mid-word probe can only occur after a
+    word-start failure and then sees the same token structure, so it
+    fails too) but 1.4x faster: the engine skips word-by-word instead
+    of re-testing a lookbehind at every character. Docs with fewer
+    than ``n`` words fall back to one whole-text shingle (matches the
+    SQL oracle's CASE)."""
     c = F.col(text) if isinstance(text, str) else text
-    pat = r"(?<=^| )(?=((?:[^ ]+ ){" + str(n - 1) + r"}[^ ]+))"
+    pat = r"(?=((?:[^ ]+ ){" + str(n - 1) + r"}[^ ]+))[^ ]+ ?"
     grams = F.array_distinct(F.regexp_extract_all(c, F.lit(pat), 1))
     # gate the fallback on the REGEX result, not the word count:
     # consecutive spaces make split() count empty tokens while the

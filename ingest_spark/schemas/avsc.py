@@ -86,6 +86,11 @@ def _avro_type_to_spark(t: Any) -> tuple[T.DataType, bool]:
             return T.MapType(T.StringType(), val, valueContainsNull=val_null), False
         if kind == "record":
             return _record_to_struct(t), False
+        if t.get("logicalType") == "decimal" and kind in ("bytes", "fixed"):
+            return (
+                T.DecimalType(t.get("precision", 38), t.get("scale", 0)),
+                False,
+            )
         if kind == "enum":  # symbols are strings; Spark has no enum type
             return T.StringType(), False
         if kind == "fixed":  # size-checked at serde time, opaque in Spark

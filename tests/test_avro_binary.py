@@ -676,3 +676,82 @@ def test_fixed_schema_resolution_size_mismatch():
     assert any("size mismatch" in e for e in check_backward_compatible(w, r))
     # same size resolves
     assert decode_record(w, body, reader_schema=w) == {"d": b"abcd"}
+
+
+DECIMAL_SCHEMA = {
+    "type": "record",
+    "name": "Money",
+    "fields": [
+        {
+            "name": "amount",
+            "type": {"type": "bytes", "logicalType": "decimal",
+                     "precision": 10, "scale": 2},
+        },
+        {
+            "name": "rate",
+            "type": {"type": "fixed", "name": "Rate8", "size": 8,
+                     "logicalType": "decimal", "precision": 18, "scale": 6},
+        },
+    ],
+}
+
+
+@pytest.mark.parametrize(
+    "amount,rate",
+    [
+        ("123.45", "0.000001"),
+        ("-0.01", "-1.5"),
+        ("0", "0"),
+        ("21474836.47", "-922337203685.477580"),
+    ],
+)
+def test_decimal_logical_type_byte_parity(spark, amount, rate):
+    """decimal over bytes (minimal two's-complement, length-prefixed)
+    and over fixed (sign-extended to size): byte-parity vs Java by
+    feeding the JVM the raw physical bytes our codec claims to write
+    (the generic Java datum layer treats logical types as their
+    physical carrier, so equal bytes == Java-compatible), plus exact
+    Decimal round-trip through our own decode."""
+    from decimal import Decimal
+
+    rec = {"amount": Decimal(amount), "rate": Decimal(rate)}
+    ours = encode_record(DECIMAL_SCHEMA, rec)
+
+    def twos(v, scale, size=None):
+        n = int(Decimal(v).scaleb(scale))
+        ln = size or max(1, (n.bit_length() + 8) // 8)
+        return n.to_bytes(ln, "big", signed=True)
+
+    phys = {"amount": twos(amount, 2), "rate": twos(rate, 6, 8)}
+    theirs = _jvm_encode(spark, DECIMAL_SCHEMA, phys)
+    assert ours == theirs
+    back = decode_record(DECIMAL_SCHEMA, ours)
+    assert back == rec
+    assert str(back["amount"]) == str(
+        Decimal(amount).quantize(Decimal("0.01"))
+    )
+
+
+def test_decimal_rejects_inexact_and_float():
+    from decimal import Decimal
+
+    with pytest.raises(ValueError, match="scale"):
+        encode_record(DECIMAL_SCHEMA, {"amount": Decimal("1.999"),
+                                       "rate": Decimal("0")})
+    with pytest.raises(ValueError, match="float"):
+        encode_record(DECIMAL_SCHEMA, {"amount": 1.99, "rate": Decimal("0")})
+    with pytest.raises(ValueError, match="overflows"):
+        encode_record(
+            DECIMAL_SCHEMA,
+            {"amount": Decimal("1"), "rate": Decimal(10) ** 14},
+        )
+
+
+def test_decimal_spark_struct_mapping():
+    from pyspark.sql import types as T
+
+    from ingest_spark.schemas.avsc import avsc_to_struct
+
+    st = avsc_to_struct(DECIMAL_SCHEMA)
+    assert st["amount"].dataType == T.DecimalType(10, 2)
+    assert st["rate"].dataType == T.DecimalType(18, 6)

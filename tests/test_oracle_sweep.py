@@ -93,3 +93,34 @@ def test_query_matches_oracle(spark, duck, name):
         return
     problems = compare_query(spark, duck, name, fn, ORACLES[name], SF_DIR)
     assert not problems, f"{name}: " + " | ".join(problems)
+
+
+# ------------------------------------------------------- sf0.01 leg (r13)
+#
+# VERDICT r12 §Next #2: 119 of the 178 registry queries are never
+# driver-checked (that gate is frozen at the 50 round-1 names) and their
+# only value-hash comparison ran at sf0.001 — scale-dependent divergence
+# (corpus-adaptive thresholds, ties, float accumulation order) was
+# invisible. This leg runs the IDENTICAL comparison at sf0.01 (the
+# driver's own correctness scale). It costs ~15 min of Spark time, so
+# it is opt-in: SPARK_GRAFT_SWEEP_SF01=1, run once per round (recorded
+# in PROGRESS.jsonl / the round notes).
+
+_SF01_ENABLED = __import__("os").environ.get("SPARK_GRAFT_SWEEP_SF01") == "1"
+
+
+@pytest.mark.skipif(
+    not _SF01_ENABLED,
+    reason="sf0.01 full sweep is opt-in: set SPARK_GRAFT_SWEEP_SF01=1",
+)
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle_sf01(spark, duck_sf01, name):
+    fn = QUERIES[name]
+    sf_dir = "/root/testdata/sf0.01"
+    if name not in ORACLES:
+        df = fn(spark, sf_dir)
+        assert df.columns
+        assert df.count() >= 0
+        return
+    problems = compare_query(spark, duck_sf01, name, fn, ORACLES[name], sf_dir)
+    assert not problems, f"{name}: " + " | ".join(problems)

@@ -108,8 +108,13 @@ def test_ivf_topk_recall_vs_bruteforce(spark):
     a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
     recall = len(e & a) / len(e)
     # driver embeddings are uniform random — the ANN worst case; 3/8
-    # of cells probed recovers ~0.6 of true neighbors (chance: 0.375)
-    assert recall >= 0.5, recall
+    # of cells probed recovers ~0.6 of true neighbors (chance: 0.375).
+    # Floor pinned from the measured value (r13, deterministic seeds +
+    # static parquet: exactly 0.60 at this config; 25-query sweeps at
+    # sf0.001/0.01/0.1 measure 0.596/0.592/0.616 — SCALE_RUNS.jsonl
+    # op=ann_recall_floors). 0.55 fails on any real regression while
+    # tolerating a test-data roll.
+    assert recall >= 0.55, recall
     # every approx hit must carry the EXACT cosine (re-rank is exact)
     exact_scores = {(r.query_id, r.neighbor_id): r.cosine_sim for r in exact.collect()}
     for r in approx.collect():
@@ -190,8 +195,13 @@ def test_pq_topk_recall_vs_bruteforce(spark):
     a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
     recall = len(e & a) / len(e)
     # uniform-random embeddings are PQ's worst case too; 8-subspace
-    # codes + 8x re-rank headroom must still recover most neighbors
-    assert recall >= 0.5, recall
+    # codes + 8x re-rank headroom must still recover most neighbors.
+    # Floor pinned from the measured value (r13: exactly 0.82 at this
+    # config; the 25-query sweep measures 0.764/0.724/0.504 at
+    # sf0.001/0.01/0.1 — recall falls with corpus size at fixed
+    # rerank_factor, as ADC theory predicts; SCALE_RUNS.jsonl
+    # op=ann_recall_floors). 0.65 ~= 80% of measured here.
+    assert recall >= 0.65, recall
     # survivors re-rank by EXACT cosine
     exact_scores = {(r.query_id, r.neighbor_id): r.cosine_sim for r in exact.collect()}
     for r in approx.collect():

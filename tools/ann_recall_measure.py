@@ -1,0 +1,82 @@
+"""Measured ANN recall floors (VERDICT r12 §Next #5).
+
+The similarity suite asserted recall >= 0.5 for ivf_topk / pq_topk —
+loose enough that a halved-recall regression would still ship. This
+tool measures recall vs brute force for the three approximate paths
+(ivf, pq, lsh multiprobe) at the test parameterization, over a LARGER
+query set than the tests (first 25 vectors, not 5) and at multiple
+SFs, and appends the numbers to SCALE_RUNS.jsonl. The test assertions
+are then pinned at ~80% of the measured minimum (see
+tests/test_similarity.py r13 notes), so a real recall regression
+fails while data-roll jitter doesn't.
+
+Everything here is deterministic: the hyperplanes and k-means seeds
+are fixed, and the driver parquet is static per SF.
+
+Usage: python tools/ann_recall_measure.py [sf_dirs...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def measure(spark, sf_dir: str, n_queries: int = 25) -> dict:
+    from ingest_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < n_queries)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.brute_force_topk(emb, queries, k=10).collect()
+    }
+
+    def recall(df):
+        got = {(r.query_id, r.neighbor_id) for r in df.collect()}
+        return round(len(exact & got) / len(exact), 4)
+
+    return {
+        "ivf": recall(sim.ivf_topk(emb, queries, k=10, n_cells=8, nprobe=3)),
+        "pq": recall(
+            sim.pq_topk(emb, queries, k=10, m=8, codebook_k=16, rerank_factor=8)
+        ),
+        "multiprobe": recall(
+            sim.lsh_topk_multiprobe(emb, queries, k=10, num_bits=8)
+        ),
+        "n_exact": len(exact),
+    }
+
+
+def main() -> None:
+    sf_dirs = sys.argv[1:] or [
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+    ]
+    from ingest_spark.session import get_spark
+    from tools.scale_runs import record, timed
+
+    spark = get_spark()
+    for sf_dir in sf_dirs:
+        out, wall = timed(lambda: measure(spark, sf_dir))
+        n = out.pop("n_exact")
+        record(
+            {
+                "op": "ann_recall_floors",
+                "params": {"sf_dir": sf_dir, "n_queries": 25, "k": 10,
+                           "n_exact_pairs": n},
+                "wall_sec": wall,
+                "checksum": out,
+            }
+        )
+        print(f"{sf_dir}: {out} ({wall:.1f}s)")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
