@@ -124,14 +124,22 @@ def _value_matches(t: Any, v: Any) -> bool:
 
         return isinstance(v, _dec.Decimal)
     k = t["type"] if isinstance(t, dict) else t
+    import numbers
+
     if k == "null":
         return v is None
+    # numbers ABCs, not concrete types: Arrow/pandas batches hand the
+    # codec numpy scalars (np.int64, np.float32, np.bool_), which are
+    # not instances of int/float/bool but register with the ABCs.
+    is_bool = isinstance(v, bool) or type(v).__name__ == "bool_"
     if k == "boolean":
-        return isinstance(v, bool)
+        return is_bool
     if k in ("int", "long"):
-        return isinstance(v, int) and not isinstance(v, bool)
+        return isinstance(v, numbers.Integral) and not is_bool
     if k in ("float", "double"):
-        return isinstance(v, float)
+        return isinstance(v, numbers.Real) and not isinstance(
+            v, numbers.Integral
+        )
     if k == "string":
         return isinstance(v, str)
     if k == "bytes":

@@ -51,9 +51,12 @@ def test_bench_runs_and_emits_contract_json():
     assert compact["metric"] == "headline_suite_wall_sec"
     assert compact["total_steady"] == d["value"] == d["total_steady"]
     assert compact["total_cold"] == d["total_cold"] == d["value_cold"]
-    # the steady total EXCLUDES the I/O-bimodal e2e entry (r10 #6) —
-    # recorded per-query, never summed
-    assert compact["total_excludes"] == ["incremental_ingest_e2e"]
+    # the steady total EXCLUDES the I/O-bimodal seeding entries (r10 #6,
+    # r13 split) — recorded per-query, never summed
+    assert sorted(compact["total_excludes"]) == [
+        "incremental_ingest_e2e",
+        "incremental_ingest_seed",
+    ]
     assert abs(
         sum(
             v
