@@ -91,6 +91,60 @@ def _parse(schema: dict | str) -> dict:
     return normalize_avsc(schema)
 
 
+# date/timestamp logical types and their REQUIRED physical carriers
+# (spec §Logical Types). time-millis/micros and local-timestamp-* are
+# deliberately absent: Spark has no TimeType / NTZ-at-this-layer, so
+# they stay raw ints (annotated-primitive fall-through) rather than
+# inventing a lossy conversion.
+_TEMPORAL_CARRIERS = {
+    "date": "int",
+    "timestamp-millis": "long",
+    "timestamp-micros": "long",
+}
+
+
+def _temporal_to_int(v: Any, lt: str, path: str) -> int:
+    import datetime as _dt
+
+    if v is None:
+        raise ValueError(f"{path}: null for non-nullable {lt} field")
+    if isinstance(v, bool):
+        raise ValueError(f"{path}: bool is not a {lt} value")
+    if isinstance(v, int):
+        return v  # already the wire integer
+    if lt == "date":
+        if isinstance(v, _dt.datetime):
+            v = v.date()
+        if isinstance(v, _dt.date):
+            return (v - _dt.date(1970, 1, 1)).days
+    else:
+        if isinstance(v, _dt.datetime):
+            if v.tzinfo is None:  # naive == UTC, the engine-wide zone
+                v = v.replace(tzinfo=_dt.timezone.utc)
+            # timedelta floor-div, not float .timestamp(): exact to the
+            # microsecond across the whole representable range
+            micros = (
+                v - _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+            ) // _dt.timedelta(microseconds=1)
+            return micros // 1000 if lt == "timestamp-millis" else micros
+    raise ValueError(f"{path}: {type(v).__name__} is not a {lt} value")
+
+
+def _int_to_temporal(n: int, lt: str):
+    """Epoch integer -> datetime.date / tz-aware UTC datetime.
+    timedelta arithmetic from the epoch, not fromtimestamp (which
+    loses microsecond exactness to float and can't reach the full
+    +-2^63-micro range)."""
+    import datetime as _dt
+
+    if lt == "date":
+        return _dt.date(1970, 1, 1) + _dt.timedelta(days=n)
+    per_unit = 1_000 if lt == "timestamp-millis" else 1
+    return _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc) + _dt.timedelta(
+        microseconds=n * per_unit
+    )
+
+
 def _decimal_unscaled(v: Any, scale: int, path: str) -> int:
     """Exact unscaled integer for a decimal logical value. Floats are
     rejected (binary floats can't carry exact decimal semantics —
@@ -123,6 +177,11 @@ def _value_matches(t: Any, v: Any) -> bool:
         import decimal as _dec
 
         return isinstance(v, _dec.Decimal)
+    if isinstance(t, dict) and t.get("logicalType") in _TEMPORAL_CARRIERS:
+        import datetime as _dt
+
+        if isinstance(v, (_dt.date, _dt.datetime)):
+            return True  # fall through to the int check for raw ints
     k = t["type"] if isinstance(t, dict) else t
     import numbers
 
@@ -241,6 +300,17 @@ def _encode_value(buf: bytearray, t: Any, v: Any, path: str) -> None:
                 )
             buf += raw
             return
+        lt = t.get("logicalType")
+        if lt in _TEMPORAL_CARRIERS and kind == _TEMPORAL_CARRIERS[lt]:
+            # date/timestamp logical types (r13): datetime values are
+            # converted to the spec's epoch integers; raw ints pass
+            # through unchanged (they ARE the wire value). The Bil54
+            # quirk — timestamp-millis declared on a STRING field —
+            # stays untouched because the carrier check fails there
+            # and the annotated physical type wins, as before.
+            v = _temporal_to_int(v, lt, path)
+            _write_long(buf, int(v))
+            return
         t = kind  # annotated primitive (logicalType): physical type wins
     if v is None:
         if t == "null":
@@ -332,6 +402,10 @@ def _decode_value(data: bytes, pos: int, t: Any, path: str) -> tuple[Any, int]:
             if pos + n > len(data):
                 raise ValueError(f"{path}: truncated fixed of size {n}")
             return bytes(data[pos : pos + n]), pos + n
+        lt = t.get("logicalType")
+        if lt in _TEMPORAL_CARRIERS and kind == _TEMPORAL_CARRIERS[lt]:
+            n, pos = _read_long(data, pos)
+            return _int_to_temporal(n, lt), pos
         t = kind
     if t == "null":
         return None, pos

@@ -96,8 +96,17 @@ def _avro_type_to_spark(t: Any) -> tuple[T.DataType, bool]:
         if kind == "fixed":  # size-checked at serde time, opaque in Spark
             return T.BinaryType(), False
         if kind in _PRIMITIVES:
-            # primitive with annotations (logicalType etc.) — the
-            # declared physical type wins (see module docstring)
+            lt = t.get("logicalType")
+            # spec-carrier-checked temporal logical types (r13): date on
+            # int, timestamp-millis/micros on long. The Bil54 quirk
+            # (timestamp-millis on a STRING) keeps its physical type —
+            # the carrier check fails, annotated-primitive rule applies.
+            if lt == "date" and kind == "int":
+                return T.DateType(), False
+            if lt in ("timestamp-millis", "timestamp-micros") and kind == "long":
+                return T.TimestampType(), False
+            # any other annotation — the declared physical type wins
+            # (see module docstring)
             return _PRIMITIVES[kind], False
     raise ValueError(f"unsupported avro type: {t!r}")
 

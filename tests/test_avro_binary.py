@@ -755,3 +755,84 @@ def test_decimal_spark_struct_mapping():
     st = avsc_to_struct(DECIMAL_SCHEMA)
     assert st["amount"].dataType == T.DecimalType(10, 2)
     assert st["rate"].dataType == T.DecimalType(18, 6)
+
+
+TEMPORAL_SCHEMA = {
+    "type": "record",
+    "name": "Evt",
+    "fields": [
+        {"name": "d", "type": {"type": "int", "logicalType": "date"}},
+        {"name": "ts_ms",
+         "type": {"type": "long", "logicalType": "timestamp-millis"}},
+        {"name": "ts_us",
+         "type": {"type": "long", "logicalType": "timestamp-micros"}},
+        # the Bil54 quirk: timestamp-millis declared on a STRING — the
+        # carrier check must leave it a plain string
+        {"name": "quirk",
+         "type": {"type": "string", "logicalType": "timestamp-millis"}},
+    ],
+}
+
+
+def test_temporal_logical_types_roundtrip_and_parity(spark):
+    """date/timestamp-millis/timestamp-micros: datetime values encode
+    to the spec's epoch integers (byte-parity vs Java fed the raw
+    ints), decode back to date / tz-aware UTC datetime; string-carrier
+    annotations (the Bil54 §1.4 quirk) stay strings."""
+    import datetime as dt
+
+    when = dt.datetime(2024, 1, 15, 7, 30, 0, 123456, tzinfo=dt.timezone.utc)
+    rec = {"d": dt.date(2024, 1, 15), "ts_ms": when, "ts_us": when,
+           "quirk": "2024-01-15T07:30:00"}
+    ours = encode_record(TEMPORAL_SCHEMA, rec)
+    days = (dt.date(2024, 1, 15) - dt.date(1970, 1, 1)).days
+    micros = int(when.timestamp() * 1_000_000)
+    theirs = _jvm_encode(
+        spark, TEMPORAL_SCHEMA,
+        {"d": days, "ts_ms": micros // 1000, "ts_us": micros,
+         "quirk": "2024-01-15T07:30:00"},
+    )
+    assert ours == theirs
+    back = decode_record(TEMPORAL_SCHEMA, ours)
+    assert back["d"] == dt.date(2024, 1, 15)
+    assert back["ts_us"] == when
+    # millis carrier floors to the millisecond
+    assert back["ts_ms"] == when.replace(microsecond=123000)
+    assert back["quirk"] == "2024-01-15T07:30:00"
+    # raw epoch ints are accepted as-is (they ARE the wire value)
+    assert encode_record(
+        TEMPORAL_SCHEMA,
+        {"d": days, "ts_ms": micros // 1000, "ts_us": micros,
+         "quirk": "2024-01-15T07:30:00"},
+    ) == ours
+    # naive datetimes are treated as UTC (the engine-wide zone)
+    assert encode_record(
+        TEMPORAL_SCHEMA,
+        {"d": rec["d"], "ts_ms": when.replace(tzinfo=None),
+         "ts_us": when.replace(tzinfo=None), "quirk": rec["quirk"]},
+    ) == ours
+
+
+def test_temporal_spark_struct_mapping():
+    from pyspark.sql import types as T
+
+    from ingest_spark.schemas.avsc import avsc_to_struct
+
+    st = avsc_to_struct(TEMPORAL_SCHEMA)
+    assert st["d"].dataType == T.DateType()
+    assert st["ts_ms"].dataType == T.TimestampType()
+    assert st["ts_us"].dataType == T.TimestampType()
+    assert st["quirk"].dataType == T.StringType()  # the quirk survives
+
+
+def test_temporal_in_union_matches_by_type():
+    import datetime as dt
+
+    u = {"type": "record", "name": "R",
+         "fields": [{"name": "v", "type": [
+             "null", "string",
+             {"type": "int", "logicalType": "date"}], "default": None}]}
+    body = encode_record(u, {"v": dt.date(2020, 2, 29)})
+    assert decode_record(u, body) == {"v": dt.date(2020, 2, 29)}
+    body_s = encode_record(u, {"v": "not-a-date"})
+    assert decode_record(u, body_s) == {"v": "not-a-date"}
