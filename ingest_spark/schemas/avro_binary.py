@@ -148,7 +148,11 @@ def _int_to_temporal(n: int, lt: str):
 def _decimal_unscaled(v: Any, scale: int, path: str) -> int:
     """Exact unscaled integer for a decimal logical value. Floats are
     rejected (binary floats can't carry exact decimal semantics —
-    0.1 * 10 != 1 in binary; callers must pass Decimal/int/str)."""
+    0.1 * 10 != 1 in binary; callers must pass Decimal/int/str).
+    Computed from as_tuple(), never via context-bound arithmetic:
+    Decimal.scaleb rounds under the default prec=28 context, silently
+    corrupting legal precision 29-38 values (Avro allows up to the
+    fixed/bytes capacity; Spark DecimalType goes to 38)."""
     import decimal as _dec
 
     if isinstance(v, float):
@@ -158,14 +162,23 @@ def _decimal_unscaled(v: Any, scale: int, path: str) -> int:
         )
     try:
         d = v if isinstance(v, _dec.Decimal) else _dec.Decimal(str(v))
-        scaled = d.scaleb(scale)
     except _dec.InvalidOperation:
         raise ValueError(f"{path}: {v!r} is not a valid decimal") from None
-    if scaled != scaled.to_integral_value():
+    if not d.is_finite():
+        raise ValueError(f"{path}: {v!r} is not a valid decimal") from None
+    sign, digits, exp = d.as_tuple()
+    coeff = int("".join(map(str, digits)))
+    if sign:
+        coeff = -coeff
+    shift = exp + scale  # unscaled = coeff * 10^(exp+scale)
+    if shift >= 0:
+        return coeff * 10**shift
+    q, r = divmod(coeff, 10 ** (-shift))
+    if r:
         raise ValueError(
             f"{path}: {v!r} does not fit scale {scale} exactly"
         )
-    return int(scaled)
+    return q
 
 
 def _value_matches(t: Any, v: Any) -> bool:
@@ -208,7 +221,24 @@ def _value_matches(t: Any, v: Any) -> bool:
     if k == "fixed":
         return isinstance(v, (bytes, bytearray)) and len(v) == t["size"]
     if k == "record":
-        return isinstance(v, dict)
+        # Structural branch matching for [recordA, recordB] unions
+        # (Java resolves by the GenericRecord's schema name; a plain
+        # dict has none, so match on field shape like fastavro does):
+        # every datum key must be a declared field, and every field
+        # that has no default and is not nullable must be present.
+        # Identical-shape branches resolve to the first (documented).
+        if not isinstance(v, dict):
+            return False
+        fields = t.get("fields", [])
+        fnames = {f["name"] for f in fields}
+        if not set(v).issubset(fnames):
+            return False
+        for f in fields:
+            ft = f["type"]
+            nullable = ft == "null" or (isinstance(ft, list) and "null" in ft)
+            if f["name"] not in v and "default" not in f and not nullable:
+                return False
+        return True
     if k == "map":
         return isinstance(v, dict)
     if k == "array":
@@ -278,9 +308,11 @@ def _encode_value(buf: bytearray, t: Any, v: Any, path: str) -> None:
             # throws on a rescale too — silent rounding is a data bug).
             unscaled = _decimal_unscaled(v, t.get("scale", 0), path)
             if kind == "bytes":
-                raw = unscaled.to_bytes(
-                    max(1, (unscaled.bit_length() + 8) // 8), "big", signed=True
-                )
+                # signed minimal length, Java BigInteger.toByteArray
+                # parity: -128 is 1 byte (0x80), not 2 (0xff80) —
+                # (~n for negatives) counts magnitude bits exactly.
+                nbits = (unscaled if unscaled >= 0 else ~unscaled).bit_length()
+                raw = unscaled.to_bytes(nbits // 8 + 1, "big", signed=True)
                 _write_long(buf, len(raw))
             else:
                 try:
@@ -387,8 +419,17 @@ def _decode_value(data: bytes, pos: int, t: Any, path: str) -> tuple[Any, int]:
             import decimal as _dec
 
             unscaled = int.from_bytes(data[pos : pos + n], "big", signed=True)
+            # tuple constructor, not scaleb: the Decimal constructor is
+            # context-free, so precision 29-38 values decode exactly
+            # (scaleb rounds under the default prec=28 context).
             return (
-                _dec.Decimal(unscaled).scaleb(-t.get("scale", 0)),
+                _dec.Decimal(
+                    (
+                        1 if unscaled < 0 else 0,
+                        tuple(int(c) for c in str(abs(unscaled))),
+                        -t.get("scale", 0),
+                    )
+                ),
                 pos + n,
             )
         if kind == "enum":

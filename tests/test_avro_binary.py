@@ -703,6 +703,10 @@ DECIMAL_SCHEMA = {
         ("-0.01", "-1.5"),
         ("0", "0"),
         ("21474836.47", "-922337203685.477580"),
+        # unscaled exactly -2^(8k-1): -128 must encode as ONE byte
+        # (0x80), Java BigInteger.toByteArray parity — the naive
+        # (bit_length+8)//8 formula writes two (0xff80).
+        ("-1.28", "-0.032768"),
     ],
 )
 def test_decimal_logical_type_byte_parity(spark, amount, rate):
@@ -718,8 +722,12 @@ def test_decimal_logical_type_byte_parity(spark, amount, rate):
     ours = encode_record(DECIMAL_SCHEMA, rec)
 
     def twos(v, scale, size=None):
-        n = int(Decimal(v).scaleb(scale))
-        ln = size or max(1, (n.bit_length() + 8) // 8)
+        sign, digits, exp = Decimal(v).as_tuple()
+        n = int("".join(map(str, digits))) * 10 ** (exp + scale)
+        if sign:
+            n = -n
+        # Java BigInteger.toByteArray: signed minimal length
+        ln = size or ((n if n >= 0 else ~n).bit_length() // 8 + 1)
         return n.to_bytes(ln, "big", signed=True)
 
     phys = {"amount": twos(amount, 2), "rate": twos(rate, 6, 8)}
@@ -745,6 +753,103 @@ def test_decimal_rejects_inexact_and_float():
             DECIMAL_SCHEMA,
             {"amount": Decimal("1"), "rate": Decimal(10) ** 14},
         )
+
+
+TWO_RECORD_UNION = {
+    "type": "record",
+    "name": "Envelope",
+    "fields": [
+        {
+            "name": "payload",
+            "type": [
+                {"type": "record", "name": "Click",
+                 "fields": [{"name": "url", "type": "string"},
+                            {"name": "ts", "type": "long"}]},
+                {"type": "record", "name": "Purchase",
+                 "fields": [{"name": "sku", "type": "string"},
+                            {"name": "qty", "type": "int"},
+                            {"name": "price_cents", "type": "long"}]},
+                "null",
+            ],
+        },
+    ],
+}
+
+
+@pytest.mark.parametrize(
+    "payload,branch",
+    [
+        ({"url": "https://x/a", "ts": 17}, 0),
+        ({"sku": "ABC-1", "qty": 3, "price_cents": 999}, 1),
+        (None, 2),
+    ],
+)
+def test_union_of_two_records_structural_match(spark, payload, branch):
+    """[recordA, recordB] unions: a plain dict picks its branch by
+    field shape (every key declared, every non-defaulted non-nullable
+    field present) — VERDICT r13 #6. Byte parity vs the Java generic
+    writer, whose JsonDecoder input names the same branch."""
+    rec = {"payload": payload}
+    ours = encode_record(TWO_RECORD_UNION, rec)
+    assert ours[0] == branch * 2  # zigzag(branch) is the first byte
+    theirs = _jvm_encode(spark, TWO_RECORD_UNION, rec)
+    assert ours == theirs
+    assert decode_record(TWO_RECORD_UNION, ours) == rec
+
+
+def test_union_record_branch_rejects_shape_mismatch_keys():
+    """A dict whose keys fit neither record falls back to the first
+    non-null branch and then fails on the missing required field —
+    never silently encodes a wrong-shaped record."""
+    with pytest.raises((ValueError, TypeError)):
+        encode_record(TWO_RECORD_UNION, {"payload": {"nope": 1}})
+
+
+WIDE_DECIMAL_SCHEMA = {
+    "type": "record",
+    "name": "Wide",
+    "fields": [
+        {
+            "name": "big",
+            "type": {"type": "bytes", "logicalType": "decimal",
+                     "precision": 38, "scale": 2},
+        },
+    ],
+}
+
+
+@pytest.mark.parametrize(
+    "big",
+    [
+        # 30 significant digits — the default Decimal context (prec=28)
+        # would round this in scaleb; the codec must stay exact.
+        "1234567890123456789012345678.90",
+        # full precision-38, positive and negative
+        "123456789012345678901234567890123456.78",
+        "-999999999999999999999999999999999999.99",
+    ],
+)
+def test_decimal_precision_29_to_38_exact(spark, big):
+    """Decimals with >28 significant digits must round-trip exactly:
+    unscaled int is computed from as_tuple(), never via context-bound
+    Decimal arithmetic (ADVICE r13 high: scaleb under the default
+    prec=28 context silently rounded precision 29-38 values)."""
+    from decimal import Decimal
+
+    rec = {"big": Decimal(big)}
+    ours = encode_record(WIDE_DECIMAL_SCHEMA, rec)
+    back = decode_record(WIDE_DECIMAL_SCHEMA, ours)
+    assert back["big"] == Decimal(big)
+    assert str(back["big"]) == big
+    # byte parity vs Java on the physical carrier
+    sign, digits, exp = Decimal(big).as_tuple()
+    n = int("".join(map(str, digits))) * 10 ** (exp + 2)
+    if sign:
+        n = -n
+    raw = n.to_bytes((n if n >= 0 else ~n).bit_length() // 8 + 1,
+                     "big", signed=True)
+    theirs = _jvm_encode(spark, WIDE_DECIMAL_SCHEMA, {"big": raw})
+    assert ours == theirs
 
 
 def test_decimal_spark_struct_mapping():
