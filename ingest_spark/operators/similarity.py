@@ -160,6 +160,22 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _probe_deltas(num_bits: int, probe_radius: int) -> list[int]:
+    """XOR masks for every bucket within Hamming `probe_radius` of the
+    query's own bucket, own bucket (0) first — deterministic order so
+    the SQL oracle enumerates the identical list."""
+    deltas = [0] + [1 << j for j in range(num_bits)]
+    if probe_radius >= 2:
+        deltas += [
+            (1 << i) | (1 << j)
+            for i in range(num_bits)
+            for j in range(i + 1, num_bits)
+        ]
+    if probe_radius >= 3:
+        raise ValueError("probe_radius > 2 not supported (cost grows C(n,r))")
+    return deltas
+
+
 def lsh_topk_multiprobe(
     corpus: DataFrame,
     queries: DataFrame,
@@ -169,50 +185,120 @@ def lsh_topk_multiprobe(
     num_bits: int = 12,
     dim: int = 64,
     round_to: int = 4,
+    probe_radius: int = 1,
+    num_tables: int = 1,
+    seed: int = 11,
 ) -> DataFrame:
     """Multi-probe sign-LSH top-k: each query searches its own bucket
-    PLUS every bucket at Hamming distance 1 (flip one signature bit) —
-    the standard recall lever (Lv et al., VLDB'07): a >=t neighbor
-    split from the query by one hyperplane is recovered, at the cost
-    of (num_bits+1)x probe rows. The corpus side is untouched (still
-    one bucket per vector, one equi-join); probe buckets per query are
-    distinct, so no pair dedup is needed. Everything stays
-    deterministic — the oracle enumerates the same flipped buckets."""
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cvec"),
-        l2_norm(vec_col, dim).alias("__cnorm"),
-        hyperplane_signature(vec_col, num_bits, dim).alias("__bucket"),
-    )
-    qsig = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qvec"),
-        l2_norm(vec_col, dim).alias("__qnorm"),
-        hyperplane_signature(vec_col, num_bits, dim).alias("__qbucket"),
-    )
-    probe_list = F.array(
-        F.col("__qbucket"),
-        *[
-            F.col("__qbucket").bitwiseXOR(F.lit(1 << j).cast("long"))
-            for j in range(num_bits)
-        ],
-    )
-    q = qsig.select(
-        "query_id", "__qvec", "__qnorm", F.explode(probe_list).alias("__bucket")
-    )
+    PLUS every bucket within Hamming distance ``probe_radius`` (flip
+    1..r signature bits) in each of ``num_tables`` independent tables
+    (distinct hyperplane seeds) — the standard recall levers (Lv et
+    al., VLDB'07). A >=t neighbor split from the query by up to r
+    hyperplanes in ANY table is recovered, at the cost of
+    num_tables * (1 + C(n,1) [+ C(n,2)]) probe rows. The corpus side
+    computes one signature per table (union of per-table bucket rows
+    when num_tables > 1 — still bucketed equi-joins, never all-pairs);
+    probe buckets per (query, table) are distinct, so dedup is only
+    needed across tables. Deterministic — the oracle enumerates the
+    same flipped buckets and seeds.
+
+    Recall guidance (ledger op=ann_multiprobe_grid, 25 queries, k=10,
+    num_bits=8, measured at sf0.001/0.01/0.1): radius=1/tables=1 is a
+    FILTER-grade path (recall@10 ~0.08-0.11) — fine for candidate
+    generation feeding a re-ranker, wrong for direct top-k retrieval.
+    radius=2 + 2 tables is the competitive retrieval config (see
+    pinned floor in tests/test_similarity.py); for higher recall at
+    lower cost prefer ivf_topk / pq_topk, which measure ~0.5-0.8 at
+    default settings."""
+
+    def table_sig(df, name):
+        cols = [
+            F.col(id_col).alias(name),
+            F.col(vec_col).alias(f"__{name[0]}vec"),
+            l2_norm(vec_col, dim).alias(f"__{name[0]}norm"),
+        ]
+        for t in range(num_tables):
+            cols.append(
+                hyperplane_signature(vec_col, num_bits, dim, seed + t).alias(
+                    f"__sig{t}"
+                )
+            )
+        return df.select(*cols)
+
+    c_sig = table_sig(corpus, "neighbor_id")
+    q_sig = table_sig(queries, "query_id")
+    deltas = _probe_deltas(num_bits, probe_radius)
+    if num_tables == 1:
+        # single-table fast path: corpus keeps one row per vector
+        c = c_sig.withColumnRenamed("__sig0", "__bucket")
+        probe_list = F.array(
+            *[
+                F.col("__sig0").bitwiseXOR(F.lit(d).cast("long")) if d else F.col("__sig0")
+                for d in deltas
+            ]
+        )
+        q = q_sig.select(
+            "query_id", "__qvec", "__qnorm", F.explode(probe_list).alias("__bucket")
+        )
+        join_on = ["__bucket"]
+    else:
+        # (table, bucket) rows on both sides; the equi-join key carries
+        # the table id so tables never cross-pollinate
+        c_pairs = F.array(
+            *[
+                F.struct(F.lit(t).alias("t"), F.col(f"__sig{t}").alias("b"))
+                for t in range(num_tables)
+            ]
+        )
+        c = c_sig.select(
+            "neighbor_id", "__nvec", "__nnorm", F.explode(c_pairs).alias("__tb")
+        ).select(
+            "neighbor_id",
+            "__nvec",
+            "__nnorm",
+            F.col("__tb.t").alias("__table"),
+            F.col("__tb.b").alias("__bucket"),
+        )
+        q_pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("t"),
+                    (
+                        F.col(f"__sig{t}").bitwiseXOR(F.lit(d).cast("long"))
+                        if d
+                        else F.col(f"__sig{t}")
+                    ).alias("b"),
+                )
+                for t in range(num_tables)
+                for d in deltas
+            ]
+        )
+        q = q_sig.select(
+            "query_id", "__qvec", "__qnorm", F.explode(q_pairs).alias("__tb")
+        ).select(
+            "query_id",
+            "__qvec",
+            "__qnorm",
+            F.col("__tb.t").alias("__table"),
+            F.col("__tb.b").alias("__bucket"),
+        )
+        join_on = ["__table", "__bucket"]
     # hoisted norms keep the join-stage codegen small (VERDICT r8 #1)
     scored = (
-        c.join(F.broadcast(q), on="__bucket")
+        c.join(F.broadcast(q), on=join_on)
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cosine_sim",
             F.round(
-                cosine_from_norms("__qvec", "__cvec", "__qnorm", "__cnorm", dim),
+                cosine_from_norms("__qvec", "__nvec", "__qnorm", "__nnorm", dim),
                 round_to,
             ),
         )
         .select("query_id", "neighbor_id", "cosine_sim")
     )
+    if num_tables > 1:
+        # a pair found in several tables must score once, not L times
+        scored = scored.dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")
     )

@@ -1099,6 +1099,75 @@ def _sql_ann_multiprobe(num_bits: int = 8, dim: int = 64, k: int = 10) -> str:
     """
 
 
+def _sql_ann_multiprobe_retrieval(
+    num_bits: int = 8, dim: int = 64, k: int = 10,
+    probe_radius: int = 2, num_tables: int = 4, seed: int = 11,
+) -> str:
+    """Oracle for the multi-table radius-2 config: per-table signature
+    columns, UNION ALL of per-table corpus/probe rows joined on
+    (table, bucket), DISTINCT pair collapse — replicating
+    lsh_topk_multiprobe's approximation bit-for-bit."""
+    deltas = similarity._probe_deltas(num_bits, probe_radius)
+    sig_cols = []
+    for t in range(num_tables):
+        planes = similarity.hyperplane_planes(num_bits, dim, seed=seed + t)
+        bits = " + ".join(
+            f"(CASE WHEN list_inner_product(v, {plane!r}) >= 0 THEN {1 << j} ELSE 0 END)"
+            for j, plane in enumerate(planes)
+        )
+        sig_cols.append(f"CAST(({bits}) AS BIGINT) AS b{t}")
+    c_union = "\n      UNION ALL ".join(
+        f"SELECT vec_id AS neighbor_id, v AS cv, {t} AS t, b{t} AS bucket FROM sig"
+        for t in range(num_tables)
+    )
+    probe_union = "\n      UNION ALL ".join(
+        "SELECT query_id, qv, {t} AS t, unnest([{plist}]) AS bucket FROM q".format(
+            t=t,
+            plist=", ".join(
+                f"xor(b{t}, {d})" if d else f"b{t}" for d in deltas
+            ),
+        )
+        for t in range(num_tables)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    sig AS (SELECT vec_id, v, {", ".join(sig_cols)} FROM e),
+    q AS (SELECT vec_id AS query_id, v AS qv,
+                 {", ".join(f"b{t}" for t in range(num_tables))}
+          FROM sig WHERE vec_id < 5),
+    c AS ({c_union}),
+    probes AS ({probe_union}),
+    scored AS (
+      SELECT DISTINCT query_id, neighbor_id,
+             round(list_inner_product(qv, cv) /
+                   (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))),
+                   4) AS cosine_sim
+      FROM c JOIN probes USING (t, bucket) WHERE neighbor_id <> query_id)
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, neighbor_id) AS rank
+      FROM scored) WHERE rank <= {k}
+    """
+
+
+@q("ann_lsh_multiprobe_retrieval", _sql_ann_multiprobe_retrieval())
+def ann_lsh_multiprobe_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-grade multi-probe LSH (VERDICT r13 #2): Hamming-2
+    probes x 4 independent tables at num_bits=8 — the measured
+    competitive config (recall@10 ~0.8 vs brute force at 3 SFs,
+    ledger op=ann_multiprobe_grid; IVF measures ~0.6, single-table
+    radius-1 LSH ~0.1). Corpus computes 4 signatures and joins on
+    (table, bucket) — still bucketed equi-joins; a pair found in
+    several tables scores once (dropDuplicates == DISTINCT in the
+    oracle)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk_multiprobe(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, num_bits=8,
+        probe_radius=2, num_tables=4,
+    ).select("query_id", "neighbor_id", "cosine_sim", "rank")
+
+
 @q("ann_lsh_multiprobe", _sql_ann_multiprobe())
 def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe sign-LSH (Lv et al. VLDB'07): each query also

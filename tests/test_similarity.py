@@ -184,6 +184,33 @@ def test_multiprobe_recall_dominates_single_probe(spark):
     assert len(multi) == len(exact)
 
 
+def test_multiprobe_retrieval_config_absolute_recall(spark):
+    """ABSOLUTE recall floor for the retrieval-grade multiprobe config
+    (VERDICT r13 #2: the default radius-1/1-table path measures
+    recall@10 ~0.08-0.11 and only a dominance test guarded it).
+    Hamming-2 probes x 4 tables at num_bits=8 measures 0.776-0.8
+    across sf0.001/0.01/0.1 (25 queries; SCALE_RUNS.jsonl
+    op=ann_multiprobe_grid, r14) — floor pinned at ~80% of the
+    measured minimum so a real recall regression fails while
+    data-roll jitter doesn't."""
+    from ingest_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 25)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.brute_force_topk(emb, queries, k=10).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.lsh_topk_multiprobe(
+            emb, queries, k=10, num_bits=8, probe_radius=2, num_tables=4
+        ).collect()
+    }
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.62, recall
+
+
 def test_pq_topk_recall_vs_bruteforce(spark):
     from ingest_spark.operators import similarity as sim
 

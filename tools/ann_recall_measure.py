@@ -52,6 +52,43 @@ def measure(spark, sf_dir: str, n_queries: int = 25) -> dict:
     }
 
 
+# (radius, tables) grid at num_bits=8 — the two VERDICT r13 levers.
+# Candidate fraction per config (uniform buckets):
+#   r1/t1 9/256=3.5%, r2/t1 37/256=14.5%, r2/t2 ~27%, r2/t4 ~47%.
+MULTIPROBE_GRID = [(1, 1), (2, 1), (1, 2), (2, 2), (2, 4)]
+
+
+def measure_multiprobe_grid(spark, sf_dir: str, n_queries: int = 25) -> dict:
+    """Recall + wall for each (probe_radius, num_tables) config —
+    VERDICT r13 #2: pin where LSH top-k becomes a real retrieval path
+    instead of a candidate filter."""
+    import time
+
+    from ingest_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < n_queries)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.brute_force_topk(emb, queries, k=10).collect()
+    }
+    out = {}
+    for radius, tables in MULTIPROBE_GRID:
+        t0 = time.time()
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in sim.lsh_topk_multiprobe(
+                emb, queries, k=10, num_bits=8,
+                probe_radius=radius, num_tables=tables,
+            ).collect()
+        }
+        out[f"r{radius}_t{tables}"] = {
+            "recall": round(len(exact & got) / len(exact), 4),
+            "wall_sec": round(time.time() - t0, 1),
+        }
+    return out
+
+
 def main() -> None:
     sf_dirs = sys.argv[1:] or [
         "/root/testdata/sf0.001",
@@ -62,19 +99,32 @@ def main() -> None:
     from tools.scale_runs import record, timed
 
     spark = get_spark()
+    grid_only = os.environ.get("ANN_GRID_ONLY") == "1"
     for sf_dir in sf_dirs:
-        out, wall = timed(lambda: measure(spark, sf_dir))
-        n = out.pop("n_exact")
+        if not grid_only:
+            out, wall = timed(lambda: measure(spark, sf_dir))
+            n = out.pop("n_exact")
+            record(
+                {
+                    "op": "ann_recall_floors",
+                    "params": {"sf_dir": sf_dir, "n_queries": 25, "k": 10,
+                               "n_exact_pairs": n},
+                    "wall_sec": wall,
+                    "checksum": out,
+                }
+            )
+            print(f"{sf_dir}: {out} ({wall:.1f}s)")
+        grid, gwall = timed(lambda: measure_multiprobe_grid(spark, sf_dir))
         record(
             {
-                "op": "ann_recall_floors",
+                "op": "ann_multiprobe_grid",
                 "params": {"sf_dir": sf_dir, "n_queries": 25, "k": 10,
-                           "n_exact_pairs": n},
-                "wall_sec": wall,
-                "checksum": out,
+                           "num_bits": 8},
+                "wall_sec": gwall,
+                "checksum": grid,
             }
         )
-        print(f"{sf_dir}: {out} ({wall:.1f}s)")
+        print(f"{sf_dir} multiprobe grid: {grid}")
     spark.stop()
 
 
