@@ -814,3 +814,146 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+# ------------------------------------------------------- IVF-PQ (r14)
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 8,
+    nprobe: int = 3,
+    m: int = 8,
+    codebook_k: int = 16,
+    rerank_factor: int = 8,
+    round_to: int = 4,
+) -> DataFrame:
+    """IVF-PQ hybrid ANN — the production big-corpus config (FAISS
+    IVFPQ family): IVF coarse cells prune WHICH rows are scanned
+    (~nprobe/n_cells of the corpus), PQ-ADC compresses HOW each
+    surviving row is scored (m table lookups, no float dot), and the
+    top rerank_factor*k ADC survivors re-rank by exact cosine.
+
+    Why the hybrid matters at 100 TB: pq_topk scans every code, so
+    its wall is O(|corpus|) regardless of selectivity; ivf_topk scans
+    only probed cells but pays an exact d-dim dot per candidate. Here
+    the at-rest index is (cell, m-byte codes) — the scan touches
+    nprobe/n_cells of an already-32x-compressed table and does integer
+    gathers. Candidates arrive via the same broadcast (query, cell)
+    equi-join as ivf_topk; each candidate row carries ONE query_id, so
+    the ADC gather is a row-parallel numpy fancy-index per Arrow batch
+    with bounded per-(batch, query) emission — no window over anything
+    corpus-sized before the survivor cut.
+
+    Like pq_topk/ivf_topk this is rows-only vs the oracle (iterative
+    k-means training is not SQL-expressible); its recall floor is
+    measured and pinned in tests/test_similarity.py, and the ADC
+    boundary caveat is the same as pq_topk's: survivors at the R
+    boundary can vary with batch partitioning, the exact re-rank
+    decides the final order."""
+    cents = kmeans_centroids(corpus, id_col, vec_col, k=n_cells)
+    books = pq_codebooks(corpus, id_col, vec_col, m=m, codebook_k=codebook_k)
+    enc = (
+        pq_encode(corpus, books, id_col, vec_col)
+        .withColumn("__cell", _nearest_centroid("__cvec", cents))
+        .select("neighbor_id", "__cell", "__codes")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qvec"),
+    )
+    probes = (
+        q.select(
+            "query_id",
+            F.posexplode(_centroid_distances("__qvec", cents)).alias(
+                "__cell", "__dist"
+            ),
+        )
+        .withColumn(
+            "__prank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("__dist", "__cell")
+            ),
+        )
+        .filter(F.col("__prank") <= nprobe)
+        .select("query_id", "__cell")
+    )
+    cand = enc.join(F.broadcast(probes), "__cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+
+    # driver-side per-query ADC tables (queries are small by contract)
+    qrows = q.orderBy("query_id").collect()
+    if not qrows:
+        raise ValueError("ivf_pq_topk: queries are empty")
+    qids = [r.query_id for r in qrows]
+    qindex = {qid: i for i, qid in enumerate(qids)}
+    Q = np.vstack([np.asarray(r["__qvec"], dtype=np.float64) for r in qrows])
+    qn = np.linalg.norm(Q, axis=1, keepdims=True)
+    Qn = Q / np.where(qn == 0, 1.0, qn)
+    Cs = [np.asarray(b, dtype=np.float64) for b in books]
+    sub = Cs[0].shape[1]
+    tables = np.stack(
+        [Qn[:, s * sub : (s + 1) * sub] @ C.T for s, C in enumerate(Cs)],
+        axis=1,
+    )  # nq x m x codebook_k
+    R = rerank_factor * k
+    out_schema = "neighbor_id long, query_id long, __adc double"
+
+    def scan(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.vstack(pdf["__codes"].to_numpy())
+            qi = pdf["query_id"].map(qindex).to_numpy()
+            sims = np.zeros(len(pdf))
+            for s in range(codes.shape[1]):
+                sims += tables[qi, s, codes[:, s]]
+            out = pd.DataFrame(
+                {
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "__adc": sims,
+                }
+            )
+            # bounded per-(batch, query) emission, pq_topk discipline
+            yield (
+                out.sort_values("__adc", ascending=False)
+                .groupby("query_id", sort=False)
+                .head(R)
+            )
+
+    partial = cand.select("neighbor_id", "query_id", "__codes").mapInPandas(
+        scan, out_schema
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("__adc").desc(), "neighbor_id")
+    survivors = (
+        partial.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= R)
+        .select("neighbor_id", "query_id")
+    )
+    from ingest_spark.functions.vectors import cosine_similarity
+
+    rer = (
+        survivors.join(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).cast("array<double>").alias("__cvec"),
+            ),
+            "neighbor_id",
+        )
+        .join(F.broadcast(q), "query_id")
+        .withColumn(
+            "cosine_sim", F.round(cosine_similarity("__qvec", "__cvec"), round_to)
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )

@@ -2310,6 +2310,24 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("ivf_pq_topk")
+def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 scale path #4 (r14): IVF-PQ hybrid — coarse cells prune
+    WHICH rows are scanned (nprobe/n_cells of the corpus), PQ-ADC
+    compresses HOW each is scored (m integer gathers on a
+    32x-compressed code table), exact cosine re-rank on the top
+    rerank_factor*k ADC survivors. The production big-corpus ANN
+    config (FAISS IVFPQ family). Rows-only check like ivf/pq (the
+    k-means trainings are iterative); the recall floor is measured
+    and pinned in tests/test_similarity.py, and the ledger
+    op=ann_recall_floors tracks it per round alongside ivf/pq."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_pq_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10,
+        n_cells=8, nprobe=3, m=8, codebook_k=16, rerank_factor=8,
+    )
+
+
 @q("ivf_topk")
 def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3 scale path #2: IVF ANN — deterministic mini-k-means coarse

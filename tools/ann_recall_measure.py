@@ -48,6 +48,12 @@ def measure(spark, sf_dir: str, n_queries: int = 25) -> dict:
         "multiprobe": recall(
             sim.lsh_topk_multiprobe(emb, queries, k=10, num_bits=8)
         ),
+        "ivf_pq": recall(
+            sim.ivf_pq_topk(
+                emb, queries, k=10, n_cells=8, nprobe=3,
+                m=8, codebook_k=16, rerank_factor=8,
+            )
+        ),
         "n_exact": len(exact),
     }
 
