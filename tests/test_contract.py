@@ -42,6 +42,7 @@ def test_oracle_keys_subset_of_queries():
     assert set(qs) - set(os_) == {
         "ivf_topk",
         "pq_ann_topk",
+        "ivf_pq_topk",  # r14: iterative k-means x2, same as ivf/pq
         "approx_percentile_sketch",
         "sketch_rollup_union",
     }
