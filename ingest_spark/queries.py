@@ -2606,11 +2606,52 @@ def word_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
 def approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KLL-style quantile sketch vs the exact percentile, per event
     type. Rows-only check (sketch internals are engine-specific);
-    tests assert the approximation lands within 2% relative error."""
+    tests assert the approximation lands within 2% relative error.
+    The oracle-checked sibling is approx_percentile_check below (the
+    r5 approx_distinct pattern: deterministic violation count)."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
         F.percentile("value", 0.5).alias("exact_p50"),
+    )
+
+
+@q(
+    "approx_percentile_check",
+    """
+    SELECT event_type,
+           round(CAST(quantile_cont(value, 0.50) AS DOUBLE), 6) AS exact_p50,
+           CAST(0 AS BIGINT) AS n_violations
+    FROM events GROUP BY event_type
+    """,
+)
+def approx_percentile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked face of the quantile sketch (r14, the r5
+    approx_distinct_sketch pattern): per event type, the EXACT
+    interpolated median (cross-engine comparable at round6, proven by
+    percentiles_exact) plus the count of groups where Spark's
+    percentile_approx(accuracy=10000) misses the exact median by more
+    than 2% relative — deterministically 0 on this data, so the value
+    hash verifies both the exact percentile AND that the sketch stays
+    in its error band. Multiplicative form (|a-e| > 0.02|e|) avoids a
+    zero-median division. The raw engine-specific estimates stay
+    observable in the rows-only approx_percentile_sketch above."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 10000).alias("__approx"),
+        F.percentile("value", 0.5).alias("__exact"),
+    )
+    return agg.select(
+        "event_type",
+        F.round("__exact", 6).alias("exact_p50"),
+        F.when(
+            F.abs(F.col("__approx") - F.col("__exact"))
+            > 0.02 * F.abs(F.col("__exact")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_violations"),
     )
 
 
