@@ -4202,6 +4202,66 @@ def sketch_rollup_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return per_group.unionByName(total)
 
+
+@q(
+    "sketch_rollup_check",
+    """
+    SELECT event_type, exact_users, CAST(0 AS BIGINT) AS n_violations
+    FROM (
+      SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+      FROM events GROUP BY event_type
+      UNION ALL
+      SELECT 'ALL', CAST(count(DISTINCT user_id) AS BIGINT) FROM events)
+    """,
+)
+def sketch_rollup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked face of the HLL rollup (r14, the
+    approx_distinct/approx_percentile violation-count pattern): per
+    event type AND for the merged corpus-wide row, the EXACT distinct
+    user count plus whether the DataSketches estimate (per-group
+    sketch, hll_union_agg merge for ALL) misses it by more than 5%
+    relative — deterministically 0, so the value hash verifies the
+    exact cardinalities AND that the sketch/merge path stays in its
+    error band. The raw estimates stay observable in the rows-only
+    sketch_rollup_union above."""
+    ev = load_table(spark, sf_dir, "events")
+    part = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    per_group = part.select(
+        "event_type",
+        "exact_users",
+        F.hll_sketch_estimate("sk").alias("__hll"),
+    )
+    total = (
+        part.agg(F.hll_union_agg("sk").alias("merged"))
+        .crossJoin(
+            F.broadcast(ev.agg(F.count_distinct("user_id").alias("exact_users")))
+        )
+        .select(
+            F.lit("ALL").alias("event_type"),
+            F.col("exact_users"),
+            F.hll_sketch_estimate("merged").alias("__hll"),
+        )
+    )
+    return (
+        per_group.unionByName(total)
+        .select(
+            "event_type",
+            "exact_users",
+            F.when(
+                F.abs(F.col("__hll") - F.col("exact_users"))
+                > 0.05 * F.col("exact_users"),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("n_violations"),
+        )
+    )
+
+
 @q(
     "heavy_hitters_event_types",
     """
