@@ -54,6 +54,13 @@ def measure(spark, sf_dir: str, n_queries: int = 25) -> dict:
                 m=8, codebook_k=16, rerank_factor=8,
             )
         ),
+        # the r14 retrieval-grade config (radius-2 x 4 tables) — its
+        # absolute floor is pinned in tests/test_similarity.py
+        "multiprobe_r2t4": recall(
+            sim.lsh_topk_multiprobe(
+                emb, queries, k=10, num_bits=8, probe_radius=2, num_tables=4
+            )
+        ),
         "n_exact": len(exact),
     }
 
