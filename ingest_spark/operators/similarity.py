@@ -164,6 +164,10 @@ def _probe_deltas(num_bits: int, probe_radius: int) -> list[int]:
     """XOR masks for every bucket within Hamming `probe_radius` of the
     query's own bucket, own bucket (0) first — deterministic order so
     the SQL oracle enumerates the identical list."""
+    if probe_radius < 1:
+        # ADVICE r14: probe_radius=0 used to silently return the
+        # radius-1 set — no-probing callers should use lsh_topk
+        raise ValueError("probe_radius must be >= 1 (use lsh_topk for no probing)")
     deltas = [0] + [1 << j for j in range(num_bits)]
     if probe_radius >= 2:
         deltas += [

@@ -248,6 +248,22 @@ def _value_matches(t: Any, v: Any) -> bool:
     return False
 
 
+_MISSING = object()
+
+
+def _default_runtime_value(t: Any, d: Any) -> Any:
+    """Avro JSON-default -> runtime value for encoding. Defaults are
+    spelled in JSON (spec §schema_record): bytes/fixed defaults are
+    ISO-8859-1-escaped strings; a union's default belongs to its FIRST
+    branch; everything else (numbers, strings, booleans, dicts for
+    records/maps, lists for arrays) passes through as-is."""
+    branch = t[0] if isinstance(t, list) else t
+    kind = branch["type"] if isinstance(branch, dict) else branch
+    if kind in ("bytes", "fixed") and isinstance(d, str):
+        return d.encode("latin-1")
+    return d
+
+
 def _encode_value(buf: bytearray, t: Any, v: Any, path: str) -> None:
     if isinstance(t, list):  # union: index, then value
         if v is None:
@@ -272,7 +288,19 @@ def _encode_value(buf: bytearray, t: Any, v: Any, path: str) -> None:
         kind = t["type"]
         if kind == "record":
             for f in t["fields"]:
-                _encode_value(buf, f["type"], (v or {}).get(f["name"]), f"{path}.{f['name']}")
+                fv = (v or {}).get(f["name"], _MISSING)
+                if fv is _MISSING:
+                    # fill the writer-schema default for an absent field
+                    # (fastavro/Java behavior; ADVICE r14: _value_matches
+                    # accepts a datum missing a defaulted field, so encode
+                    # must fill it or the match-accept/encode-reject split
+                    # is inconsistent)
+                    fv = (
+                        _default_runtime_value(f["type"], f["default"])
+                        if "default" in f
+                        else None
+                    )
+                _encode_value(buf, f["type"], fv, f"{path}.{f['name']}")
             return
         if kind == "array":
             # len() not truthiness: Arrow hands list cells to the codec

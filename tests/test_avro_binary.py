@@ -941,3 +941,52 @@ def test_temporal_in_union_matches_by_type():
     assert decode_record(u, body) == {"v": dt.date(2020, 2, 29)}
     body_s = encode_record(u, {"v": "not-a-date"})
     assert decode_record(u, body_s) == {"v": "not-a-date"}
+
+
+DEFAULTED_SCHEMA = {
+    "type": "record",
+    "name": "Defaulted",
+    "fields": [
+        {"name": "url", "type": "string"},
+        {"name": "ts", "type": "long", "default": 0},
+        {"name": "tag", "type": "string", "default": "none"},
+        {"name": "blob", "type": "bytes", "default": "ÿ"},
+    ],
+}
+
+
+def test_record_encode_fills_writer_defaults():
+    """ADVICE r14: _value_matches treats a defaulted-absent field as
+    satisfied, so encode must FILL the writer default (fastavro
+    semantics) instead of raising 'null for non-nullable'. Filled
+    bytes equal the explicit-value encoding; bytes defaults decode
+    from their ISO-8859-1 JSON spelling."""
+    filled = encode_record(DEFAULTED_SCHEMA, {"url": "x"})
+    explicit = encode_record(
+        DEFAULTED_SCHEMA,
+        {"url": "x", "ts": 0, "tag": "none", "blob": b"\xff"},
+    )
+    assert filled == explicit
+    assert decode_record(DEFAULTED_SCHEMA, filled) == {
+        "url": "x", "ts": 0, "tag": "none", "blob": b"\xff",
+    }
+
+
+def test_union_record_branch_default_fill_agrees_with_match():
+    """The exact ADVICE repro: {"url": "x"} against a union whose Click
+    branch declares ts default 0 — the matcher accepts the branch, so
+    the encoder must fill ts=0 rather than raise mid-record."""
+    schema = {
+        "type": "record",
+        "name": "Env",
+        "fields": [
+            {"name": "payload", "type": [
+                {"type": "record", "name": "ClickD",
+                 "fields": [{"name": "url", "type": "string"},
+                            {"name": "ts", "type": "long", "default": 0}]},
+                "null",
+            ]},
+        ],
+    }
+    body = encode_record(schema, {"payload": {"url": "x"}})
+    assert decode_record(schema, body) == {"payload": {"url": "x", "ts": 0}}

@@ -266,6 +266,20 @@ def test_pq_topk_recall_vs_bruteforce(spark):
             assert r.cosine_sim == exact_scores[(r.query_id, r.neighbor_id)]
 
 
+def test_probe_deltas_radius_validation():
+    """ADVICE r14: probe_radius=0 (or negative) must raise, not
+    silently return the radius-1 delta set."""
+    import pytest
+
+    assert similarity._probe_deltas(4, 1) == [0, 1, 2, 4, 8]
+    assert len(similarity._probe_deltas(4, 2)) == 1 + 4 + 6
+    for bad in (0, -1):
+        with pytest.raises(ValueError, match="probe_radius"):
+            similarity._probe_deltas(4, bad)
+    with pytest.raises(ValueError, match="probe_radius"):
+        similarity._probe_deltas(4, 3)
+
+
 def test_pq_encode_codes_shape_and_determinism(spark):
     from ingest_spark.operators import similarity as sim
 
