@@ -18,6 +18,8 @@ Ties are broken on neighbor id so results are oracle-comparable.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -309,6 +311,70 @@ def lsh_topk_multiprobe(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    strategy: str = "auto",
+    brute_cutoff: int = 100_000,
+    **kwargs,
+) -> DataFrame:
+    """One front door for the 7 top-k paths (VERDICT r14 #4) —
+    ``strategy`` routes; every path returns the same
+    (query_id, neighbor_id, cosine_sim, rank) schema with exact
+    cosines on whatever it returns (the approximations differ only in
+    WHICH neighbors they find, never in reported scores).
+
+    Decision table (measured on the uniform-random WORST-CASE corpus,
+    25 queries, k=10 — real clustered embeddings do better at every
+    approximate setting; ledgers op=ann_recall_floors /
+    ann_multiprobe_grid / ivf_pq_auto_grid):
+
+    strategy       recall@10  corpus-side cost / at-rest index
+    ------------   ---------  -------------------------------------
+    brute          1.0        full scan, d-dim floats; no index
+    lsh            ~0.08-0.11 1 signature/vector; CANDIDATE GEN only
+    multiprobe     ~0.1-0.2   same corpus cost, 9x probe rows
+    retrieval      0.78-0.84  4 signatures/vector (r2 x 4 tables)
+    ivf            ~0.59-0.62 cell id/vector; exact dots in 3/8 cells
+    pq             0.50-0.76  m-byte codes (32x compressed), full scan
+    ivf_pq         0.64-0.67  cell + codes; scans nprobe/n_cells of
+                              the compressed table — the 100 TB shape
+
+    ``auto`` = ``brute`` while the corpus fits a full exact scan
+    (<= ``brute_cutoff`` rows — at 64d that is ~50 MB of vectors, a
+    trivial broadcast-join scan), else ``ivf_pq`` under its
+    corpus-scaled auto sizing (flat measured recall across a 4x
+    corpus spread). Prefer ``retrieval`` over ``ivf_pq`` when
+    training an index is impossible (pure streaming ingest) or
+    recall ~0.8 is worth 4 corpus signatures; prefer ``lsh``/
+    ``multiprobe`` only as candidate generators feeding a re-ranker.
+    Extra ``**kwargs`` pass through to the routed implementation."""
+    routes = {
+        "brute": brute_force_topk,
+        "lsh": lsh_topk,
+        "multiprobe": lsh_topk_multiprobe,
+        "retrieval": lambda c, q, **kw: lsh_topk_multiprobe(
+            c, q, **{"probe_radius": 2, "num_tables": 4, "num_bits": 8, **kw}
+        ),
+        "ivf": ivf_topk,
+        "pq": pq_topk,
+        "ivf_pq": ivf_pq_topk,
+    }
+    if strategy == "auto":
+        strategy = "brute" if corpus.count() <= brute_cutoff else "ivf_pq"
+    if strategy not in routes:
+        raise ValueError(
+            f"unknown strategy {strategy!r}; one of auto, {', '.join(routes)}"
+        )
+    out = routes[strategy](
+        corpus, queries, id_col=id_col, vec_col=vec_col, k=k, **kwargs
+    )
+    return out.select("query_id", "neighbor_id", "cosine_sim", "rank")
 
 
 def embedding_neardup_pairs(
@@ -821,17 +887,51 @@ def pq_topk(
 
 
 # ------------------------------------------------------- IVF-PQ (r14)
+def ivf_pq_auto_params(n_corpus: int, k: int = 10) -> tuple[int, int, int]:
+    """Corpus-scaled IVF-PQ sizing (VERDICT r14 #2): at FIXED
+    parameters recall falls monotonically with corpus size (measured
+    0.572/0.540/0.424 at sf0.001/0.01/0.1 with n_cells=8, nprobe=3,
+    rerank_factor=8 — ledger ivf_pq_recall_r14), because a constant
+    rerank budget R and a constant probed-cell count both shrink
+    RELATIVE to the corpus. The standard IVF prescription fixes the
+    ratios instead of the counts:
+
+    - n_cells = max(8, round(sqrt(n))) — the FAISS sqrt(n) rule, so
+      each cell holds ~sqrt(n) vectors and the per-query scan cost
+      (nprobe cells x n/n_cells rows) grows as sqrt(n), not n;
+    - nprobe = max(3, ceil(n_cells / 3)) — a fixed ~1/3 probe
+      fraction, which on the uniform-random worst case is what pure
+      IVF needed for recall ~0.6 (real clustered embeddings need far
+      less; the ratio, not the count, is the scale invariant);
+    - rerank_factor = max(8, sqrt(n) / 2) — the exact-rerank budget
+      R = factor*k grows with sqrt(n) so ADC impostors (whose count
+      grows with the scanned-candidate count) keep getting displaced;
+      re-rank cost stays O(queries * R), never corpus-shaped.
+
+    Measured A/B (25 queries, k=10, ledger op=ivf_pq_auto_grid r15):
+    the r14 fixed config decays 0.572/0.540/0.424 across
+    sf0.001/0.01/0.1; this rule holds 0.668/0.640/0.656 — flat across
+    a 4x corpus spread, at equal wall. The sqrt(n)/4 rerank variant
+    measured 0.648/0.608/0.560 (still decaying) and the 1/4 probe
+    fraction 0.568-0.508 — both rejected."""
+    root = math.isqrt(max(1, n_corpus))
+    n_cells = max(8, root)
+    nprobe = max(3, -(-n_cells // 3))
+    rerank_factor = max(8, root // 2)
+    return n_cells, nprobe, rerank_factor
+
+
 def ivf_pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
-    n_cells: int = 8,
-    nprobe: int = 3,
+    n_cells: int | None = None,
+    nprobe: int | None = None,
     m: int = 8,
     codebook_k: int = 16,
-    rerank_factor: int = 8,
+    rerank_factor: int | None = None,
     round_to: int = 4,
 ) -> DataFrame:
     """IVF-PQ hybrid ANN — the production big-corpus config (FAISS
@@ -839,6 +939,12 @@ def ivf_pq_topk(
     (~nprobe/n_cells of the corpus), PQ-ADC compresses HOW each
     surviving row is scored (m table lookups, no float dot), and the
     top rerank_factor*k ADC survivors re-rank by exact cosine.
+
+    ``n_cells``/``nprobe``/``rerank_factor`` default to None = the
+    corpus-scaled ``ivf_pq_auto_params`` sizing (sqrt-corpus cells,
+    fixed probe fraction, sqrt-scaled rerank budget — VERDICT r14 #2:
+    fixed counts decay with corpus size; one corpus.count() job pays
+    for parameters that don't). Pass explicit values to pin a config.
 
     Why the hybrid matters at 100 TB: pq_topk scans every code, so
     its wall is O(|corpus|) regardless of selectivity; ivf_topk scans
@@ -849,14 +955,26 @@ def ivf_pq_topk(
     equi-join as ivf_topk; each candidate row carries ONE query_id, so
     the ADC gather is a row-parallel numpy fancy-index per Arrow batch
     with bounded per-(batch, query) emission — no window over anything
-    corpus-sized before the survivor cut.
+    corpus-sized before the survivor cut. Query-side probe selection
+    runs driver-side in numpy over the already-collected query set:
+    at sqrt(n) cells the Column-expression form would build an
+    n_cells x dim HOF tree (Janino-hostile past ~50 cells) to rank
+    what is a (queries x cells) matmul on data already in hand.
 
     Like pq_topk/ivf_topk this is rows-only vs the oracle (iterative
-    k-means training is not SQL-expressible); its recall floor is
-    measured and pinned in tests/test_similarity.py, and the ADC
-    boundary caveat is the same as pq_topk's: survivors at the R
-    boundary can vary with batch partitioning, the exact re-rank
-    decides the final order."""
+    k-means training is not SQL-expressible); recall floors are
+    pinned in tests/test_similarity.py at sf0.001 AND sf0.1, and the
+    in-engine violation-count oracle ann_ivf_pq_recall_check makes a
+    recall regression a red driver row. The ADC boundary caveat is
+    the same as pq_topk's: survivors at the R boundary can vary with
+    batch partitioning, the exact re-rank decides the final order."""
+    if n_cells is None or nprobe is None or rerank_factor is None:
+        auto_cells, auto_probe, auto_rerank = ivf_pq_auto_params(
+            corpus.count(), k
+        )
+        n_cells = n_cells if n_cells is not None else auto_cells
+        nprobe = nprobe if nprobe is not None else auto_probe
+        rerank_factor = rerank_factor if rerank_factor is not None else auto_rerank
     cents = kmeans_centroids(corpus, id_col, vec_col, k=n_cells)
     books = pq_codebooks(corpus, id_col, vec_col, m=m, codebook_k=codebook_k)
     enc = (
@@ -868,35 +986,33 @@ def ivf_pq_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("__qvec"),
     )
-    probes = (
-        q.select(
-            "query_id",
-            F.posexplode(_centroid_distances("__qvec", cents)).alias(
-                "__cell", "__dist"
-            ),
-        )
-        .withColumn(
-            "__prank",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy("__dist", "__cell")
-            ),
-        )
-        .filter(F.col("__prank") <= nprobe)
-        .select("query_id", "__cell")
-    )
-    cand = enc.join(F.broadcast(probes), "__cell").filter(
-        F.col("neighbor_id") != F.col("query_id")
-    )
-
     # driver-side per-query ADC tables (queries are small by contract)
     qrows = q.orderBy("query_id").collect()
     if not qrows:
         raise ValueError("ivf_pq_topk: queries are empty")
+    # probe selection in numpy over the collected queries: nearest
+    # nprobe cells by L2 over unit vectors (== cosine order, spherical
+    # centroids), ties to the lowest cell id (stable argsort)
+    Cq = np.asarray(cents, dtype=np.float64)
+    Qm = np.vstack([np.asarray(r["__qvec"], dtype=np.float64) for r in qrows])
+    qmn = np.linalg.norm(Qm, axis=1, keepdims=True)
+    Qmn = Qm / np.where(qmn == 0, 1.0, qmn)
+    d2 = -2.0 * (Qmn @ Cq.T) + (Cq * Cq).sum(axis=1)
+    order = np.argsort(d2, axis=1, kind="stable")[:, : min(nprobe, len(cents))]
+    probes = corpus.sparkSession.createDataFrame(
+        [
+            (int(r.query_id), int(cell))
+            for r, cells in zip(qrows, order)
+            for cell in cells
+        ],
+        "query_id long, __cell int",
+    )
+    cand = enc.join(F.broadcast(probes), "__cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
     qids = [r.query_id for r in qrows]
     qindex = {qid: i for i, qid in enumerate(qids)}
-    Q = np.vstack([np.asarray(r["__qvec"], dtype=np.float64) for r in qrows])
-    qn = np.linalg.norm(Q, axis=1, keepdims=True)
-    Qn = Q / np.where(qn == 0, 1.0, qn)
+    Qn = Qmn  # unit query matrix, shared with probe selection above
     Cs = [np.asarray(b, dtype=np.float64) for b in books]
     sub = Cs[0].shape[1]
     tables = np.stack(

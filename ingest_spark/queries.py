@@ -1183,6 +1183,143 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "neighbor_id", "cosine_sim", "rank")
 
 
+# ---------------------------------------------- ANN recall checks (r15)
+#
+# VERDICT r14 #1: the ivf/pq/ivf_pq entries are rows-only (k-means is
+# iterative, not SQL-expressible), so a recall regression was visible
+# only to pytest floors — never to the driver. The r14 sketch pattern
+# (sketch_rollup_check / approx_percentile_check) closes that: each
+# family gets a HASH-COMPARED sibling returning the exact brute-force
+# statistic plus a deterministic violation count. DuckDB computes the
+# same brute-force top-k set exactly (it IS SQL-expressible — only the
+# index build isn't) and emits the constant 0; Spark computes recall of
+# the approximate index against its own exact top-k in-engine and
+# emits 1 when it falls below the pinned floor. A recall regression
+# therefore becomes a RED CORRECTNESS ROW (value-hash mismatch on
+# n_violations), not a pytest-only failure. sim_sum_e4 is integerized
+# (sum of round(cosine*1e4) as BIGINT) so the statistic is exact
+# integer arithmetic in both engines — per-pair rounded cosines are
+# already proven bit-identical by knn_bruteforce.
+
+_ANN_CHECK_SQL = """
+WITH q AS (SELECT vec_id AS query_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id < 25),
+     c AS (SELECT vec_id AS neighbor_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+           FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(list_inner_product(qv, cv) /
+               (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))),
+               4) AS cosine_sim
+  FROM c JOIN q ON neighbor_id <> query_id),
+topk AS (
+  SELECT query_id, cosine_sim FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine_sim DESC, neighbor_id) AS rank
+    FROM scored) WHERE rank <= 10)
+SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+       CAST(count(*) AS BIGINT) AS exact_pairs,
+       CAST(sum(CAST(round(cosine_sim * 10000) AS BIGINT)) AS BIGINT) AS sim_sum_e4,
+       CAST(0 AS BIGINT) AS n_violations
+FROM topk
+"""
+
+
+def _ann_recall_check(spark, sf_dir, approx_fn, floor: float) -> DataFrame:
+    """One row: exact-top-k statistics + recall-below-floor flag.
+    ``approx_fn(corpus, queries)`` builds the index under test; the
+    exact side is brute_force_topk (k=10, 25 queries). Overall
+    (micro) recall = |approx ∩ exact| / |exact|."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 25)
+    exact = similarity.brute_force_topk(emb, queries_df, k=10).select(
+        "query_id", "neighbor_id", "cosine_sim"
+    )
+    approx = (
+        approx_fn(emb, queries_df)
+        .select("query_id", "neighbor_id")
+        .withColumn("__hit", F.lit(1))
+    )
+    joined = exact.join(approx, ["query_id", "neighbor_id"], "left")
+    return joined.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.count(F.lit(1)).alias("exact_pairs"),
+        F.sum(F.round(F.col("cosine_sim") * 10000).cast("long")).alias(
+            "sim_sum_e4"
+        ),
+        F.when(
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            < F.lit(floor) * F.count(F.lit(1)),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_violations"),
+    )
+
+
+@q("ann_auto_topk", _COS_SQL)
+def ann_auto_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ann_topk facade (VERDICT r14 #4) under strategy="auto": at
+    test-SF corpus sizes auto routes to the exact brute-force path
+    (below the full-scan cutoff), so the oracle is the exact top-k —
+    hash-compared. Above the cutoff auto routes to ivf_pq under its
+    corpus-scaled sizing, whose recall guarantee is driver-visible via
+    ann_ivf_pq_recall_check."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ann_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, strategy="auto"
+    )
+
+
+@q("ann_ivf_recall_check", _ANN_CHECK_SQL)
+def ann_ivf_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible recall guarantee for ivf_topk at its registry
+    config (n_cells=8, nprobe=3). Measured recall@10 over 25 queries:
+    0.596/0.592/0.616 at sf0.001/0.01/0.1 (ledger
+    op=ann_recall_floors) — floor 0.52 fails on any real regression
+    while tolerating one-neighbor jitter from a test-data roll."""
+    return _ann_recall_check(
+        spark,
+        sf_dir,
+        lambda c, qs: similarity.ivf_topk(c, qs, k=10, n_cells=8, nprobe=3),
+        floor=0.52,
+    )
+
+
+@q("ann_pq_recall_check", _ANN_CHECK_SQL)
+def ann_pq_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible recall guarantee for pq_topk at its registry
+    config (m=8, codebook_k=16, rerank_factor=8). Measured recall@10:
+    0.764/0.724/0.504 at sf0.001/0.01/0.1 (falls with corpus at fixed
+    rerank, as ADC theory predicts) — floor 0.44 holds at every SF
+    the check can run at."""
+    return _ann_recall_check(
+        spark,
+        sf_dir,
+        lambda c, qs: similarity.pq_topk(
+            c, qs, k=10, m=8, codebook_k=16, rerank_factor=8
+        ),
+        floor=0.44,
+    )
+
+
+@q("ann_ivf_pq_recall_check", _ANN_CHECK_SQL)
+def ann_ivf_pq_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible recall guarantee for ivf_pq_topk under the r15
+    corpus-scaled auto sizing. Measured recall@10: 0.668/0.640/0.656
+    at sf0.001/0.01/0.1 (ledger op=ivf_pq_auto_grid) — flat across
+    SFs by construction, floor 0.58."""
+    return _ann_recall_check(
+        spark,
+        sf_dir,
+        lambda c, qs: similarity.ivf_pq_topk(c, qs, k=10, m=8, codebook_k=16),
+        floor=0.58,
+    )
+
+
 # ============================================================ E5 multimodal
 
 
@@ -2317,14 +2454,18 @@ def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     compresses HOW each is scored (m integer gathers on a
     32x-compressed code table), exact cosine re-rank on the top
     rerank_factor*k ADC survivors. The production big-corpus ANN
-    config (FAISS IVFPQ family). Rows-only check like ivf/pq (the
-    k-means trainings are iterative); the recall floor is measured
-    and pinned in tests/test_similarity.py, and the ledger
-    op=ann_recall_floors tracks it per round alongside ivf/pq."""
+    config (FAISS IVFPQ family). r15 (VERDICT r14 #2): parameters are
+    the CORPUS-SCALED auto sizing (sqrt-n cells, 1/3 probe fraction,
+    sqrt-n/2 rerank budget — similarity.ivf_pq_auto_params), which
+    measures recall@10 0.668/0.640/0.656 across sf0.001/0.01/0.1
+    where the old fixed config decayed 0.572/0.540/0.424 (ledger
+    op=ivf_pq_auto_grid). Rows-only check like ivf/pq (the k-means
+    trainings are iterative); floors pinned at sf0.001 AND sf0.1 in
+    tests/test_similarity.py, and ann_ivf_pq_recall_check is the
+    hash-compared driver face of the same guarantee."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.ivf_pq_topk(
-        emb, emb.filter(F.col("vec_id") < 5), k=10,
-        n_cells=8, nprobe=3, m=8, codebook_k=16, rerank_factor=8,
+        emb, emb.filter(F.col("vec_id") < 5), k=10, m=8, codebook_k=16,
     )
 
 

@@ -212,33 +212,66 @@ def test_multiprobe_retrieval_config_absolute_recall(spark):
 
 
 def test_ivf_pq_topk_recall_vs_bruteforce(spark):
-    """IVF-PQ hybrid (r14): coarse-cell pruning + ADC scoring + exact
-    re-rank. Measured recall@10 on the uniform-random worst case
-    (25 queries): 0.572 / 0.540 / 0.424 at sf0.001/0.01/0.1 — the
-    composition inherits IVF's cell-miss and PQ's falls-with-corpus
-    behavior (raise rerank_factor/nprobe at bigger corpora, as the
-    pq_topk notes prescribe). Floor pinned at ~80% of the sf0.001
-    measurement; survivors must re-rank by EXACT cosine."""
+    """IVF-PQ hybrid under the r15 corpus-scaled auto sizing
+    (sqrt-n cells, 1/3 probe fraction, sqrt-n/2 rerank budget —
+    VERDICT r14 #2: the fixed r14 config decayed 0.572/0.540/0.424
+    across SFs). Measured recall@10 with auto params (25 queries):
+    0.668 at sf0.001 (ledger op=ivf_pq_auto_grid). Floor pinned at
+    ~80% of measured; survivors must re-rank by EXACT cosine."""
     from ingest_spark.operators import similarity as sim
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 25)
     exact = sim.brute_force_topk(emb, queries, k=10)
-    approx = sim.ivf_pq_topk(
-        emb, queries, k=10, n_cells=8, nprobe=3,
-        m=8, codebook_k=16, rerank_factor=8,
-    )
+    approx = sim.ivf_pq_topk(emb, queries, k=10, m=8, codebook_k=16)
     e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
     a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
     assert len(a) == len(e)  # full k list per query
     recall = len(e & a) / len(e)
-    assert recall >= 0.45, recall
+    assert recall >= 0.55, recall
     exact_scores = {
         (r.query_id, r.neighbor_id): r.cosine_sim for r in exact.collect()
     }
     for r in approx.collect():
         if (r.query_id, r.neighbor_id) in exact_scores:
             assert r.cosine_sim == exact_scores[(r.query_id, r.neighbor_id)]
+
+
+def test_ivf_pq_auto_params_scale_monotone():
+    """The sizing rule itself: cells/rerank grow with sqrt(corpus),
+    probe fraction stays ~1/3, floors apply at tiny corpora."""
+    from ingest_spark.operators import similarity as sim
+
+    assert sim.ivf_pq_auto_params(50) == (8, 3, 8)
+    assert sim.ivf_pq_auto_params(500) == (22, 8, 11)
+    assert sim.ivf_pq_auto_params(2000) == (44, 15, 22)
+    c1, p1, r1 = sim.ivf_pq_auto_params(1_000_000)
+    assert (c1, p1, r1) == (1000, 334, 500)
+    c2, p2, r2 = sim.ivf_pq_auto_params(100_000_000)
+    assert c2 == 10 * c1 and r2 == 10 * r1  # sqrt scaling
+
+
+def test_ivf_pq_topk_recall_floor_at_sf01(spark):
+    """VERDICT r14 #2 'done' bar: an ABSOLUTE floor at sf0.1 — the SF
+    where the fixed config had decayed to 0.424. Auto sizing measures
+    0.656 there (25 queries, deterministic seeds + static parquet;
+    ledger op=ivf_pq_auto_grid), so >=0.6 fails on any real
+    regression while the approximation itself is unchanged run-over-
+    run."""
+    from ingest_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 25)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.brute_force_topk(emb, queries, k=10).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.ivf_pq_topk(emb, queries, k=10, m=8, codebook_k=16).collect()
+    }
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.6, recall
 
 
 def test_pq_topk_recall_vs_bruteforce(spark):
@@ -264,6 +297,49 @@ def test_pq_topk_recall_vs_bruteforce(spark):
     for r in approx.collect():
         if (r.query_id, r.neighbor_id) in exact_scores:
             assert r.cosine_sim == exact_scores[(r.query_id, r.neighbor_id)]
+
+
+def test_ann_topk_routes_every_strategy(spark):
+    """The ann_topk facade (VERDICT r14 #4): each strategy returns the
+    routed implementation's exact result in the normalized 4-column
+    schema; auto picks brute below the cutoff and ivf_pq above it."""
+    import pytest
+
+    from ingest_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 2)
+
+    def rows(df):
+        return sorted(
+            (r.query_id, r.neighbor_id, r.cosine_sim, r.rank) for r in df.collect()
+        )
+
+    direct = {
+        "brute": sim.brute_force_topk(emb, qs, k=5),
+        "lsh": sim.lsh_topk(emb, qs, k=5, num_bits=8),
+        "multiprobe": sim.lsh_topk_multiprobe(emb, qs, k=5, num_bits=8),
+        "retrieval": sim.lsh_topk_multiprobe(
+            emb, qs, k=5, num_bits=8, probe_radius=2, num_tables=4
+        ),
+        "ivf": sim.ivf_topk(emb, qs, k=5),
+        "pq": sim.pq_topk(emb, qs, k=5),
+        "ivf_pq": sim.ivf_pq_topk(emb, qs, k=5),
+    }
+    kwargs = {"lsh": {"num_bits": 8}, "multiprobe": {"num_bits": 8}}
+    for name, want in direct.items():
+        got = sim.ann_topk(emb, qs, k=5, strategy=name, **kwargs.get(name, {}))
+        assert got.columns == ["query_id", "neighbor_id", "cosine_sim", "rank"]
+        assert rows(got) == rows(want.select(*got.columns)), name
+    # auto: brute below the cutoff, ivf_pq above it
+    assert rows(sim.ann_topk(emb, qs, k=5, strategy="auto")) == rows(
+        direct["brute"].select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+    assert rows(sim.ann_topk(emb, qs, k=5, strategy="auto", brute_cutoff=10)) == rows(
+        direct["ivf_pq"]
+    )
+    with pytest.raises(ValueError, match="unknown strategy"):
+        sim.ann_topk(emb, qs, strategy="hnsw")
 
 
 def test_probe_deltas_radius_validation():

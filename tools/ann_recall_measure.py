@@ -102,6 +102,51 @@ def measure_multiprobe_grid(spark, sf_dir: str, n_queries: int = 25) -> dict:
     return out
 
 
+def measure_ivf_pq_grid(spark, sf_dir: str, n_queries: int = 25) -> dict:
+    """Recall + wall for the ivf_pq sizing candidates (VERDICT r14 #2):
+    the legacy fixed config (n_cells=8/nprobe=3/rerank=8, whose recall
+    decays with corpus size), the sqrt-corpus auto rule shipped as
+    ivf_pq_auto_params, and its two nearest neighbors (shallower probe
+    fraction, bigger rerank budget) — so the shipped rule is the
+    measured optimum, not a guess."""
+    import math
+    import time
+
+    from ingest_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < n_queries)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.brute_force_topk(emb, queries, k=10).collect()
+    }
+    n = emb.count()
+    root = math.isqrt(n)
+    auto = sim.ivf_pq_auto_params(n)
+    configs = {
+        "fixed_r14": (8, 3, 8),
+        "auto": auto,
+        "auto_probe4": (auto[0], max(3, -(-auto[0] // 4)), auto[2]),
+        "auto_rerank_lo": (auto[0], auto[1], max(8, root // 4)),
+    }
+    out = {"n_corpus": n, "auto_params": list(auto)}
+    for name, (cells, probe, rerank) in configs.items():
+        t0 = time.time()
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in sim.ivf_pq_topk(
+                emb, queries, k=10, n_cells=cells, nprobe=probe,
+                m=8, codebook_k=16, rerank_factor=rerank,
+            ).collect()
+        }
+        out[name] = {
+            "cells": cells, "nprobe": probe, "rerank": rerank,
+            "recall": round(len(exact & got) / len(exact), 4),
+            "wall_sec": round(time.time() - t0, 1),
+        }
+    return out
+
+
 def main() -> None:
     sf_dirs = sys.argv[1:] or [
         "/root/testdata/sf0.001",
@@ -113,7 +158,21 @@ def main() -> None:
 
     spark = get_spark()
     grid_only = os.environ.get("ANN_GRID_ONLY") == "1"
+    ivf_pq_only = os.environ.get("ANN_IVF_PQ_GRID_ONLY") == "1"
     for sf_dir in sf_dirs:
+        if ivf_pq_only:
+            grid, gwall = timed(lambda: measure_ivf_pq_grid(spark, sf_dir))
+            record(
+                {
+                    "op": "ivf_pq_auto_grid",
+                    "params": {"sf_dir": sf_dir, "n_queries": 25, "k": 10,
+                               "m": 8, "codebook_k": 16},
+                    "wall_sec": gwall,
+                    "checksum": grid,
+                }
+            )
+            print(f"{sf_dir} ivf_pq grid: {grid}")
+            continue
         if not grid_only:
             out, wall = timed(lambda: measure(spark, sf_dir))
             n = out.pop("n_exact")
