@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ingest_spark.schemas.avsc import avsc_to_struct, normalize_avsc
+from ingest_spark.schemas.avsc import avsc_to_struct, normalize_avsc, resolve_named_types
 
 # ------------------------------------------------------------ primitives
 
@@ -88,7 +88,10 @@ def _parse(schema: dict | str) -> dict:
         schema = json.loads(schema)
     if schema.get("type") != "record":
         raise ValueError("top-level avro schema must be a record")
-    return normalize_avsc(schema)
+    # named-type references are inlined here (r15) so the encode/
+    # decode hot paths and schema resolution never see a bare name —
+    # loader and codec now agree on what a legal contract is
+    return resolve_named_types(normalize_avsc(schema))
 
 
 # date/timestamp logical types and their REQUIRED physical carriers

