@@ -232,19 +232,76 @@ def _load_avsc_cached(path: str, _mtime_ns: int) -> dict:
         return json.load(fh)
 
 
+def _spark_type_to_avro(dt: T.DataType, path: str) -> Any:
+    """Spark type -> avro type for contract export — the inverse of
+    ``_avro_type_to_spark`` over the loader's full supported surface
+    (r15: was primitives-only while the loader/codec accepted arrays,
+    maps, nested records, decimals, and temporals — publish-out
+    couldn't round-trip what read-in accepted)."""
+    base = _REVERSE.get(repr(dt))
+    if base is not None:
+        return base
+    if isinstance(dt, T.ArrayType):
+        item = _spark_type_to_avro(dt.elementType, f"{path}[]")
+        return {
+            "type": "array",
+            "items": ["null", item] if dt.containsNull else item,
+        }
+    if isinstance(dt, T.MapType):
+        if not isinstance(dt.keyType, T.StringType):
+            raise ValueError(
+                f"{path}: avro maps require string keys, got {dt.keyType}"
+            )
+        val = _spark_type_to_avro(dt.valueType, f"{path}{{}}")
+        return {
+            "type": "map",
+            "values": ["null", val] if dt.valueContainsNull else val,
+        }
+    if isinstance(dt, T.StructType):
+        # nested record: name derived from the field path (unique per
+        # position — avro requires distinct record names per document)
+        rec_name = "".join(p.capitalize() or "_" for p in path.split(".") if p)
+        return {
+            "type": "record",
+            "name": rec_name,
+            "fields": _avsc_fields(dt, path),
+        }
+    if isinstance(dt, T.DecimalType):
+        return {
+            "type": "bytes",
+            "logicalType": "decimal",
+            "precision": dt.precision,
+            "scale": dt.scale,
+        }
+    if isinstance(dt, T.DateType):
+        return {"type": "int", "logicalType": "date"}
+    if isinstance(dt, T.TimestampType):
+        return {"type": "long", "logicalType": "timestamp-micros"}
+    raise ValueError(f"unsupported spark type for avsc export: {dt} at {path}")
+
+
+def _avsc_fields(struct: T.StructType, path: str) -> list[dict]:
+    fields: list[dict] = []
+    for f in struct.fields:
+        t = _spark_type_to_avro(f.dataType, f"{path}.{f.name}")
+        if f.nullable:
+            fields.append({"name": f.name, "type": ["null", t], "default": None})
+        else:
+            fields.append({"name": f.name, "type": t})
+    return fields
+
+
 def struct_to_avsc(struct: T.StructType, name: str, namespace: str = "ingest_spark") -> dict:
     """StructType -> .avsc record (nullable -> [null, T] with null
-    default), for publishing contracts outward."""
-    fields = []
-    for f in struct.fields:
-        base = _REVERSE.get(repr(f.dataType))
-        if base is None:
-            raise ValueError(f"unsupported spark type for avsc export: {f.dataType}")
-        if f.nullable:
-            fields.append({"name": f.name, "type": ["null", base], "default": None})
-        else:
-            fields.append({"name": f.name, "type": base})
-    return {"type": "record", "name": name, "namespace": namespace, "fields": fields}
+    default), for publishing contracts outward. Covers the loader's
+    full type surface; ``avsc_to_struct(struct_to_avsc(s)) == s`` for
+    every exportable StructType (tested)."""
+    return {
+        "type": "record",
+        "name": name,
+        "namespace": namespace,
+        "fields": _avsc_fields(struct, ""),
+    }
 
 
 def apply_contract(df: DataFrame, struct: T.StructType) -> DataFrame:
