@@ -391,6 +391,64 @@ def simhash_neardup_pairs(
     )
 
 
+def banded_hamming_pairs(
+    sig: DataFrame,
+    id_col: str,
+    sig_col: str,
+    num_bits: int = 64,
+    bands: int = 8,
+    max_hamming: int = 4,
+) -> DataFrame:
+    """Banded Hamming self-join over a PRECOMPUTED signature column —
+    the join stage of :func:`simhash_neardup_pairs`, factored out so
+    non-text signatures (64-bit image perceptual hashes, audio
+    fingerprints) reuse the same exact-by-pigeonhole plan: any pair
+    with < ``bands`` differing bits shares at least one identical
+    band, so for ``max_hamming < bands`` banding loses NO qualifying
+    pair at ~1/2^(num_bits/bands) of the cross-product cost. Signed
+    64-bit signatures are fine: ``shiftright`` is arithmetic but the
+    band mask strips the replicated sign bits, and ``bit_count(xor)``
+    is sign-agnostic."""
+    assert num_bits % bands == 0
+    assert max_hamming < bands, "banding is only exact for max_hamming < bands"
+    width = num_bits // bands
+    mask = (1 << width) - 1
+    # pinned before the self-join so the signature computation runs
+    # once, not once per side (see minhash_lsh_candidates)
+    banded = sig.select(
+        F.col(id_col),
+        F.col(sig_col).alias("__sig"),
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit(f"{b}:"),
+                        F.shiftright(F.col(sig_col), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .cast("string"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__bucket"),
+    ).localCheckpoint()
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.__bucket") == F.col("b.__bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming64(F.col("a.__sig"), F.col("b.__sig")).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",

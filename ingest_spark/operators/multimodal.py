@@ -638,3 +638,148 @@ def audio_spectral_features(df: DataFrame, n_bands: int = AUDIO_FEAT_DIM) -> Dat
         ]
     )
     return df.select("doc_id", "payload").mapInPandas(run, schema)
+
+
+# ------------------------------------------------- image perceptual hash
+
+# Canonical dHash grid: 9 columns x 8 rows -> 8x8 adjacent-column
+# comparisons = a 64-bit signature (Krawetz's difference hash, the
+# standard cheap perceptual fingerprint for image dedup at corpus
+# scale — LAION-style pipelines dedup pretraining images exactly this
+# way before any embedding model runs).
+DHASH_W, DHASH_H = 9, 8
+
+# Synthetic-fixture constants (attach_image_payload): every pixel is a
+# closed-form function of the id so a SQL oracle can recompute the
+# hash without decoding a BMP. 97 base patterns (near-dup cluster
+# key), 241 grey levels (prime, so the +128 perturbation never aliases
+# back onto the base value).
+_DHASH_BASES = 97
+_DHASH_LEVELS = 241
+
+
+def _image_pixel_value(doc_id: int, x: int, y: int) -> int:
+    """Closed-form grey value of fixture pixel (x, y) for ``doc_id`` —
+    the single source of truth shared by the synthesizer, the pytest
+    reference, and (transcribed) the DuckDB oracle."""
+    p = ((doc_id % _DHASH_BASES) * 41 + x * 23 + y * 7) % _DHASH_LEVELS
+    if y * DHASH_W + x == doc_id % (DHASH_W * DHASH_H):
+        p = (p + 128) % _DHASH_LEVELS
+    return p
+
+
+def attach_image_payload(df: DataFrame, id_col: str) -> DataFrame:
+    """Synthesize a REAL 24-bit BMP per row whose 9x8 greyscale pixels
+    are closed-form in the id: docs sharing ``id % 97`` render the
+    same base pattern, and each doc perturbs exactly ONE pixel
+    (position ``id % 72``, value +128 mod 241) — so same-base docs are
+    planted near-duplicates (their dHashes differ in at most 4 bits:
+    each perturbed pixel touches its own and its left neighbour's
+    comparison) while different bases diverge. Encoding runs
+    distributed over Arrow batches through the real BMP writer, so the
+    downstream hash can only be right if the decode is real."""
+    import numpy as np
+
+    from ingest_spark.operators.media_codecs import encode_bmp
+
+    src = df.select(F.col(id_col).alias("doc_id"))
+    n_px = DHASH_W * DHASH_H
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pos = np.arange(n_px, dtype=np.int64)
+        xs, ys = pos % DHASH_W, pos // DHASH_W
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            grey = (
+                (ids % _DHASH_BASES)[:, None] * 41 + xs[None, :] * 23 + ys[None, :] * 7
+            ) % _DHASH_LEVELS
+            rows = np.arange(len(ids))
+            pert = ids % n_px
+            grey[rows, pert] = (grey[rows, pert] + 128) % _DHASH_LEVELS
+            rgb = np.repeat(grey.astype(np.uint8), 3, axis=1)
+            payloads = [
+                encode_bmp(DHASH_W, DHASH_H, row.tobytes()) for row in rgb
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "image_bmp": payloads})
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("image_bmp", T.BinaryType()),
+        ]
+    )
+    return src.mapInPandas(run, schema)
+
+
+def _dhash_from_grey(grid) -> int:
+    """9x8 grey grid -> signed 64-bit dHash (two's complement, so bit
+    63 lands where Spark longs and DuckDB BIGINTs both put it)."""
+    import numpy as np
+
+    bits = (grid[:, 1:] > grid[:, :-1]).astype(np.uint64)  # (8, 8): y, x
+    weights = np.uint64(1) << (
+        np.arange(DHASH_H, dtype=np.uint64)[:, None] * np.uint64(8)
+        + np.arange(DHASH_W - 1, dtype=np.uint64)[None, :]
+    )
+    return int((bits * weights).sum(dtype=np.uint64).view(np.int64))
+
+
+def _area_resample(grey, out_h: int, out_w: int):
+    """Area-average a (h, w) grey array onto (out_h, out_w): bin
+    boundaries at floor(i*h/out_h) — identity when sizes already
+    match, exact block mean for integer multiples, well-defined for
+    everything else. This is the 'resize' front half of dHash."""
+    import numpy as np
+
+    h, w = grey.shape
+    if (h, w) == (out_h, out_w):
+        return grey
+    ye = (np.arange(out_h + 1) * h) // out_h
+    xe = (np.arange(out_w + 1) * w) // out_w
+    out = np.empty((out_h, out_w), dtype=np.float64)
+    for yy in range(out_h):
+        band = grey[ye[yy] : ye[yy + 1]]
+        for xx in range(out_w):
+            out[yy, xx] = band[:, xe[xx] : xe[xx + 1]].mean()
+    return out
+
+
+def image_dhash(df: DataFrame, id_col: str = "doc_id", bytes_col: str = "image_bmp") -> DataFrame:
+    """REAL decode -> perceptual hash: parse each BMP with the
+    pure-numpy decoder, grey = channel mean, area-resample to the 9x8
+    dHash grid (identity for exact-size fixtures, block mean for
+    larger images — tested), emit the 64-bit difference hash. Runs in
+    ``mapInPandas`` so one Arrow batch amortizes Python transfer;
+    undecodable payloads yield a NULL hash instead of killing the
+    task (same exception-total contract as decode_media_features)."""
+    import numpy as np
+
+    from ingest_spark.operators.media_codecs import decode_bmp
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sigs = []
+            for payload in pdf[bytes_col]:
+                try:
+                    d = decode_bmp(bytes(payload))
+                    grey = (
+                        np.frombuffer(d["pixels"], dtype=np.uint8)
+                        .reshape(d["height"], d["width"], 3)
+                        .mean(axis=2)
+                    )
+                    sigs.append(
+                        _dhash_from_grey(_area_resample(grey, DHASH_H, DHASH_W))
+                    )
+                except _CODEC_ERRORS:
+                    sigs.append(None)
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col], "dhash64": pd.Series(sigs, dtype="Int64")}
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("dhash64", T.LongType()),
+        ]
+    )
+    return df.select(F.col(id_col).alias("doc_id"), bytes_col).mapInPandas(run, schema)

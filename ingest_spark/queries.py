@@ -1714,6 +1714,96 @@ def media_decode_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_image_dhash() -> str:
+    """DuckDB transcription of the closed-form image-fixture dHash
+    (multimodal._image_pixel_value -> 64 adjacent-column comparisons).
+    Bit 63 cannot be written as a positive BIGINT literal, so its term
+    adds min-long directly — summing distinct powers of two is the
+    two's-complement assembly numpy does with a uint64 view."""
+    from ingest_spark.operators.multimodal import (
+        _DHASH_BASES as NB,
+        _DHASH_LEVELS as NL,
+        DHASH_H,
+        DHASH_W,
+    )
+
+    n_px = DHASH_W * DHASH_H
+    px = (
+        f"list_transform(range({n_px}), i -> "
+        f"CASE WHEN i = doc_id % {n_px} "
+        f"THEN ((((doc_id % {NB}) * 41 + (i % {DHASH_W}) * 23 + (i // {DHASH_W}) * 7) % {NL}) + 128) % {NL} "
+        f"ELSE (((doc_id % {NB}) * 41 + (i % {DHASH_W}) * 23 + (i // {DHASH_W}) * 7) % {NL}) END)"
+    )
+    terms = []
+    for y in range(DHASH_H):
+        for x in range(DHASH_W - 1):
+            bit = y * 8 + x
+            a = y * DHASH_W + x + 1  # 1-based list index of p(x, y)
+            val = (
+                "(-9223372036854775807 - 1)"
+                if bit == 63
+                else f"CAST({1 << bit} AS BIGINT)"
+            )
+            terms.append(
+                f"(CASE WHEN p[{a + 1}] > p[{a}] THEN {val} ELSE CAST(0 AS BIGINT) END)"
+            )
+    return (
+        f"SELECT doc_id, ({' + '.join(terms)}) AS dhash64 "
+        f"FROM (SELECT doc_id, {px} AS p FROM documents)"
+    )
+
+
+@q("image_dhash_signatures", _sql_image_dhash())
+def image_dhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5xE2: image perceptual hash (dHash) — synthesize a real 24-bit
+    BMP per doc (9x8 greyscale, pixels closed-form in doc_id), decode
+    it with the pure-numpy BMP parser, area-resample to the dHash
+    grid, and emit the 64-bit difference hash. The oracle recomputes
+    the hash from the pixel formula alone, so a hash match proves the
+    encode -> decode -> resample -> hash chain end-to-end (the
+    multimodal_media_decode proof pattern, extended from scalar pixel
+    stats to a full perceptual fingerprint)."""
+    docs = load_table(spark, sf_dir, "documents")
+    imgs = multimodal.attach_image_payload(docs, "doc_id")
+    return multimodal.image_dhash(imgs)
+
+
+@q(
+    "image_dhash_neardup",
+    f"""
+    WITH sig AS ({_sql_image_dhash()}),
+    banded AS (
+      SELECT doc_id, dhash64,
+             unnest([
+               '0:' || ((dhash64 >> 0) & 255),  '1:' || ((dhash64 >> 8) & 255),
+               '2:' || ((dhash64 >> 16) & 255), '3:' || ((dhash64 >> 24) & 255),
+               '4:' || ((dhash64 >> 32) & 255), '5:' || ((dhash64 >> 40) & 255),
+               '6:' || ((dhash64 >> 48) & 255), '7:' || ((dhash64 >> 56) & 255)]) AS bucket
+      FROM sig)
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.dhash64, b.dhash64)) AS INT) AS hamming
+    FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.dhash64, b.dhash64)) <= 4
+    """,
+)
+def image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5xE2: image near-dup pairs — the pretraining image-dedup step
+    (LAION-style): dHash each decoded image, then the banded Hamming
+    self-join (8 bands x 8 bits over the 64-bit signature). With
+    max_hamming=4 < 8 bands, pigeonhole guarantees ZERO recall loss vs
+    the n^2 cross product; the fixtures plant same-base docs within 4
+    bits of each other (one perturbed pixel per doc touches at most 2
+    comparisons), so every same-base pair is recovered exactly. At
+    100 TB the plan is the text-SimHash plan: candidates meet only
+    inside 256-way band buckets — no all-pairs stage anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    imgs = multimodal.attach_image_payload(docs, "doc_id")
+    sig = multimodal.image_dhash(imgs)
+    return dedup.banded_hamming_pairs(
+        sig, "doc_id", "dhash64", num_bits=64, bands=8, max_hamming=4
+    )
+
+
 # ============================================================ E4/E6 round 2
 
 

@@ -1337,3 +1337,147 @@ def test_mjpeg_avi_rejects_corruption():
             decode_avi_mjpeg_frames(bytes(mutated))
         except _CODEC_ERRORS:
             pass  # expected class: dispatchable decode errors only
+
+
+# ------------------------------------------------- image dHash (r15)
+
+
+def test_dhash_reference_parity():
+    """The decode->resample->hash chain reproduces the closed-form
+    signature for a handful of ids (pure-python reference, no Spark)."""
+    import numpy as np
+
+    from ingest_spark.operators.media_codecs import decode_bmp, encode_bmp
+    from ingest_spark.operators.multimodal import (
+        DHASH_H,
+        DHASH_W,
+        _area_resample,
+        _dhash_from_grey,
+        _image_pixel_value,
+    )
+
+    for doc_id in (0, 1, 71, 96, 97, 168, 499):
+        px = bytes(
+            v
+            for y in range(DHASH_H)
+            for x in range(DHASH_W)
+            for v in (_image_pixel_value(doc_id, x, y),) * 3
+        )
+        d = decode_bmp(encode_bmp(DHASH_W, DHASH_H, px))
+        grey = (
+            np.frombuffer(d["pixels"], dtype=np.uint8)
+            .reshape(DHASH_H, DHASH_W, 3)
+            .mean(axis=2)
+        )
+        sig = _dhash_from_grey(_area_resample(grey, DHASH_H, DHASH_W))
+        ref_grid = np.array(
+            [
+                [_image_pixel_value(doc_id, x, y) for x in range(DHASH_W)]
+                for y in range(DHASH_H)
+            ],
+            dtype=np.float64,
+        )
+        assert sig == _dhash_from_grey(ref_grid)
+        # signatures are genuinely 64-bit: bit 63 must be exercised by
+        # SOME id in the fixture family (two's complement -> negative)
+    sigs = [
+        _dhash_from_grey(
+            np.array(
+                [
+                    [_image_pixel_value(i, x, y) for x in range(DHASH_W)]
+                    for y in range(DHASH_H)
+                ],
+                dtype=np.float64,
+            )
+        )
+        for i in range(500)
+    ]
+    assert any(s < 0 for s in sigs), "bit 63 never set — sign path untested"
+
+
+def test_dhash_resize_block_mean():
+    """A 2x-upscaled (18x16) image area-resamples back to the exact
+    9x8 grid, so its dHash equals the original's — the resize front
+    half of dHash is real, not fixture-sized-only."""
+    import numpy as np
+
+    from ingest_spark.operators.media_codecs import decode_bmp, encode_bmp
+    from ingest_spark.operators.multimodal import (
+        DHASH_H,
+        DHASH_W,
+        _area_resample,
+        _dhash_from_grey,
+        _image_pixel_value,
+    )
+
+    doc_id = 42
+    grid = np.array(
+        [
+            [_image_pixel_value(doc_id, x, y) for x in range(DHASH_W)]
+            for y in range(DHASH_H)
+        ],
+        dtype=np.uint8,
+    )
+    big = np.repeat(np.repeat(grid, 2, axis=0), 2, axis=1)  # 16 x 18
+    px = np.repeat(big.reshape(-1, 1), 3, axis=1).tobytes()
+    d = decode_bmp(encode_bmp(DHASH_W * 2, DHASH_H * 2, px))
+    grey = (
+        np.frombuffer(d["pixels"], dtype=np.uint8)
+        .reshape(DHASH_H * 2, DHASH_W * 2, 3)
+        .mean(axis=2)
+    )
+    assert _dhash_from_grey(_area_resample(grey, DHASH_H, DHASH_W)) == _dhash_from_grey(
+        grid.astype(np.float64)
+    )
+    # non-multiple sizes are well-defined too (no crash, stable value)
+    odd = _area_resample(grey[:13, :11], DHASH_H, DHASH_W)
+    assert odd.shape == (DHASH_H, DHASH_W)
+
+
+def test_image_dhash_spark_and_banding_exactness(spark):
+    """End-to-end on a Spark frame: synthesized BMPs -> real decode ->
+    dHash; banded pairs (8 bands, max_hamming=4) == brute-force pairs
+    (pigeonhole exactness); corrupt payloads yield NULL hashes, never
+    task failures."""
+    import pyspark.sql.functions as F
+
+    from ingest_spark.operators import dedup, multimodal
+
+    docs = spark.range(0, 300).select(F.col("id").alias("doc_id"))
+    imgs = multimodal.attach_image_payload(docs, "doc_id")
+    sig = multimodal.image_dhash(imgs)
+    rows = {r.doc_id: r.dhash64 for r in sig.collect()}
+    assert len(rows) == 300 and all(v is not None for v in rows.values())
+
+    banded = dedup.banded_hamming_pairs(
+        sig, "doc_id", "dhash64", num_bits=64, bands=8, max_hamming=4
+    )
+    got = {(r.id_a, r.id_b, r.hamming) for r in banded.collect()}
+    ids = sorted(rows)
+
+    def ham(a: int, b: int) -> int:
+        # python ints are signed-infinite: mask xor to 64 bits first
+        return bin((rows[a] ^ rows[b]) & ((1 << 64) - 1)).count("1")
+
+    brute = {
+        (a, b, ham(a, b))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if ham(a, b) <= 4
+    }
+    assert got == brute and len(brute) > 0
+    # same-base planted near-dups (one perturbed pixel each -> <= 4
+    # differing bits) are ALL within threshold and so all recovered
+    planted = [(a, a + 97) for a in range(300 - 97)]
+    assert all(ham(a, b) <= 4 for a, b in planted)
+    assert all(any(p[0] == a and p[1] == b for p in brute) for a, b in planted)
+
+    # corrupt payload -> NULL hash, not an exception
+    bad = imgs.withColumn(
+        "image_bmp",
+        F.when(F.col("doc_id") == 0, F.expr("substring(image_bmp, 1, 10)")).otherwise(
+            F.col("image_bmp")
+        ),
+    )
+    bad_rows = {r.doc_id: r.dhash64 for r in multimodal.image_dhash(bad).collect()}
+    assert bad_rows[0] is None and bad_rows[1] == rows[1]
