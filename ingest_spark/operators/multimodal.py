@@ -661,8 +661,13 @@ _DHASH_LEVELS = 241
 def _image_pixel_value(doc_id: int, x: int, y: int) -> int:
     """Closed-form grey value of fixture pixel (x, y) for ``doc_id`` —
     the single source of truth shared by the synthesizer, the pytest
-    reference, and (transcribed) the DuckDB oracle."""
-    p = ((doc_id % _DHASH_BASES) * 41 + x * 23 + y * 7) % _DHASH_LEVELS
+    reference, and (transcribed) the DuckDB oracle. The x-gradient
+    step is 23*(base+1) mod 241 — DISTINCT per base (241 prime), so
+    different bases produce genuinely divergent comparison patterns
+    (a constant step would make every base near-collide: the bits
+    would differ only at wraparound positions)."""
+    b = doc_id % _DHASH_BASES
+    p = ((b + 1) * 23 * x + b * 41 + y * 7) % _DHASH_LEVELS
     if y * DHASH_W + x == doc_id % (DHASH_W * DHASH_H):
         p = (p + 128) % _DHASH_LEVELS
     return p
@@ -690,8 +695,9 @@ def attach_image_payload(df: DataFrame, id_col: str) -> DataFrame:
         xs, ys = pos % DHASH_W, pos // DHASH_W
         for pdf in batches:
             ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            b = (ids % _DHASH_BASES)[:, None]
             grey = (
-                (ids % _DHASH_BASES)[:, None] * 41 + xs[None, :] * 23 + ys[None, :] * 7
+                (b + 1) * 23 * xs[None, :] + b * 41 + ys[None, :] * 7
             ) % _DHASH_LEVELS
             rows = np.arange(len(ids))
             pert = ids % n_px
@@ -780,6 +786,100 @@ def image_dhash(df: DataFrame, id_col: str = "doc_id", bytes_col: str = "image_b
         [
             T.StructField("doc_id", T.LongType(), False),
             T.StructField("dhash64", T.LongType()),
+        ]
+    )
+    return df.select(F.col(id_col).alias("doc_id"), bytes_col).mapInPandas(run, schema)
+
+
+# --------------------------------------------- audio sign-delta fingerprint
+
+# 65 PCM samples -> 64 adjacent-sample comparisons = a 64-bit
+# fingerprint. Sign-of-delta bits are the Chromaprint primitive
+# (acoustid computes them over filterbank energies; here they run over
+# the decoded time-domain envelope — same bit algebra, same banded
+# join downstream, and the one form a SQL oracle can recompute).
+AUDIO_FP_SAMPLES = 65
+
+_AUDIO_BASES = 89  # near-dup cluster key: docs sharing id % 89
+_AUDIO_LEVELS = 997  # prime sample-value modulus
+
+
+def _audio_sample_value(doc_id: int, t: int) -> int:
+    """Closed-form PCM sample ``t`` for ``doc_id`` — shared by the
+    synthesizer, the pytest reference, and the DuckDB oracle. The
+    per-sample step is 17*(base+1) mod 997 — distinct per base, so
+    different bases' sign-of-delta patterns genuinely diverge."""
+    b = doc_id % _AUDIO_BASES
+    s = ((b + 1) * 17 * t + b * 53) % _AUDIO_LEVELS
+    if t == doc_id % AUDIO_FP_SAMPLES:
+        s = (s + 499) % _AUDIO_LEVELS
+    return s
+
+
+def attach_audio_payload(df: DataFrame, id_col: str) -> DataFrame:
+    """Synthesize a REAL mono 16-bit WAV per row whose 65 samples are
+    closed-form in the id: docs sharing ``id % 89`` carry the same
+    base signal, and each doc perturbs exactly ONE sample (position
+    ``id % 65``, +499 mod 997) — planted near-duplicates whose
+    fingerprints differ in at most 4 bits (each perturbed sample
+    touches its own and the preceding delta). Encoding runs
+    distributed through the real WAV writer."""
+    from ingest_spark.operators.media_codecs import encode_wav
+
+    src = df.select(F.col(id_col).alias("doc_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_wav(
+                    [_audio_sample_value(int(i), t) for t in range(AUDIO_FP_SAMPLES)],
+                    sample_rate=8000,
+                )
+                for i in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "audio_wav": payloads})
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("audio_wav", T.BinaryType()),
+        ]
+    )
+    return src.mapInPandas(run, schema)
+
+
+def audio_fingerprint(df: DataFrame, id_col: str = "doc_id", bytes_col: str = "audio_wav") -> DataFrame:
+    """REAL decode -> fingerprint: parse each WAV with the stdlib
+    codec, take the first 65 samples, emit the 64-bit sign-of-delta
+    hash (bit t set iff sample[t+1] > sample[t] — two's complement, so
+    bit 63 matches Spark longs and DuckDB BIGINTs). Shorter clips
+    hash their available deltas; undecodable payloads yield NULL."""
+    import numpy as np
+
+    from ingest_spark.operators.media_codecs import decode_wav
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sigs = []
+            for payload in pdf[bytes_col]:
+                try:
+                    s = np.asarray(
+                        decode_wav(bytes(payload))["samples"][:AUDIO_FP_SAMPLES],
+                        dtype=np.float64,
+                    )
+                    bits = (s[1:] > s[:-1]).astype(np.uint64)
+                    weights = np.uint64(1) << np.arange(len(bits), dtype=np.uint64)
+                    sigs.append(int((bits * weights).sum(dtype=np.uint64).view(np.int64)))
+                except _CODEC_ERRORS:
+                    sigs.append(None)
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col], "audiofp64": pd.Series(sigs, dtype="Int64")}
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("audiofp64", T.LongType()),
         ]
     )
     return df.select(F.col(id_col).alias("doc_id"), bytes_col).mapInPandas(run, schema)

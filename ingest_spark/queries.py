@@ -1728,11 +1728,15 @@ def _sql_image_dhash() -> str:
     )
 
     n_px = DHASH_W * DHASH_H
+    base_px = (
+        f"(((doc_id % {NB}) + 1) * 23 * (i % {DHASH_W}) "
+        f"+ (doc_id % {NB}) * 41 + (i // {DHASH_W}) * 7) % {NL}"
+    )
     px = (
         f"list_transform(range({n_px}), i -> "
         f"CASE WHEN i = doc_id % {n_px} "
-        f"THEN ((((doc_id % {NB}) * 41 + (i % {DHASH_W}) * 23 + (i // {DHASH_W}) * 7) % {NL}) + 128) % {NL} "
-        f"ELSE (((doc_id % {NB}) * 41 + (i % {DHASH_W}) * 23 + (i // {DHASH_W}) * 7) % {NL}) END)"
+        f"THEN (({base_px}) + 128) % {NL} "
+        f"ELSE ({base_px}) END)"
     )
     terms = []
     for y in range(DHASH_H):
@@ -1801,6 +1805,84 @@ def image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = multimodal.image_dhash(imgs)
     return dedup.banded_hamming_pairs(
         sig, "doc_id", "dhash64", num_bits=64, bands=8, max_hamming=4
+    )
+
+
+def _sql_audio_fp() -> str:
+    """DuckDB transcription of the closed-form audio-fixture
+    fingerprint (multimodal._audio_sample_value -> 64 sign-of-delta
+    bits); bit 63's term adds min-long, as in _sql_image_dhash."""
+    from ingest_spark.operators.multimodal import (
+        _AUDIO_BASES as NB,
+        _AUDIO_LEVELS as NL,
+        AUDIO_FP_SAMPLES as NS,
+    )
+
+    base_s = f"(((doc_id % {NB}) + 1) * 17 * t + (doc_id % {NB}) * 53) % {NL}"
+    sx = (
+        f"list_transform(range({NS}), t -> "
+        f"CASE WHEN t = doc_id % {NS} "
+        f"THEN (({base_s}) + 499) % {NL} "
+        f"ELSE ({base_s}) END)"
+    )
+    terms = []
+    for bit in range(NS - 1):
+        val = (
+            "(-9223372036854775807 - 1)"
+            if bit == 63
+            else f"CAST({1 << bit} AS BIGINT)"
+        )
+        terms.append(
+            f"(CASE WHEN s[{bit + 2}] > s[{bit + 1}] THEN {val} ELSE CAST(0 AS BIGINT) END)"
+        )
+    return (
+        f"SELECT doc_id, ({' + '.join(terms)}) AS audiofp64 "
+        f"FROM (SELECT doc_id, {sx} AS s FROM documents)"
+    )
+
+
+@q("audio_fingerprint_signatures", _sql_audio_fp())
+def audio_fingerprint_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5xE2: audio fingerprint — synthesize a real mono 16-bit WAV
+    per doc (65 closed-form samples), decode it with the stdlib RIFF
+    parser, emit the 64-bit sign-of-delta hash (the Chromaprint bit
+    primitive over the decoded envelope). The oracle recomputes the
+    fingerprint from the sample formula alone, so a hash match proves
+    encode -> decode -> fingerprint end-to-end."""
+    docs = load_table(spark, sf_dir, "documents")
+    clips = multimodal.attach_audio_payload(docs, "doc_id")
+    return multimodal.audio_fingerprint(clips)
+
+
+@q(
+    "audio_fingerprint_neardup",
+    f"""
+    WITH sig AS ({_sql_audio_fp()}),
+    banded AS (
+      SELECT doc_id, audiofp64,
+             unnest([
+               '0:' || ((audiofp64 >> 0) & 255),  '1:' || ((audiofp64 >> 8) & 255),
+               '2:' || ((audiofp64 >> 16) & 255), '3:' || ((audiofp64 >> 24) & 255),
+               '4:' || ((audiofp64 >> 32) & 255), '5:' || ((audiofp64 >> 40) & 255),
+               '6:' || ((audiofp64 >> 48) & 255), '7:' || ((audiofp64 >> 56) & 255)]) AS bucket
+      FROM sig)
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.audiofp64, b.audiofp64)) AS INT) AS hamming
+    FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.audiofp64, b.audiofp64)) <= 4
+    """,
+)
+def audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5xE2: audio near-dup pairs — decoded-WAV fingerprints through
+    the same banded Hamming join as image dHash (8 bands x 8 bits,
+    max_hamming=4 < 8 -> pigeonhole-exact). Same-base docs (one
+    perturbed sample each) sit within 4 bits and are all recovered;
+    at scale candidates meet only inside band buckets."""
+    docs = load_table(spark, sf_dir, "documents")
+    clips = multimodal.attach_audio_payload(docs, "doc_id")
+    sig = multimodal.audio_fingerprint(clips)
+    return dedup.banded_hamming_pairs(
+        sig, "doc_id", "audiofp64", num_bits=64, bands=8, max_hamming=4
     )
 
 

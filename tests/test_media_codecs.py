@@ -1481,3 +1481,67 @@ def test_image_dhash_spark_and_banding_exactness(spark):
     )
     bad_rows = {r.doc_id: r.dhash64 for r in multimodal.image_dhash(bad).collect()}
     assert bad_rows[0] is None and bad_rows[1] == rows[1]
+
+
+def test_audio_fingerprint_spark_and_banding(spark):
+    """Audio analog of the dHash test: synthesized WAVs -> real RIFF
+    decode -> sign-of-delta fingerprint; banded pairs == brute force;
+    planted same-base pairs all recovered; corrupt payloads -> NULL."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from ingest_spark.operators import dedup, multimodal
+    from ingest_spark.operators.multimodal import (
+        AUDIO_FP_SAMPLES,
+        _audio_sample_value,
+    )
+
+    docs = spark.range(0, 280).select(F.col("id").alias("doc_id"))
+    clips = multimodal.attach_audio_payload(docs, "doc_id")
+    sig = multimodal.audio_fingerprint(clips)
+    rows = {r.doc_id: r.audiofp64 for r in sig.collect()}
+    assert len(rows) == 280 and all(v is not None for v in rows.values())
+
+    # pure-python reference parity for a few ids
+    for doc_id in (0, 1, 88, 89, 177, 279):
+        s = np.array(
+            [_audio_sample_value(doc_id, t) for t in range(AUDIO_FP_SAMPLES)],
+            dtype=np.float64,
+        )
+        bits = (s[1:] > s[:-1]).astype(np.uint64)
+        ref = int(
+            (bits * (np.uint64(1) << np.arange(64, dtype=np.uint64))).sum(
+                dtype=np.uint64
+            ).view(np.int64)
+        )
+        assert rows[doc_id] == ref
+
+    def ham(a: int, b: int) -> int:
+        return bin((rows[a] ^ rows[b]) & ((1 << 64) - 1)).count("1")
+
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.banded_hamming_pairs(
+            sig, "doc_id", "audiofp64", num_bits=64, bands=8, max_hamming=4
+        ).collect()
+    }
+    ids = sorted(rows)
+    brute = {
+        (a, b, ham(a, b))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if ham(a, b) <= 4
+    }
+    assert got == brute and len(brute) > 0
+    planted = [(a, a + 89) for a in range(280 - 89)]
+    assert all(ham(a, b) <= 4 for a, b in planted)
+    assert all(any(p[0] == a and p[1] == b for p in brute) for a, b in planted)
+
+    bad = clips.withColumn(
+        "audio_wav",
+        F.when(F.col("doc_id") == 0, F.expr("substring(audio_wav, 1, 6)")).otherwise(
+            F.col("audio_wav")
+        ),
+    )
+    bad_rows = {r.doc_id: r.audiofp64 for r in multimodal.audio_fingerprint(bad).collect()}
+    assert bad_rows[0] is None and bad_rows[1] == rows[1]
