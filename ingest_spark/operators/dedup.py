@@ -787,3 +787,150 @@ def salted_dup_flags(
         .unionByName(step1.filter(heavy).select("__id", F.lit(True).alias("is_dup")))
         .withColumnRenamed("__id", id_col)
     )
+
+
+def dup_gram_doubling_profile(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    base_l: int = 10,
+    levels: int = 4,
+) -> DataFrame:
+    """Longest-duplicated-passage profile via PREFIX DOUBLING — the
+    suffix-array construction technique (Manber–Myers), distributed.
+
+    ``exact_substring_spans`` answers the fixed-L question (which
+    10-word windows are duplicated) and is measured at its
+    architectural floor for that contract (PLANS.md r14: every exact
+    fixed-L algorithm must globally count all positional grams once —
+    a suffix array cannot reduce that single exchange, only add log n
+    sort rounds on top). What the suffix array EXISTS for is the
+    variable-length question — how LONG is each doc's longest
+    duplicated passage — and its core trick ports to Spark directly:
+    a 2L-gram at position p equals one at q iff their L-halves match
+    pairwise, so dup flags at length 2L derive from dup flags at
+    length L by one doc-local adjacency join (pos, pos+L) plus one
+    global count on the PAIR of L-level keys. No 2L strings are ever
+    built or shuffled — level keys are nested structs of the base
+    128-bit gram hashes (the rank-pair of Manber–Myers).
+
+    Exactness: equality at every level reduces to base-gram string
+    equality (mod the ~2^-128 hash128 collision bound shared with
+    exact_substring_spans). Candidate sets shrink monotonically —
+    dup positions at 2L are a subset of dup positions at L — so after
+    the first exchange (the same volume the fixed-L op must pay),
+    every doubling round exchanges only surviving candidates:
+    geometrically less work per level on real corpora.
+
+    Per doc, returns ``max_dup_len``: the largest ladder length
+    (base_l * 2^k, k < levels) at which the doc still holds a
+    globally-duplicated gram; 0 if even no base_l-gram repeats.
+    The ladder is a lower bound truncated to powers of two — the
+    binary-search refinement between rungs is the same join shape
+    and is omitted deliberately (the profile's consumers gate on
+    thresholds, not exact lengths)."""
+    from ingest_spark.operators.text import word_ngrams_fast
+    from ingest_spark.pinning import pin
+
+    words = F.split(text_col, " ")
+    # two-path gram scan (both yield TRUE word positions, which the
+    # doubling adjacency needs — the plain regex array index is only a
+    # word position when no multi-space gap shifts it):
+    # - fast path (docs with no empty split-token, i.e. single-spaced):
+    #   the codegen'd regex extractor; with every word start valid,
+    #   array index == word position. ~8x the interpreted builder
+    #   (word_ngrams_fast docstring; re-measured here 28.2s -> 3.7s
+    #   per sf1 scan).
+    # - slow path (multi-space docs only): positional transform+slice
+    #   builder that skips grams spanning a gap, keeping real indices.
+    has_gap = F.array_contains(words, "")
+    fast = (
+        df.filter(~has_gap)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(word_ngrams_fast(text_col, base_l)).alias("pos0", "gram"),
+        )
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).cast("long").alias("pos"),
+            hash128(F.col("gram")).alias("h"),
+        )
+    )
+    slow_grams = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(words) - (base_l - 1), F.lit(0))),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.when(
+                    ~F.exists(F.slice(words, i, base_l), lambda w: w == ""),
+                    F.array_join(F.slice(words, i, base_l), " "),
+                ).alias("gram"),
+            ),
+        ),
+        lambda s: s["gram"].isNotNull(),
+    )
+    slow = (
+        df.filter(has_gap)
+        .select(F.col(id_col).alias("doc_id"), F.explode(slow_grams).alias("g"))
+        .select(
+            "doc_id",
+            F.col("g.pos").cast("long").alias("pos"),
+            hash128(F.col("g.gram")).alias("h"),
+        )
+    )
+    pg = fast.unionByName(slow)
+
+    def _dup_only(cand: DataFrame) -> DataFrame:
+        """Keep candidates whose key occurs >= 2 times corpus-wide."""
+        freq = (
+            cand.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") >= 2)
+            .select("h")
+        )
+        return cand.join(freq, "h").select("doc_id", "pos", "h")
+
+    # level 0 pays the one unavoidable full-corpus exchange (same
+    # volume as exact_substring_spans' seed count); the pin bounds
+    # every later level to the surviving-candidate frame
+    dup = pin(_dup_only(pg))
+    hits = [
+        dup.select("doc_id").distinct().withColumn(
+            "dup_len", F.lit(base_l).cast("long")
+        )
+    ]
+    span = base_l
+    for _ in range(levels - 1):
+        a, b = dup.alias("a"), dup.alias("b")
+        cand = pin(
+            a.join(
+                b,
+                (F.col("a.doc_id") == F.col("b.doc_id"))
+                & (F.col("b.pos") == F.col("a.pos") + span),
+            ).select(
+                F.col("a.doc_id").alias("doc_id"),
+                F.col("a.pos").alias("pos"),
+                F.struct(
+                    F.col("a.h").alias("lo"), F.col("b.h").alias("hi")
+                ).alias("h"),
+            )
+        )
+        dup = pin(_dup_only(cand))
+        span *= 2
+        hits.append(
+            dup.select("doc_id").distinct().withColumn(
+                "dup_len", F.lit(span).cast("long")
+            )
+        )
+    lengths = hits[0]
+    for extra in hits[1:]:
+        lengths = lengths.unionByName(extra)
+    prof = lengths.groupBy("doc_id").agg(F.max("dup_len").alias("max_dup_len"))
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(prof, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("max_dup_len", F.lit(0).cast("long")).alias("max_dup_len"),
+        )
+    )

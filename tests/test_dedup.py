@@ -344,3 +344,43 @@ def test_salted_dup_flags_rejects_bad_params(spark):
         dedup.salted_dup_flags(df, "key", "doc_id", cap=1)
     with pytest.raises(ValueError, match="salt"):
         dedup.salted_dup_flags(df, "key", "doc_id", salt=0)
+
+
+def test_dup_gram_doubling_profile_planted(spark):
+    """Prefix-doubling profile on a planted corpus: the reported
+    ladder length is the largest power-of-two rung <= the longest
+    shared passage, intra-doc repeats count, and clean docs report 0."""
+    from ingest_spark.operators.dedup import dup_gram_doubling_profile
+
+    def words(prefix, n):
+        return [f"{prefix}{i}" for i in range(n)]
+
+    shared40 = words("s", 40)
+    shared25 = words("t", 25)
+    shared12 = words("u", 12)
+    shared9 = words("v", 9)
+    rep10 = words("r", 10)
+    docs = [
+        (1, " ".join(words("a", 30) + shared40 + words("b", 30))),
+        (2, " ".join(words("c", 5) + shared40 + words("d", 55))),
+        (3, " ".join(words("e", 20) + shared25 + words("f", 20))),
+        (4, " ".join(shared25 + words("g", 40))),
+        (5, " ".join(words("h", 3) + shared12 + words("i", 50))),
+        (6, " ".join(words("j", 50) + shared12)),
+        (7, " ".join(words("k", 30) + shared9 + words("l", 30))),
+        (8, " ".join(shared9 + words("m", 60))),
+        (9, " ".join(rep10 + words("n", 7) + rep10 + words("o", 40))),
+        (10, " ".join(words("p", 80))),
+        # multi-space docs take the slow positional path: grams never
+        # span the double-space gap, but the single-spaced shared
+        # passage after it still dups (and word positions stay true)
+        (11, " ".join(words("q", 15)) + "  " + " ".join(shared12 + words("w", 20))),
+        (12, " ".join(words("x", 9) + shared12)),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: r.max_dup_len
+        for r in dup_gram_doubling_profile(df, "doc_id", "text").collect()
+    }
+    assert got == {1: 40, 2: 40, 3: 20, 4: 20, 5: 10, 6: 10,
+                   7: 0, 8: 0, 9: 10, 10: 0, 11: 10, 12: 10}
