@@ -883,3 +883,202 @@ def audio_fingerprint(df: DataFrame, id_col: str = "doc_id", bytes_col: str = "a
         ]
     )
     return df.select(F.col(id_col).alias("doc_id"), bytes_col).mapInPandas(run, schema)
+
+
+# --------------------------------------------------- video clip dHash
+
+# 4-frame MJPEG clips; each frame is a 9x8 grid of 8x8-px constant
+# tiles (72x64 px — the minimum that keeps every JPEG MCU block
+# constant, which is what round-trips the lossy pipeline bit-exactly),
+# so area-resampling the DECODED frame to the dHash grid recovers the
+# tile values and the per-frame dHash is closed-form in the id.
+VIDEO_FRAMES = 4
+_VIDEO_BASES = 83  # near-dup cluster key: docs sharing id % 83
+
+
+def _video_tile_value(doc_id: int, frame: int, tx: int, ty: int) -> int:
+    """Closed-form tile grey for (frame, tx, ty) of ``doc_id`` —
+    shared by the synthesizer, the pytest reference, and the DuckDB
+    oracle. Per-base x-step (distinct mod 241) + a per-frame +11
+    offset (in-clip 'motion'); each doc perturbs exactly ONE tile of
+    ONE frame (+128), so same-base clips differ in at most 2 dHash
+    bits per perturbed tile -> total Hamming <= 4 across the clip."""
+    b = doc_id % _VIDEO_BASES
+    v = ((b + 1) * 23 * tx + b * 41 + ty * 7 + frame * 11) % _DHASH_LEVELS
+    n_px = DHASH_W * DHASH_H
+    if frame * n_px + ty * DHASH_W + tx == doc_id % (VIDEO_FRAMES * n_px):
+        v = (v + 128) % _DHASH_LEVELS
+    return v
+
+
+def attach_video_payload(df: DataFrame, id_col: str) -> DataFrame:
+    """Synthesize a REAL MJPEG-in-AVI per row: VIDEO_FRAMES baseline
+    JPEG frames (72x64 grey, 8x8-constant tiles closed-form in the
+    id) wrapped in a real RIFF container. Runs distributed; the
+    downstream clip hash can only be right if the RIFF walk AND the
+    per-frame entropy decode are real."""
+    import numpy as np
+
+    from ingest_spark.operators.media_codecs import encode_avi_mjpeg, encode_jpeg
+
+    src = df.select(F.col(id_col).alias("doc_id"))
+    w_px, h_px = DHASH_W * 8, DHASH_H * 8
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tx = np.arange(DHASH_W)[None, :]
+        ty = np.arange(DHASH_H)[:, None]
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                doc_id = int(i)
+                b = doc_id % _VIDEO_BASES
+                frames = []
+                for f in range(VIDEO_FRAMES):
+                    tiles = ((b + 1) * 23 * tx + b * 41 + ty * 7 + f * 11) % _DHASH_LEVELS
+                    pert = doc_id % (VIDEO_FRAMES * DHASH_W * DHASH_H)
+                    if pert // (DHASH_W * DHASH_H) == f:
+                        p = pert % (DHASH_W * DHASH_H)
+                        py, px = p // DHASH_W, p % DHASH_W
+                        tiles = tiles.copy()
+                        tiles[py, px] = (tiles[py, px] + 128) % _DHASH_LEVELS
+                    px_bytes = np.kron(tiles.astype(np.uint8), np.ones((8, 8), dtype=np.uint8)).tobytes()
+                    frames.append(encode_jpeg(w_px, h_px, px_bytes, channels=1))
+                payloads.append(encode_avi_mjpeg(w_px, h_px, frames, fps=25))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "video_avi": payloads})
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("video_avi", T.BinaryType()),
+        ]
+    )
+    return src.mapInPandas(run, schema)
+
+
+def video_dhash(df: DataFrame, id_col: str = "doc_id", bytes_col: str = "video_avi") -> DataFrame:
+    """REAL container + frame decode -> per-frame perceptual hash:
+    RIFF walk to LIST movi, entropy-decode every '00dc' JPEG frame
+    (Huffman + dequant + IDCT), area-resample each frame's grey to
+    the 9x8 dHash grid, emit one (doc_id, frame_idx, dhash64) row per
+    frame. Undecodable clips yield a single frame_idx=-1 NULL-hash
+    row (exception-total, like every media decoder here)."""
+    import numpy as np
+
+    from ingest_spark.operators.media_codecs import decode_avi_mjpeg_frames
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "frame_idx": [], "dhash64": []}
+            for i, payload in zip(pdf[id_col], pdf[bytes_col]):
+                doc_id = int(i)
+                try:
+                    _meta, frames = decode_avi_mjpeg_frames(
+                        bytes(payload) if payload else b""
+                    )
+                    for fi, fr in enumerate(frames):
+                        ch = fr.get("channels", 1) or 1
+                        grey = np.frombuffer(fr["pixels"], dtype=np.uint8).reshape(
+                            fr["height"], fr["width"], ch
+                        ).mean(axis=2)
+                        out["doc_id"].append(doc_id)
+                        out["frame_idx"].append(fi)
+                        out["dhash64"].append(
+                            _dhash_from_grey(_area_resample(grey, DHASH_H, DHASH_W))
+                        )
+                except _CODEC_ERRORS:
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(-1)
+                    out["dhash64"].append(None)
+            yield pd.DataFrame(
+                {
+                    "doc_id": out["doc_id"],
+                    "frame_idx": out["frame_idx"],
+                    "dhash64": pd.Series(out["dhash64"], dtype="Int64"),
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("dhash64", T.LongType()),
+        ]
+    )
+    return df.select(F.col(id_col).alias("doc_id"), bytes_col).mapInPandas(run, schema)
+
+
+def video_neardup_pairs(
+    sig: DataFrame, max_total_hamming: int = 4, bands: int = 8
+) -> DataFrame:
+    """Clip-level near-dup pairs from per-frame dHashes: candidates
+    meet when ANY frame shares a (frame_idx, band) bucket — for equal
+    frame counts and ``max_total_hamming < bands``, total Hamming <=
+    threshold forces every frame within ``bands-1`` bits, so every
+    frame's banding finds the pair (pigeonhole per frame, union over
+    frames -> ZERO recall loss vs the clip cross product). Total
+    Hamming is then computed exactly over the frame-aligned signature
+    vectors with ``zip_with`` + ``aggregate`` — JVM-side, no UDF.
+    Assumes frame-aligned clips of equal length (the MJPEG fixtures);
+    variable-length clips need a frame-alignment front stage first."""
+    from ingest_spark.pinning import pin
+
+    assert max_total_hamming < bands
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.col("frame_idx").cast("string"),
+                        F.lit(f":{b}:"),
+                        F.shiftright("dhash64", b * 8)
+                        .bitwiseAND(F.lit(255))
+                        .cast("string"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__bucket"),
+    )
+    vec = pin(
+        sig.groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("frame_idx", "dhash64"))).alias("fs")
+        )
+        .select(
+            "doc_id", F.transform("fs", lambda s: s["dhash64"]).alias("sigs")
+        )
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.__bucket") == F.col("b.__bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    va, vb = vec.alias("va"), vec.alias("vb")
+    return (
+        cand.join(va, F.col("id_a") == F.col("va.doc_id"))
+        .join(vb, F.col("id_b") == F.col("vb.doc_id"))
+        .select(
+            "id_a",
+            "id_b",
+            F.aggregate(
+                F.zip_with(
+                    F.col("va.sigs"),
+                    F.col("vb.sigs"),
+                    lambda x, y: F.bit_count(x.bitwiseXOR(y)),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            .cast("int")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_total_hamming)
+    )

@@ -1886,6 +1886,115 @@ def audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_video_dhash() -> str:
+    """DuckDB transcription of the closed-form per-frame clip dHash
+    (multimodal._video_tile_value over VIDEO_FRAMES frames): one
+    64-term bit block written once, with the frame index ``f`` a
+    plain column — the per-frame +11 offset and the one perturbed
+    (frame, tile) enter the tile formula, not the bit algebra."""
+    from ingest_spark.operators.multimodal import (
+        _DHASH_LEVELS as NL,
+        _VIDEO_BASES as NB,
+        DHASH_H,
+        DHASH_W,
+        VIDEO_FRAMES,
+    )
+
+    n_px = DHASH_W * DHASH_H
+    base_px = (
+        f"(((doc_id % {NB}) + 1) * 23 * (i % {DHASH_W}) "
+        f"+ (doc_id % {NB}) * 41 + (i // {DHASH_W}) * 7 + f * 11) % {NL}"
+    )
+    px = (
+        f"list_transform(range({n_px}), i -> "
+        f"CASE WHEN f * {n_px} + i = doc_id % {VIDEO_FRAMES * n_px} "
+        f"THEN (({base_px}) + 128) % {NL} "
+        f"ELSE ({base_px}) END)"
+    )
+    terms = []
+    for y in range(DHASH_H):
+        for x in range(DHASH_W - 1):
+            bit = y * 8 + x
+            a = y * DHASH_W + x + 1
+            val = (
+                "(-9223372036854775807 - 1)"
+                if bit == 63
+                else f"CAST({1 << bit} AS BIGINT)"
+            )
+            terms.append(
+                f"(CASE WHEN p[{a + 1}] > p[{a}] THEN {val} ELSE CAST(0 AS BIGINT) END)"
+            )
+    return (
+        f"SELECT doc_id, CAST(f AS INTEGER) AS frame_idx, ({' + '.join(terms)}) AS dhash64 "
+        f"FROM (SELECT doc_id, f, {px} AS p FROM documents, "
+        f"unnest(generate_series(0, {VIDEO_FRAMES - 1})) AS t(f) "
+        f"WHERE doc_id % 5 = 1)"
+    )
+
+
+@q("video_dhash_signatures", _sql_video_dhash())
+def video_dhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5xE2: video perceptual hashes — every doc_id%5==1 doc gets a
+    self-made 4-frame MJPEG-in-AVI (72x64 frames of 8x8-constant
+    tiles, values closed-form in (doc_id, frame, tile)); the engine
+    walks the real RIFF container, entropy-decodes every JPEG frame,
+    area-resamples to the 9x8 dHash grid, and emits one 64-bit hash
+    per frame. Constant MCU blocks round-trip the lossy pipeline
+    bit-exactly (the multimodal_mjpeg_frames proof), so the oracle
+    predicts every frame hash from the tile formula alone — a hash
+    match proves container walk + frame decode + resample + hash."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 1)
+    clips = multimodal.attach_video_payload(docs, "doc_id")
+    return multimodal.video_dhash(clips)
+
+
+@q(
+    "video_dhash_neardup",
+    f"""
+    WITH sig AS ({_sql_video_dhash()}),
+    banded AS (
+      SELECT doc_id, frame_idx, dhash64,
+             unnest([
+               frame_idx || ':0:' || ((dhash64 >> 0) & 255),
+               frame_idx || ':1:' || ((dhash64 >> 8) & 255),
+               frame_idx || ':2:' || ((dhash64 >> 16) & 255),
+               frame_idx || ':3:' || ((dhash64 >> 24) & 255),
+               frame_idx || ':4:' || ((dhash64 >> 32) & 255),
+               frame_idx || ':5:' || ((dhash64 >> 40) & 255),
+               frame_idx || ':6:' || ((dhash64 >> 48) & 255),
+               frame_idx || ':7:' || ((dhash64 >> 56) & 255)]) AS bucket
+      FROM sig),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+    tot AS (
+      SELECT c.id_a, c.id_b,
+             sum(bit_count(xor(sa.dhash64, sb.dhash64))) AS h
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.id_a
+      JOIN sig sb ON sb.doc_id = c.id_b AND sb.frame_idx = sa.frame_idx
+      GROUP BY c.id_a, c.id_b)
+    SELECT id_a, id_b, CAST(h AS INT) AS hamming FROM tot WHERE h <= 4
+    """,
+)
+def video_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5xE2: video clip near-dup — per-frame dHashes through a
+    (frame, band)-bucketed self-join, then EXACT clip distance as the
+    total Hamming over frame-aligned signature vectors (zip_with +
+    aggregate, JVM-side). Total <= 4 < 8 bands forces every frame
+    within 7 bits, so every frame's banding finds the pair — zero
+    recall loss vs the clip cross product (pigeonhole per frame).
+    Same-base clips (one perturbed tile each) sit within total 4 and
+    are all recovered. At scale: candidates meet only inside
+    per-frame band buckets, signatures are 4 longs per clip — the
+    payload bytes never join anything."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 1)
+    clips = multimodal.attach_video_payload(docs, "doc_id")
+    sig = multimodal.video_dhash(clips)
+    return multimodal.video_neardup_pairs(sig, max_total_hamming=4, bands=8)
+
+
 # ============================================================ E4/E6 round 2
 
 
