@@ -1808,6 +1808,52 @@ def image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "image_neardup_collapse",
+    f"""
+    WITH RECURSIVE sig AS ({_sql_image_dhash()}),
+    banded AS (
+      SELECT doc_id, dhash64,
+             unnest([
+               '0:' || ((dhash64 >> 0) & 255),  '1:' || ((dhash64 >> 8) & 255),
+               '2:' || ((dhash64 >> 16) & 255), '3:' || ((dhash64 >> 24) & 255),
+               '4:' || ((dhash64 >> 32) & 255), '5:' || ((dhash64 >> 40) & 255),
+               '6:' || ((dhash64 >> 48) & 255), '7:' || ((dhash64 >> 56) & 255)]) AS bucket
+      FROM sig),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.dhash64, b.dhash64)) <= 4),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs),
+    walk AS (
+      SELECT src AS id, src AS peer FROM edges
+      UNION
+      SELECT e.src AS id, w.peer FROM edges e JOIN walk w ON e.dst = w.id),
+    comps AS (SELECT id, min(peer) AS component FROM walk GROUP BY id)
+    SELECT d.doc_id FROM documents d LEFT JOIN comps c ON d.doc_id = c.id
+    WHERE c.id IS NULL OR d.doc_id = c.component
+    """,
+)
+def image_neardup_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5xE2 end-to-end image dedup: dHash pairs -> connected
+    components -> keep the min-id survivor per near-dup cluster
+    (the LAION-style collapse, composed from image_dhash_neardup +
+    dedup.dedup_by_components). The pairs and component map are tiny
+    relative to the corpus, so the final anti-join broadcasts at any
+    scale; the payload bytes never join anything."""
+    docs = load_table(spark, sf_dir, "documents")
+    imgs = multimodal.attach_image_payload(docs, "doc_id")
+    sig = multimodal.image_dhash(imgs)
+    pairs = dedup.banded_hamming_pairs(
+        sig, "doc_id", "dhash64", num_bits=64, bands=8, max_hamming=4
+    )
+    kept = dedup.dedup_by_components(docs, "doc_id", pairs)
+    return kept.select("doc_id")
+
+
 def _sql_audio_fp() -> str:
     """DuckDB transcription of the closed-form audio-fixture
     fingerprint (multimodal._audio_sample_value -> 64 sign-of-delta
