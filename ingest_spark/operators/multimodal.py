@@ -1065,6 +1065,10 @@ def video_neardup_pairs(
     return (
         cand.join(va, F.col("id_a") == F.col("va.doc_id"))
         .join(vb, F.col("id_b") == F.col("vb.doc_id"))
+        # unequal-length clips are never near-dups — without this,
+        # zip_with would silently truncate to the shorter clip and
+        # report a distance over the common prefix only
+        .filter(F.size(F.col("va.sigs")) == F.size(F.col("vb.sigs")))
         .select(
             "id_a",
             "id_b",

@@ -1617,3 +1617,22 @@ def test_video_dhash_spark_and_clip_banding(spark):
     bad_rows = multimodal.video_dhash(bad).filter("doc_id = 0").collect()
     assert len(bad_rows) == 1 and bad_rows[0].frame_idx == -1
     assert bad_rows[0].dhash64 is None
+
+
+def test_video_neardup_unequal_length_clips_never_pair(spark):
+    """A truncated-frame-count clip must not pair with its full-length
+    twin over the common prefix — unequal-length clips are excluded
+    before the zip_with distance."""
+    import pyspark.sql.functions as F
+
+    from ingest_spark.operators import multimodal
+
+    # doc 0 and doc 83 share a base; give doc 0 only 2 of its 4 frames
+    sig = multimodal.video_dhash(
+        multimodal.attach_video_payload(
+            spark.range(0, 180).select(F.col("id").alias("doc_id")), "doc_id"
+        )
+    ).filter("NOT (doc_id = 0 AND frame_idx >= 2)")
+    pairs = multimodal.video_neardup_pairs(sig, max_total_hamming=4).collect()
+    assert all(r.id_a != 0 and r.id_b != 0 for r in pairs)
+    assert len(pairs) > 0  # the untouched planted pairs still pair
