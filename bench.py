@@ -104,6 +104,14 @@ HEADLINE = [
     # and the real MJPEG-in-AVI frame decode composite (r8 #5)
     "embedding_neardup_lsh",
     "multimodal_mjpeg_frames",
+    # r15: multimodal dedup (real-BMP-decode dHash through the banded
+    # Hamming join) and the variable-length dup-span ladder (prefix
+    # doubling). video_dhash_neardup stays out: its fixture synthesis
+    # (pure-python JPEG encode x 4 frames/clip) would dominate its own
+    # timing at sf0.1 — the decode path it shares with mjpeg_frames is
+    # already benched above.
+    "image_dhash_neardup",
+    "dup_gram_doubling_profile",
 ]
 
 # Measured and recorded but EXCLUDED from the headline steady total
