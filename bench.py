@@ -104,13 +104,18 @@ HEADLINE = [
     # and the real MJPEG-in-AVI frame decode composite (r8 #5)
     "embedding_neardup_lsh",
     "multimodal_mjpeg_frames",
-    # r15: multimodal dedup (real-BMP-decode dHash through the banded
-    # Hamming join) and the variable-length dup-span ladder (prefix
-    # doubling). video_dhash_neardup stays out: its fixture synthesis
-    # (pure-python JPEG encode x 4 frames/clip) would dominate its own
-    # timing at sf0.1 — the decode path it shares with mjpeg_frames is
-    # already benched above.
-    "image_dhash_neardup",
+    # r15: multimodal-dedup decode+hash path (BMP synth -> real decode
+    # -> area-resample -> 64-bit dHash, linear in corpus — benchable at
+    # every SF) and the variable-length dup-span ladder (prefix
+    # doubling). The near-dup JOIN variants stay out of the headline:
+    # image_dhash_neardup's planted-cluster fixture densities are
+    # QUADRATIC in docs-per-base (~515 docs/cluster at sf1 -> ~13M
+    # mutually-near-dup pairs — fixture saturation, the minhash-demo
+    # class, not operator cost; the join is banded_hamming_pairs, the
+    # same plan simhash_neardup already benches), and
+    # video_dhash_neardup's fixture synthesis (pure-python JPEG encode
+    # x 4 frames/clip) would dominate its own timing.
+    "image_dhash_signatures",
     "dup_gram_doubling_profile",
 ]
 
