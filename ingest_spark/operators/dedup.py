@@ -881,44 +881,62 @@ def dup_gram_doubling_profile(
     pg = fast.unionByName(slow)
 
     def _dup_only(cand: DataFrame) -> DataFrame:
-        """Keep candidates whose key occurs >= 2 times corpus-wide."""
-        freq = (
-            cand.groupBy("h")
-            .agg(F.count(F.lit(1)).alias("__n"))
+        """Keep candidates whose key occurs >= 2 times corpus-wide.
+
+        r15 (guide §2.4): ONE window count over the key instead of
+        groupBy + join-back — the aggregate-then-rejoin shape paid two
+        full-volume exchanges per level (grams are mostly unique, so
+        map-side combine barely shrank the agg side, and the join side
+        re-shuffled every candidate); the count-over-partition window
+        pays exactly one exchange and keeps the same rows (same
+        >= 2 predicate over the same per-key row count). It also
+        drops the per-level pin of ``cand``: the window references its
+        input once, so there is nothing left to double-evaluate."""
+        w = Window.partitionBy("h")
+        return (
+            cand.withColumn("__n", F.count(F.lit(1)).over(w))
             .filter(F.col("__n") >= 2)
-            .select("h")
+            .select("doc_id", "pos", "h")
         )
-        return cand.join(freq, "h").select("doc_id", "pos", "h")
 
     # level 0 pays the one unavoidable full-corpus exchange (same
     # volume as exact_substring_spans' seed count); the pin bounds
     # every later level to the surviving-candidate frame
     dup = pin(_dup_only(pg))
+    # per-level hit frames carry RAW (doc_id, dup_len) rows — the
+    # final groupBy(doc_id).max() collapses duplicates map-side in one
+    # pass, so the old per-level .distinct() exchanges were pure
+    # overhead (r15, guide §2.4: 4 distinct exchanges -> 0)
     hits = [
-        dup.select("doc_id").distinct().withColumn(
+        dup.select("doc_id").withColumn(
             "dup_len", F.lit(base_l).cast("long")
         )
     ]
     span = base_l
-    for _ in range(levels - 1):
+    for lvl in range(levels - 1):
         a, b = dup.alias("a"), dup.alias("b")
-        cand = pin(
-            a.join(
-                b,
-                (F.col("a.doc_id") == F.col("b.doc_id"))
-                & (F.col("b.pos") == F.col("a.pos") + span),
-            ).select(
-                F.col("a.doc_id").alias("doc_id"),
-                F.col("a.pos").alias("pos"),
-                F.struct(
-                    F.col("a.h").alias("lo"), F.col("b.h").alias("hi")
-                ).alias("h"),
-            )
+        cand = a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.pos") == F.col("a.pos") + span),
+        ).select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("a.pos").alias("pos"),
+            F.struct(
+                F.col("a.h").alias("lo"), F.col("b.h").alias("hi")
+            ).alias("h"),
         )
-        dup = pin(_dup_only(cand))
+        dup = _dup_only(cand)
+        if lvl < levels - 2:
+            # intermediate levels feed BOTH self-join sides of the
+            # next level plus their hit frame (3 references) — pin.
+            # The LAST level is referenced once (its hit frame only),
+            # so pinning it would be a pure extra materialization
+            # round trip (r15)
+            dup = pin(dup)
         span *= 2
         hits.append(
-            dup.select("doc_id").distinct().withColumn(
+            dup.select("doc_id").withColumn(
                 "dup_len", F.lit(span).cast("long")
             )
         )
