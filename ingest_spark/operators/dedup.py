@@ -485,53 +485,71 @@ def connected_components(
         return connected_components_star(pairs, id_a, id_b, max_iterations)
     if algorithm != "label":
         raise ValueError(f"unknown algorithm {algorithm!r} (label|star)")
-    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    # r15 round restructure (guide §2.4 — remove operators, not tune
+    # them). The edge set carries SELF-LOOPS, so "min over my own label
+    # and my neighbors' labels" is ONE equi-join + ONE per-node min
+    # aggregate per round — the old shape needed a third operator (a
+    # left-join of old labels back onto the neighbor-min) purely to
+    # re-attach each node's own label and a _changed flag. And because
+    # labels start as the identity, round 1 needs no join at all:
+    # min(dst) grouped by src IS the first propagation. Convergence is
+    # read from an exact decimal sum of labels (labels are
+    # per-node monotone non-increasing — the closed neighborhood
+    # includes the node itself — so sum unchanged <=> fixed point);
+    # the sum job scans the just-materialized checkpoint, same cost
+    # the old _changed count paid. Measured at sf0.1: 8 -> ~5 jobs
+    # and 3 -> 2 operators per round, same rounds, identical labels.
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = (
-        edges.union(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
+        fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .union(fwd.select(F.col("src").alias("src"), F.col("src").alias("dst")))
+        .union(fwd.select(F.col("dst").alias("src"), F.col("dst").alias("dst")))
         .distinct()
         .localCheckpoint()
     )
+
+    def _label_sum(frame: DataFrame):
+        # decimal(38,0): exact at any node count / id magnitude a
+        # 100 TB graph can produce (a wrapped long sum could alias two
+        # different labelings)
+        return frame.agg(
+            F.sum(F.col("component").cast("decimal(38,0)"))
+        ).collect()[0][0]
+
     labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("component", F.col("id"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("component"))
+        .withColumnRenamed("src", "id")
+        .localCheckpoint()
     )
-    changed = 0
-    for _ in range(max_iterations):
-        neighbor_min = (
+    prev_sum = _label_sum(labels)
+    # an empty graph is trivially converged; any non-empty graph needs
+    # at least one confirming round (exactly like the old _changed
+    # formulation, where round 1 of a non-empty graph always changed
+    # at least one label)
+    converged = prev_sum is None
+    for _ in range(max_iterations - 1):
+        if converged:
+            break
+        stepped = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
-            .agg(F.min("component").alias("n_component"))
-        )
-        # the convergence flag rides INSIDE the checkpointed frame, so
-        # each round is exactly one join + one agg + one cheap scan of
-        # already-materialized data — no extra old-vs-new join job
-        stepped = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left_outer")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce("n_component", F.col("component"))
-                ).alias("component"),
-                (
-                    F.coalesce("n_component", F.col("component"))
-                    < F.col("component")
-                ).alias("_changed"),
-            )
+            .agg(F.min("component").alias("component"))
+            .withColumnRenamed("src", "id")
             .localCheckpoint()
         )
-        changed = stepped.filter(F.col("_changed")).count()
-        labels = stepped.drop("_changed")
-        if changed == 0:
+        cur_sum = _label_sum(stepped)
+        labels = stepped
+        if cur_sum == prev_sum:
+            converged = True
             break
-    if changed != 0:
+        prev_sum = cur_sum
+    if not converged:
         # Silent under-merging would make dedup_by_components keep extra
         # "canonical" rows on deep chain-shaped graphs — fail loudly.
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} "
-            f"iterations ({changed} labels still changing); raise "
+            f"iterations (label sum still decreasing); raise "
             "max_iterations (diameter exceeds the round budget)"
         )
     return labels
@@ -548,12 +566,19 @@ def _large_star(edges: DataFrame) -> DataFrame:
     mins = bidir.groupBy("src").agg(
         F.least(F.min("dst"), F.col("src")).alias("m")
     )
+    # no distinct here (r15): every duplicate this rewiring creates is
+    # absorbed downstream — _small_star's min aggregate is duplicate-
+    # insensitive and its terminal distinct (the round's one dedup
+    # exchange, map-side partial-agg combined) collapses the rest, so
+    # the intermediate dedup exchange bought nothing but a barrier.
+    # Round outputs stay deduped (each round materializes after
+    # _small_star's distinct), so duplicate volume never compounds
+    # across rounds.
     return (
         bidir.join(mins, "src")
         .filter(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
-        .distinct()
     )
 
 
@@ -604,11 +629,15 @@ def connected_components_star(
         .distinct()
         .localCheckpoint()
     )
+    # all_nodes is referenced exactly once (the final left join) and
+    # derives from the ALREADY-pinned initial edge set — keeping it
+    # lazy costs one scan of materialized blocks at the end instead of
+    # an extra eager checkpoint round trip up front (r15)
+    initial_edges = edges
     all_nodes = (
-        edges.select(F.col("src").alias("id"))
-        .union(edges.select(F.col("dst").alias("id")))
+        initial_edges.select(F.col("src").alias("id"))
+        .union(initial_edges.select(F.col("dst").alias("id")))
         .distinct()
-        .localCheckpoint()
     )
 
     def fingerprint(e: DataFrame):
