@@ -588,19 +588,19 @@ def _centroid_distances(vec_col: str, centroids: list[list[float]]):
     expression — an argmin built from chained CASE WHENs instead would
     re-embed each score ~2x per centroid (exponential expression-tree
     blowup; measured 13.6s -> 0.9s on this operator at sf0.1)."""
+    col = "`" + vec_col.replace("`", "``") + "`"
     scores = []
     for c in centroids:
-        dot = F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.array(*[F.lit(float(x)) for x in c]),
-                lambda a, b: a * b,
-            ),
-            F.lit(0.0),
-            lambda s, x: s + x,
+        # r15: one parsed SQL string instead of ~dim F.lit py4j calls
+        # per centroid (same zip_with/aggregate tree after parsing;
+        # float repr round-trips exactly through the double literal)
+        arr = ", ".join(f"{float(x)!r}D" for x in c)
+        dot = (
+            f"aggregate(zip_with({col}, array({arr}), (a, b) -> a * b), "
+            f"0.0D, (s, x) -> s + x)"
         )
-        scores.append(-2.0 * dot + F.lit(sum(x * x for x in c)))
-    return F.array(*scores)
+        scores.append(f"(-2.0D * {dot} + {sum(x * x for x in c)!r}D)")
+    return F.expr("array(" + ", ".join(scores) + ")")
 
 
 def _nearest_centroid(vec_col: str, centroids: list[list[float]]):

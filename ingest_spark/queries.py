@@ -6053,11 +6053,21 @@ def curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter("keep")
         .select("doc_id", "text", "source")
     )
-    exact = dedup.keep_best(
-        gated.withColumn("__h", F.sha2(F.col("text"), 256)),
-        "__h",
-        [F.col("doc_id")],
-    ).drop("__h")
+    # r15: exact is referenced TWICE — once into the (pinned) LSH band
+    # table and once as the base of the final component-collapse join —
+    # so without a pin the whole documents-scan + Gopher gate +
+    # content-hash window subtree executed twice per run (the same
+    # duplication class the r9 carry=source fix removed one instance
+    # of; guide §1.2: don't compute things twice). Pinning it halves
+    # the gate cost here and saves a full corpus re-scan + re-gate at
+    # cluster scale.
+    exact = pin(
+        dedup.keep_best(
+            gated.withColumn("__h", F.sha2(F.col("text"), 256)),
+            "__h",
+            [F.col("doc_id")],
+        ).drop("__h")
+    )
     pairs = dedup.minhash_lsh_candidates(
         exact, "doc_id", "text", num_hashes=16, bands=4, shingle_n=3
     )
@@ -8244,9 +8254,15 @@ def incremental_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     state = _prebuilt_ingest_state(spark, sf_dir)
+    # r15: the trailing localCheckpoint was load-bearing only while
+    # this query seeded a TEMP state dir and rmtree'd it in `finally`
+    # (the returned frame had to materialize before its input vanished)
+    # — with the r13 process-scoped state cache the dir outlives every
+    # consumer, so the eager materialization round trip was pure
+    # overhead per pass
     return incremental.ingest_batch(
         spark, docs.filter(F.col("source") == "src1"), state
-    ).localCheckpoint()
+    )
 
 
 # process-scoped prebuilt-state cache for incremental_ingest_batch:
