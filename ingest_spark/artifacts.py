@@ -44,7 +44,15 @@ def load_artifact(spark: SparkSession, path: str, expect_name: str | None = None
     ``(name, payload)``. Raises on version or name mismatch — a
     pipeline silently scoring with the wrong weights is the failure
     mode this guards."""
-    rows = spark.read.parquet(path).collect()
+    # explicit schema (r15): the layout is THIS module's write contract
+    # (save_artifact above), so footer schema inference per read was a
+    # pure driver round trip; a mismatched on-disk file still fails
+    # loudly (parquet column resolution / the row-shape checks below)
+    rows = (
+        spark.read.schema("name string, format_version int, payload_json string")
+        .parquet(path)
+        .collect()
+    )
     if len(rows) != 1:
         raise ValueError(f"artifact at {path} has {len(rows)} rows, expected 1")
     r = rows[0]

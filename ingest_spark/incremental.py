@@ -161,6 +161,10 @@ def init_state(
     classifier weights are trained on the seed corpus (bounded-sample
     deterministic GD) and persisted via artifacts.save_artifact so
     later batches score WITHOUT retraining."""
+    # re-seeding rewrites the signature artifact — drop any in-process
+    # validation memo for this dir so the next probe re-reads it (the
+    # stamp would catch it anyway; this keeps the memo tight)
+    _VALIDATED_SIGNATURES.pop(state_dir, None)
     tables = _batch_tables(docs, id_col, text_col)
     for name, maintainer in _maintainers(state_dir, swap).items():
         maintainer(tables[name], 0)
@@ -190,11 +194,49 @@ def _signature_params() -> dict:
     }
 
 
+# signature artifacts this process has already validated against the
+# CURRENT module constants, keyed by state dir and stamped with the
+# artifact files' (name, length, mtime) metadata (r15). The validation
+# is pure metadata (an equality check of five persisted constants —
+# never query data); the stamp makes the memo self-invalidating: ANY
+# rewrite of the artifact (in-process init_state, an external
+# re-seed, the mismatch-injection test) changes the part-file names/
+# mtimes, so the next probe re-reads and the loud-failure contract is
+# untouched. Without the memo every ingest_batch call re-ran a parquet
+# read + collect purely to compare five ints — ~2 Spark jobs per pass
+# on the bench's hot path; the stamp probe is one FileSystem.listStatus
+# (driver-side metadata, no job).
+_VALIDATED_SIGNATURES: dict[str, tuple] = {}
+
+
+def _artifact_stamp(spark: SparkSession, path: str):
+    """(name, len, mtime) of every file under ``path`` via Hadoop FS,
+    or None when unreadable/absent (callers then take the full
+    validation path, which produces the right loud error)."""
+    try:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(jpath):
+            return None
+        return tuple(
+            sorted(
+                (st.getPath().getName(), st.getLen(), st.getModificationTime())
+                for st in fs.listStatus(jpath)
+            )
+        )
+    except Exception:
+        return None
+
+
 def _check_signature(spark: SparkSession, state_dir: str) -> None:
     """Refuse to score against state seeded under different signature
     constants (e.g. a 4h/2b-era dir probed by the 16h/4b build after
     the r9 widening): bucket strings would never match and every
     near-dup would be silently kept. Loud failure is the contract."""
+    stamp = _artifact_stamp(spark, _path(state_dir, "signature"))
+    if stamp is not None and _VALIDATED_SIGNATURES.get(state_dir) == stamp:
+        return
     path = _path(state_dir, "signature")
     current = _signature_params()
     # Probe through Hadoop FS, not os.path.exists (ADVICE r9 #2): the
@@ -222,6 +264,8 @@ def _check_signature(spark: SparkSession, state_dir: str) -> None:
             f"would silently miss. Re-seed with init_state or run a build "
             f"with matching constants."
         )
+    if stamp is not None:
+        _VALIDATED_SIGNATURES[state_dir] = stamp
 
 
 def ingest_batch(

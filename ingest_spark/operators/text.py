@@ -476,8 +476,20 @@ def bm25_multiquery(
         F.explode(F.split(t, " ")).alias("term"),
     )
     matched = words.join(F.broadcast(queries), "term")
-    tf = matched.groupBy("query_id", id_col, "term", "_dl").agg(
-        F.count(F.lit(1)).cast("double").alias("_tf")
+    # r15: tf is referenced twice (the per-term score probe AND the
+    # dfreq build), and ReuseExchange does not dedupe the two subplans
+    # (column pruning diverges them) — unpinned, the corpus scan +
+    # explode + broadcast-prune + tf aggregate executed TWICE per run
+    # (observed in the executed plan: the full subtree appears twice).
+    # Pin at the (query, doc, term) grain — strictly smaller than the
+    # token grain — exactly the adjudicated tfidf r12 fix (ledger
+    # text_shape_ab: 1.85x at sf1 / 1.66x at sf10 for the same shape).
+    from ingest_spark.pinning import pin
+
+    tf = pin(
+        matched.groupBy("query_id", id_col, "term", "_dl").agg(
+            F.count(F.lit(1)).cast("double").alias("_tf")
+        )
     )
     dfreq = (
         tf.groupBy("term")
