@@ -4645,9 +4645,16 @@ def sketch_rollup_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     check (sketch estimates are DataSketches-specific);
     tests/test_text_ops.py pins estimate-vs-exact relative error."""
     ev = load_table(spark, sf_dir, "events")
-    part = ev.groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id").alias("sk"),
-        F.count_distinct("user_id").alias("exact_users"),
+    # r15: part is referenced twice (per-group projection + the merged
+    # ALL row) and the executed plan showed zero ReusedExchange — the
+    # full events scan + sketch aggregate ran twice, contradicting the
+    # "precompute once, merge many ways" contract. Pinned: a few KB of
+    # sketch partials per group, one corpus scan.
+    part = pin(
+        ev.groupBy("event_type").agg(
+            F.hll_sketch_agg("user_id").alias("sk"),
+            F.count_distinct("user_id").alias("exact_users"),
+        )
     )
     per_group = part.select(
         "event_type",
@@ -4693,9 +4700,16 @@ def sketch_rollup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     error band. The raw estimates stay observable in the rows-only
     sketch_rollup_union above."""
     ev = load_table(spark, sf_dir, "events")
-    part = ev.groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id").alias("sk"),
-        F.count_distinct("user_id").alias("exact_users"),
+    # r15: part is referenced twice (per-group projection + the merged
+    # ALL row) and the executed plan showed zero ReusedExchange — the
+    # full events scan + sketch aggregate ran twice, contradicting the
+    # "precompute once, merge many ways" contract. Pinned: a few KB of
+    # sketch partials per group, one corpus scan.
+    part = pin(
+        ev.groupBy("event_type").agg(
+            F.hll_sketch_agg("user_id").alias("sk"),
+            F.count_distinct("user_id").alias("exact_users"),
+        )
     )
     per_group = part.select(
         "event_type",
@@ -4816,12 +4830,18 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_type filters prune at the scan, and only (user, ts) pairs
     ever shuffle."""
     ev = load_table(spark, sf_dir, "events")
-    v = (
+    # r15: v is referenced 4x (c's probe, p's nested c, and the final
+    # join) and c 2x — the executed plan showed only ONE ReusedExchange
+    # across 10 parquet scans, i.e. the view/click aggregates (full
+    # event-table scans at 100 TB) genuinely re-executed per reference.
+    # Pin both at the per-user grain (guide §1.2: don't compute things
+    # twice); p is referenced once and stays lazy.
+    v = pin(
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_view"))
     )
-    c = (
+    c = pin(
         ev.filter(F.col("event_type") == "click")
         .join(v, "user_id")
         .filter(F.col("ts") > F.col("t_view"))
