@@ -194,6 +194,26 @@ def test_connected_components_variants_agree_on_lsh_graph(spark):
     assert label == star and len(label) > 0
 
 
+def test_connected_components_deep_chain_and_budget(spark):
+    """r15 round restructure (self-loop edges + label-sum convergence):
+    a deep chain still converges exactly when the budget allows, the
+    budget exhaustion still fails LOUDLY (silent under-merging is the
+    failure mode the raise guards), and empty input stays trivially
+    converged under any budget."""
+    import pytest
+
+    chain = [(i, i + 1) for i in range(1, 12)]  # diameter 11
+    df = spark.createDataFrame(chain, "id_a long, id_b long")
+    got = {r.id: r.component for r in dedup.connected_components(df).collect()}
+    assert got == _uf_components(chain)
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(df, max_iterations=3)
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert dedup.connected_components(empty, max_iterations=1).count() == 0
+
+
 def test_connected_components_rejects_unknown_algorithm(spark):
     df = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
     import pytest
