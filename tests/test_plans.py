@@ -524,8 +524,21 @@ def test_bm25_multiquery_prunes_before_first_exchange(spark):
     keeps the first shuffle sized by matching terms, not by the whole
     explosion. Structurally: walking UP from the corpus explode, a
     BroadcastHashJoin on term appears with no Exchange between them;
-    plus the top-N is a WindowGroupLimit, and nothing sort-merges."""
-    p = _plan(spark, "bm25_multiquery")
+    plus the top-N is a WindowGroupLimit, and nothing sort-merges.
+
+    r15: tf is pin()ned (the tfidf r12 duplication fix applied here),
+    which hides the explode+prune subtree behind the checkpoint scan in
+    the default plan — the invariant lives in the PINNED subtree, so
+    assert it on the unpinned plan (PIN_MODE=none) where the whole
+    tree is visible."""
+    from ingest_spark import pinning
+
+    old_mode = pinning.PIN_MODE
+    pinning.PIN_MODE = "none"
+    try:
+        p = _plan(spark, "bm25_multiquery")
+    finally:
+        pinning.PIN_MODE = old_mode
     lines = p.split("\n")
     gen_i = next(i for i, l in enumerate(lines) if "Generate explode(split" in l)
     bhj_i = max(
