@@ -414,12 +414,18 @@ def main() -> None:
     # totals buried at the front of the big per-query line — this
     # trailing line is small enough to always survive the tail capture,
     # so round-over-round comparison never depends on truncation.
+    # r16 (VERDICT r15 §Wrong #4 / §Next #7): the driver parses the
+    # LAST line, and PERF_r15's per-query comparator came back empty
+    # because this line carried no `queries` dict — the contract field
+    # lives here now (additions-only; ~32 bytes/query keeps the line
+    # inside the driver's tail capture).
     print(
         json.dumps(
             {
                 "metric": "headline_suite_wall_sec",
                 "value": total,
                 "unit": "sec",
+                "queries": per_query,
                 "total_steady": total,
                 "total_cold": total_cold,
                 "n_queries": len(headline),

@@ -32,6 +32,16 @@ def _quoted(name: str) -> str:
     return "`" + name.replace("`", "``") + "`"
 
 
+def _simple_ident(name: str) -> bool:
+    """True when the one-parse SQL fast path can backtick-quote
+    ``name`` verbatim. Qualified/dotted names ('a.vec') resolve via
+    F.col as (qualifier, column) but a backtick-quoted SQL literal
+    treats them as one identifier and fails UNRESOLVED_COLUMN
+    (ADVICE r15) — those take the Column-chain path, same tree, just
+    built per-term."""
+    return name.isidentifier()
+
+
 def _dot_chain_sql(a: str, b: str, dim: int) -> str:
     """The unrolled dot product as ONE SQL string. Parsed by a single
     ``F.expr`` call it yields the IDENTICAL left-associative
@@ -62,7 +72,13 @@ def dot_product(a: Column | str, b: Column | str, dim: int | None = None) -> Col
     yields NULL (out-of-range ``element_at`` -> NULL poisons the sum)
     and rows vanish from filters. Use ``assert_dim`` in tests/debug
     paths to surface either mismatch loudly."""
-    if dim is not None and isinstance(a, str) and isinstance(b, str):
+    if (
+        dim is not None
+        and isinstance(a, str)
+        and isinstance(b, str)
+        and _simple_ident(a)
+        and _simple_ident(b)
+    ):
         # fast construction path: one parsed expression, same tree
         return F.expr(_dot_chain_sql(a, b, dim))
     ca, cb = _col(a), _col(b)
@@ -97,7 +113,7 @@ def assert_dim(a: Column | str, dim: int) -> Column:
 
 
 def l2_norm(a: Column | str, dim: int | None = None) -> Column:
-    if dim is not None and isinstance(a, str):
+    if dim is not None and isinstance(a, str) and _simple_ident(a):
         return F.sqrt(F.expr(_dot_chain_sql(a, a, dim)))
     ca = _col(a)
     if dim is not None:

@@ -264,6 +264,14 @@ def _check_signature(spark: SparkSession, state_dir: str) -> None:
             f"would silently miss. Re-seed with init_state or run a build "
             f"with matching constants."
         )
+    # Re-take the stamp AFTER the successful read+compare (ADVICE r15):
+    # stamping before the read left a TOCTOU window where an artifact
+    # rewritten between probe and load would memoize the pre-rewrite
+    # stamp for post-rewrite content. Post-validation, the stamp
+    # describes files that can only be the validated bytes or a
+    # rewrite that changed the listing — either way the next probe
+    # does the right thing.
+    stamp = _artifact_stamp(spark, path)
     if stamp is not None:
         _VALIDATED_SIGNATURES[state_dir] = stamp
 

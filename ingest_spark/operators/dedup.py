@@ -493,12 +493,11 @@ def connected_components(
     # re-attach each node's own label and a _changed flag. And because
     # labels start as the identity, round 1 needs no join at all:
     # min(dst) grouped by src IS the first propagation. Convergence is
-    # read from an exact decimal sum of labels (labels are
-    # per-node monotone non-increasing — the closed neighborhood
-    # includes the node itself — so sum unchanged <=> fixed point);
-    # the sum job scans the just-materialized checkpoint, same cost
-    # the old _changed count paid. Measured at sf0.1: 8 -> ~5 jobs
-    # and 3 -> 2 operators per round, same rounds, identical labels.
+    # read from a type-agnostic labeling fingerprint (r16, ADVICE r15:
+    # the r15 decimal label-sum broke on string ids) over the
+    # just-materialized checkpoint, same cost the old _changed count
+    # paid. Measured at sf0.1: 8 -> ~5 jobs and 3 -> 2 operators per
+    # round, same rounds, identical labels.
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = (
         fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -508,13 +507,26 @@ def connected_components(
         .localCheckpoint()
     )
 
-    def _label_sum(frame: DataFrame):
-        # decimal(38,0): exact at any node count / id magnitude a
-        # 100 TB graph can produce (a wrapped long sum could alias two
-        # different labelings)
-        return frame.agg(
-            F.sum(F.col("component").cast("decimal(38,0)"))
-        ).collect()[0][0]
+    def _label_fingerprint(frame: DataFrame):
+        # Type-agnostic labeling fingerprint (ADVICE r15): the r15
+        # decimal-sum probe cast `component` itself, which crashes
+        # under ANSI for string ids (CAST_INVALID_INPUT) and, with
+        # ANSI off, NULLs the sum and declares any string-id graph
+        # "converged" after one round. Hash first: (count, exact
+        # decimal sum of xxhash64(id, component)) works for every
+        # orderable id type — the same engine-internal fingerprint
+        # connected_components_star already uses. The node set is
+        # constant across rounds, so fingerprint equality ⟺ no label
+        # changed (up to the 2^-64-per-round xxhash64 collision bound
+        # the star variant already accepts).
+        row = frame.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64("id", "component").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
 
     labels = (
         edges.groupBy("src")
@@ -522,12 +534,12 @@ def connected_components(
         .withColumnRenamed("src", "id")
         .localCheckpoint()
     )
-    prev_sum = _label_sum(labels)
+    prev_fp = _label_fingerprint(labels)
     # an empty graph is trivially converged; any non-empty graph needs
     # at least one confirming round (exactly like the old _changed
     # formulation, where round 1 of a non-empty graph always changed
     # at least one label)
-    converged = prev_sum is None
+    converged = prev_fp[0] == 0
     for _ in range(max_iterations - 1):
         if converged:
             break
@@ -538,18 +550,18 @@ def connected_components(
             .withColumnRenamed("src", "id")
             .localCheckpoint()
         )
-        cur_sum = _label_sum(stepped)
+        cur_fp = _label_fingerprint(stepped)
         labels = stepped
-        if cur_sum == prev_sum:
+        if cur_fp == prev_fp:
             converged = True
             break
-        prev_sum = cur_sum
+        prev_fp = cur_fp
     if not converged:
         # Silent under-merging would make dedup_by_components keep extra
         # "canonical" rows on deep chain-shaped graphs — fail loudly.
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} "
-            f"iterations (label sum still decreasing); raise "
+            f"iterations (labels still changing); raise "
             "max_iterations (diameter exceeds the round budget)"
         )
     return labels

@@ -73,6 +73,18 @@ def brute_force_topk(
     )
 
 
+def _quoted_name(name: str) -> str:
+    """Backtick-quote a column name for an F.expr SQL string with
+    F.col's multi-part semantics: dots outside backticks are qualifier
+    separators (``a.vec`` -> ```a`.`vec```), so qualified names resolve
+    exactly as the pre-r15 F.col path did instead of failing
+    UNRESOLVED_COLUMN on a single over-quoted identifier (ADVICE
+    r15)."""
+    return ".".join(
+        "`" + part.replace("`", "``") + "`" for part in name.split(".")
+    )
+
+
 def hyperplane_planes(num_bits: int = 16, dim: int = 64, seed: int = 11) -> list[list[float]]:
     """Deterministic +/-1 hyperplanes from a fixed LCG stream — shared
     by the Column builder below and the SQL-oracle generator, so both
@@ -105,7 +117,7 @@ def hyperplane_signature(vec_col: str, num_bits: int = 16, dim: int = 64, seed: 
     single parse call: 9.3 s -> 0.005 s per build at 8 bits x 64 dims
     (guide §1 — this was pure driver time paid on EVERY plan build,
     and the bench rebuilds the frame each pass)."""
-    col = "`" + vec_col.replace("`", "``") + "`"
+    col = _quoted_name(vec_col)
     parts = []
     for j, plane in enumerate(hyperplane_planes(num_bits, dim, seed)):
         proj = " + ".join(
@@ -588,7 +600,7 @@ def _centroid_distances(vec_col: str, centroids: list[list[float]]):
     expression — an argmin built from chained CASE WHENs instead would
     re-embed each score ~2x per centroid (exponential expression-tree
     blowup; measured 13.6s -> 0.9s on this operator at sf0.1)."""
-    col = "`" + vec_col.replace("`", "``") + "`"
+    col = _quoted_name(vec_col)
     scores = []
     for c in centroids:
         # r15: one parsed SQL string instead of ~dim F.lit py4j calls

@@ -214,6 +214,23 @@ def test_connected_components_deep_chain_and_budget(spark):
     assert dedup.connected_components(empty, max_iterations=1).count() == 0
 
 
+def test_connected_components_string_ids(spark):
+    """r16 (ADVICE r15): the convergence probe must be type-agnostic —
+    the r15 decimal(38,0) cast of the component label crashed under
+    ANSI for string ids (and silently under-merged with ANSI off).
+    Both variants must label a string-id graph exactly."""
+    pairs = [("b", "c"), ("c", "d"), ("x", "y"), ("p", "q"), ("q", "b")]
+    df = spark.createDataFrame(pairs, "id_a string, id_b string")
+    expect = _uf_components(pairs)
+    got = {r.id: r.component for r in dedup.connected_components(df).collect()}
+    assert got == expect
+    got_star = {
+        r.id: r.component
+        for r in dedup.connected_components(df, algorithm="star").collect()
+    }
+    assert got_star == expect
+
+
 def test_connected_components_rejects_unknown_algorithm(spark):
     df = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
     import pytest

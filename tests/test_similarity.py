@@ -20,6 +20,27 @@ def test_cosine_matches_numpy(spark):
     assert math.isclose(got["c"], want_c, rel_tol=1e-12)
 
 
+def test_qualified_names_resolve_in_vector_fast_paths(spark):
+    """r16 (ADVICE r15): the r15 one-parse SQL fast paths backtick-
+    quoted the whole name, so qualified/dotted names that F.col
+    resolves ('x.vec') failed UNRESOLVED_COLUMN. dot_product/l2_norm
+    now fall back to the Column-chain path for non-simple names, and
+    hyperplane_signature quotes multi-part — all three must resolve
+    a dataset-qualified column and match the simple-name result."""
+    rows = [([1.0, 2.0, 3.0, 4.0],)]
+    df = spark.createDataFrame(rows, "vec array<double>").alias("x")
+    simple = df.select(
+        dot_product("vec", "vec", dim=4).alias("d"),
+        similarity.hyperplane_signature("vec", num_bits=4, dim=4).alias("s"),
+    ).first()
+    qualified = df.select(
+        dot_product("x.vec", "x.vec", dim=4).alias("d"),
+        similarity.hyperplane_signature("x.vec", num_bits=4, dim=4).alias("s"),
+    ).first()
+    assert qualified["d"] == simple["d"] == 30.0
+    assert qualified["s"] == simple["s"]
+
+
 def test_zero_vector_cosine_is_null(spark):
     df = spark.createDataFrame([([0.0, 0.0], [1.0, 2.0])], "a array<double>, b array<double>")
     assert df.select(cosine_similarity("a", "b")).first()[0] is None
