@@ -484,9 +484,14 @@ def bm25_multiquery(
     # Pin at the (query, doc, term) grain — strictly smaller than the
     # token grain — exactly the adjudicated tfidf r12 fix (ledger
     # text_shape_ab: 1.85x at sf1 / 1.66x at sf10 for the same shape).
-    from ingest_spark.pinning import pin
+    # r16: gated on input size (VERDICT r15 §Next #1 — the driver's
+    # bench regressed 0.75x with the unconditional pin and this
+    # round's alternating collect A/Bs at sf0.1/sf1 were a tie at
+    # best; below pinning.PIN_MIN_INPUT_BYTES the duplicate tf subtree
+    # is cheaper than its materialization round trip).
+    from ingest_spark.pinning import pin_if_big
 
-    tf = pin(
+    tf = pin_if_big(
         matched.groupBy("query_id", id_col, "term", "_dl").agg(
             F.count(F.lit(1)).cast("double").alias("_tf")
         )

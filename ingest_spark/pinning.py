@@ -104,3 +104,64 @@ def pin(df: DataFrame) -> DataFrame:
     pinned = df.persist(StorageLevel.MEMORY_AND_DISK)
     pinned.count()  # eager: every downstream reference reads blocks
     return pinned
+
+
+# Input-size gate for pins whose duplicate subtree is cheap at bench
+# scale (r16, VERDICT r15 §Next #1). Default 1 GiB: the r16 alternating
+# collect-sink A/Bs showed the funnel/sketch/bm25 pins LOSING at both
+# sf0.1 and sf1 (every or most adjacent pairs — a localCheckpoint round
+# trip costs more than re-running a <= tens-of-MB scan subtree that
+# executes in parallel inside one job), so the crossover sits above the
+# largest locally measurable input; at 100 TB the gated pins fire
+# unconditionally because any corpus-sized scan dwarfs the threshold.
+PIN_MIN_INPUT_BYTES = int(
+    os.environ.get("SPARK_GRAFT_PIN_MIN_INPUT_BYTES", str(1 << 30))
+)
+
+
+# Leaves without real statistics (driver-created LocalRelation->RDD,
+# un-analyzed RDD scans) report spark.sql.defaultSizeInBytes =
+# Long.MaxValue — a sentinel, not a measurement. Anything at or above
+# this is "unknown", not "huge".
+_UNKNOWN_LEAF_BYTES = 1 << 60
+
+
+def plan_input_bytes(df: DataFrame) -> int | None:
+    """Total sizeInBytes of the optimized plan's KNOWN leaves — for
+    file scans this is actual file bytes, the one stats estimate that
+    stays reliable through explodes/joins/aggregates (whose own
+    row-width scaling wanders orders of magnitude). Leaves reporting
+    the defaultSizeInBytes sentinel (driver-local query tables,
+    RDD-backed frames) are skipped: counting Long.MaxValue would
+    force-pin every plan containing a tiny createDataFrame side input.
+    None when no leaf has a real size or the JVM probe fails (callers
+    treat unknown as big: pin)."""
+    try:
+        leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
+        sizes = [
+            int(str(leaves.apply(i).stats().sizeInBytes()))
+            for i in range(leaves.size())
+        ]
+        known = [s for s in sizes if s < _UNKNOWN_LEAF_BYTES]
+        if not known:
+            return None
+        return sum(known)
+    except Exception:
+        return None
+
+
+def pin_if_big(df: DataFrame, min_input_bytes: int | None = None) -> DataFrame:
+    """``pin()`` gated on the frame's input volume: below the
+    threshold the frame is returned UNPINNED (the duplicate subtree
+    re-executes — measured cheaper than a materialization round trip
+    at bench scales), at or above it the normal pin policy applies
+    (the duplicate subtree is a corpus re-scan — the thing pinning
+    exists to kill at 100 TB). An unknown input size pins: the
+    fail-safe direction at scale costs one round trip, the other
+    direction costs a full re-scan."""
+    if min_input_bytes is None:
+        min_input_bytes = PIN_MIN_INPUT_BYTES
+    size = plan_input_bytes(df)
+    if size is not None and size < min_input_bytes:
+        return df
+    return pin(df)

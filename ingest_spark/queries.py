@@ -25,7 +25,7 @@ from pyspark.sql import types as T
 
 from ingest_spark.catalog import load_table
 from ingest_spark.functions.hashing import content_hash, normalized_fingerprint
-from ingest_spark.pinning import pin
+from ingest_spark.pinning import pin, pin_if_big
 from ingest_spark.operators import bloom, classifier, dedup, flatten, graph, multimodal, relational, similarity, text, windows
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -4649,8 +4649,11 @@ def sketch_rollup_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ALL row) and the executed plan showed zero ReusedExchange — the
     # full events scan + sketch aggregate ran twice, contradicting the
     # "precompute once, merge many ways" contract. Pinned: a few KB of
-    # sketch partials per group, one corpus scan.
-    part = pin(
+    # sketch partials per group, one corpus scan. r16: gated on input
+    # size (driver r15: 0.54x with the unconditional pin; the r16
+    # alternating A/Bs at sf0.1 and sf1 confirm the round trip costs
+    # more than the duplicate aggregate below ~GiB inputs).
+    part = pin_if_big(
         ev.groupBy("event_type").agg(
             F.hll_sketch_agg("user_id").alias("sk"),
             F.count_distinct("user_id").alias("exact_users"),
@@ -4704,8 +4707,9 @@ def sketch_rollup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ALL row) and the executed plan showed zero ReusedExchange — the
     # full events scan + sketch aggregate ran twice, contradicting the
     # "precompute once, merge many ways" contract. Pinned: a few KB of
-    # sketch partials per group, one corpus scan.
-    part = pin(
+    # sketch partials per group, one corpus scan. r16: same input-size
+    # gate as sketch_rollup_union (the shape is identical).
+    part = pin_if_big(
         ev.groupBy("event_type").agg(
             F.hll_sketch_agg("user_id").alias("sk"),
             F.count_distinct("user_id").alias("exact_users"),
@@ -4835,13 +4839,18 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # across 10 parquet scans, i.e. the view/click aggregates (full
     # event-table scans at 100 TB) genuinely re-executed per reference.
     # Pin both at the per-user grain (guide §1.2: don't compute things
-    # twice); p is referenced once and stays lazy.
-    v = pin(
+    # twice); p is referenced once and stays lazy. r16: gated on input
+    # size — the driver's r15 bench and this round's alternating A/Bs
+    # at sf0.1 AND sf1 showed the unconditional pin losing every
+    # adjacent pair (0.83x driver): below pinning.PIN_MIN_INPUT_BYTES
+    # the re-executed aggregates run in parallel inside one job and
+    # cost less than two materialization round trips.
+    v = pin_if_big(
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_view"))
     )
-    c = pin(
+    c = pin_if_big(
         ev.filter(F.col("event_type") == "click")
         .join(v, "user_id")
         .filter(F.col("ts") > F.col("t_view"))

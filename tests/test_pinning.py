@@ -67,3 +67,29 @@ def test_every_primitive_yields_identical_results(spark, monkeypatch):
         # a pinned frame is re-usable across references
         assert pinned.count() == 7
     spark.catalog.clearCache()
+
+
+def test_pin_if_big_gates_on_input_bytes(spark):
+    """r16 (VERDICT r15 §Next #1): below the input-size threshold the
+    frame comes back UNPINNED (the duplicate subtree is cheaper than a
+    materialization round trip at bench scales); at/above it the
+    normal pin policy applies; unknown size pins (fail-safe at scale).
+    Results are identical either way (mode-independence is asserted
+    above; the gate only picks between existing modes)."""
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "t.parquet")
+        spark.range(1000).write.parquet(path)
+        df = spark.read.parquet(path).groupBy((F.col("id") % 5).alias("k")).count()
+        size = pinning.plan_input_bytes(df)
+        assert size is not None and size > 0
+        # tiny input, huge threshold: passthrough, same object
+        assert pinning.pin_if_big(df, min_input_bytes=size + 1) is df
+        # at/above the threshold: pinned (local master -> localCheckpoint)
+        pinned = pinning.pin_if_big(df, min_input_bytes=size)
+        assert pinned is not df
+        assert {(r.k, r["count"]) for r in pinned.collect()} == {
+            (r.k, r["count"]) for r in df.collect()
+        }
