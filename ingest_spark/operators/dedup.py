@@ -25,10 +25,24 @@ identical signatures in SQL.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ingest_spark.functions.hashing import content_hash, stable_hash64
+from ingest_spark.pinning import plan_input_bytes
+
+# Input-size threshold above which dup_gram_doubling_profile's
+# duplicate-key filter switches from the count window (fastest at
+# bench scale, but concentrates one key's positions in one task) to
+# the skew-safe aggregate + semi-join shape (r16, VERDICT r15 §Next
+# #2; A/B numbers in tools/dup_only_skew_ab.py and
+# OPTIMIZATION_r16.md). Same local-vs-cluster posture as
+# pinning.PIN_MIN_INPUT_BYTES.
+_SKEWSAFE_MIN_INPUT_BYTES = int(
+    os.environ.get("SPARK_GRAFT_SKEWSAFE_MIN_INPUT_BYTES", str(1 << 30))
+)
 
 # Mersenne prime 2^31-1: modulus for the MinHash permutation family
 # h_i(x) = (a_i * x + b_i) mod P. The base hash is 28-bit
@@ -921,6 +935,26 @@ def dup_gram_doubling_profile(
     )
     pg = fast.unionByName(slow)
 
+    # Shape switch for the duplicate-key filter (r16, VERDICT r15
+    # §Next #2). The r15 window puts EVERY position of one key into a
+    # single task — fastest at bench scale (dup_only_skew_ab: window
+    # 0.77/0.81 s uniform/10%-hot vs semi 1.21/1.11 vs salted 1.74/1.59
+    # at 4M rows; still fastest-or-tied at a 25%-single-key 16M-row
+    # fixture) because a local task swallows a few hundred thousand
+    # rows, but at 100 TB a boilerplate n-gram holds ~1e9+ positions
+    # and the window shape has no skew escape. Above the input-size
+    # threshold the semi shape applies: groupBy(h) partial-aggregates
+    # map-side (the hot key collapses per map task), only keys with
+    # count >= 2 survive into the join's SMALL side, and AQE
+    # broadcasts it when it fits or skew-splits the candidate side
+    # when it does not — no stage ever holds one key's rows in one
+    # task. Identical rows either way (same >= 2 predicate;
+    # fingerprint-asserted in the A/B and oracle-hash-checked).
+    corpus_bytes = plan_input_bytes(df)
+    skew_safe = (
+        corpus_bytes is None or corpus_bytes >= _SKEWSAFE_MIN_INPUT_BYTES
+    )
+
     def _dup_only(cand: DataFrame) -> DataFrame:
         """Keep candidates whose key occurs >= 2 times corpus-wide.
 
@@ -932,7 +966,19 @@ def dup_gram_doubling_profile(
         pays exactly one exchange and keeps the same rows (same
         >= 2 predicate over the same per-key row count). It also
         drops the per-level pin of ``cand``: the window references its
-        input once, so there is nothing left to double-evaluate."""
+        input once, so there is nothing left to double-evaluate.
+        r16: above the corpus-size threshold the skew-safe semi shape
+        replaces the window (see the switch comment above)."""
+        if skew_safe:
+            dup_keys = (
+                cand.groupBy("h")
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .filter(F.col("__n") >= 2)
+                .select("h")
+            )
+            return cand.join(dup_keys, "h", "semi").select(
+                "doc_id", "pos", "h"
+            )
         w = Window.partitionBy("h")
         return (
             cand.withColumn("__n", F.count(F.lit(1)).over(w))

@@ -421,3 +421,29 @@ def test_dup_gram_doubling_profile_planted(spark):
     }
     assert got == {1: 40, 2: 40, 3: 20, 4: 20, 5: 10, 6: 10,
                    7: 0, 8: 0, 9: 10, 10: 0, 11: 10, 12: 10}
+
+
+def test_dup_gram_doubling_profile_shapes_agree(spark, monkeypatch, tmp_path):
+    """r16 (VERDICT r15 §Next #2): the duplicate-key filter has two
+    shapes — the count window below the input-size threshold and the
+    skew-safe aggregate+semi-join above it. Both must produce the
+    identical profile on the same parquet-backed corpus (a file-backed
+    frame has a KNOWN size, so the threshold actually selects)."""
+    from ingest_spark.operators import dedup as dd
+
+    docs = [
+        (1, " ".join(f"s{i}" for i in range(40)) + " tail one"),
+        (2, "head bit " + " ".join(f"s{i}" for i in range(40))),
+        (3, " ".join(f"z{i}" for i in range(30))),
+    ]
+    path = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(path)
+    df = spark.read.parquet(path)
+    results = {}
+    for label, threshold in (("window", 1 << 60), ("semi", 0)):
+        monkeypatch.setattr(dd, "_SKEWSAFE_MIN_INPUT_BYTES", threshold)
+        results[label] = {
+            r.doc_id: r.max_dup_len
+            for r in dd.dup_gram_doubling_profile(df, "doc_id", "text").collect()
+        }
+    assert results["window"] == results["semi"] == {1: 40, 2: 40, 3: 0}
