@@ -681,7 +681,21 @@ def connected_components_star(
     fp = fingerprint(edges)
     converged = False
     for _ in range(max_iterations):
-        edges = _small_star(_large_star(edges)).localCheckpoint()
+        # r16 (VERDICT r15 §Next #3): materialize the large-star output
+        # once per round. The executed round plan had ZERO
+        # ReusedExchange — small-star references its ``directed``
+        # orientation twice (min-build + join-probe), so the whole
+        # large-star subtree (groupBy-min + equi-join over the full
+        # edge set) re-executed ~4x per round (8 SortMergeJoins, 24
+        # checkpoint re-reads observed at sf0.1). One localCheckpoint
+        # costs a block write; re-execution costs three extra
+        # full-edge-set aggregate+join passes per round. A/B
+        # (tools/starcc_round_ab.py): synthetic 300k-spoke hub graph
+        # 7.21 -> 6.37 s (labels identical), sf0.1 LSH graph flat;
+        # pinning small-star's ``directed`` as well was measured WORSE
+        # (8.0 s — the second round trip exceeds the trivial
+        # orientation re-projection it saves).
+        edges = _small_star(_large_star(edges).localCheckpoint()).localCheckpoint()
         new_fp = fingerprint(edges)
         if new_fp == fp:
             converged = True
