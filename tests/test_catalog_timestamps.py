@@ -67,3 +67,31 @@ def test_query_identical_on_ntz_and_ltz(spark, ntz_ltz_dirs, qname):
     b = sorted(map(str, fn(spark, ltz_dir).collect()))
     assert a == b
     assert len(a) > 0
+
+
+def test_schema_cache_invalidates_on_rewrite(spark, tmp_path):
+    """r16 (VERDICT r15 §Next #8): load_table memoizes the inferred
+    parquet schema per path keyed on a file stamp — a REWRITE of the
+    table (new part files / sizes / mtimes) must re-infer, never serve
+    the stale schema."""
+    from ingest_spark import catalog
+
+    d = str(tmp_path)
+    path = os.path.join(d, "documents.parquet")
+    spark.createDataFrame(
+        [(1, "hello world")], "doc_id long, text string"
+    ).write.parquet(path)
+    first = catalog.load_table(spark, d, "documents")
+    assert set(first.columns) == {"doc_id", "text"}
+    assert path in catalog._SCHEMA_CACHE
+    # second read is a memo hit: the SAME lazy plan object (metadata
+    # only — every action over it still scans parquet)
+    assert catalog.load_table(spark, d, "documents") is first
+    # rewrite with a DIFFERENT schema: the stamp changes, re-infer
+    shutil.rmtree(path)
+    spark.createDataFrame(
+        [(1, "hello", 5)], "doc_id long, text string, extra long"
+    ).write.parquet(path)
+    again = catalog.load_table(spark, d, "documents")
+    assert set(again.columns) == {"doc_id", "text", "extra"}
+    assert again.count() == 1
