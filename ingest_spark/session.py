@@ -57,7 +57,16 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # 128m default (cluster posture: ~800k scan tasks at 100 TB,
+        # AQE coalesces post-shuffle). Env-overridable (r16) because
+        # below ~one split per table the SCAN stage caps parallelism
+        # at 1 task regardless of core count — the c8-vs-c32 scaling
+        # evidence runs set this smaller so compute can fan out; the
+        # default, and therefore the driver's bench, is unchanged.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "134217728"),
+        )
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
